@@ -1,0 +1,119 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from tickerlake_spark import schemas
+from tickerlake_spark.schemas import conform
+from tickerlake_spark.storage import (
+    Catalog,
+    Checkpoints,
+    get_max_date,
+    get_table_path,
+    init_table,
+    read_table,
+    table_exists,
+    write_table,
+)
+
+
+def test_catalog_paths(tmp_path):
+    cat = Catalog(root=str(tmp_path))
+    assert cat.bronze("stocks") == str(tmp_path / "bronze" / "stocks")
+    assert get_table_path(str(tmp_path), "silver", "x") == str(
+        tmp_path / "silver" / "x"
+    )
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("AAPL", dt.date(2024, 1, 2), 10.0), ("MSFT", dt.date(2024, 1, 3), 20.0)],
+        "ticker string, date date, close double",
+    )
+    write_table(df, path)
+    assert table_exists(path)
+    out = read_table(spark, path)
+    assert out.count() == 2
+    assert set(out.columns) == {"ticker", "date", "close"}
+
+
+def test_append_is_real(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([("A", 1)], "k string, v int")
+    write_table(df, path, mode="overwrite")
+    write_table(df, path, mode="append")
+    assert read_table(spark, path).count() == 2
+
+
+def test_partitioned_write_and_prune(spark, tmp_path):
+    path = str(tmp_path / "p")
+    df = spark.createDataFrame(
+        [("A", dt.date(2024, 1, 1)), ("B", dt.date(2024, 1, 2))],
+        "ticker string, date date",
+    )
+    write_table(df, path, partition_by="date")
+    out = read_table(spark, path)
+    assert out.count() == 2
+    pruned = out.filter(out.date == dt.date(2024, 1, 2))
+    assert pruned.count() == 1
+    # partition pruning visible in the physical plan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "partitionFilters" in plan.lower()
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    path = str(tmp_path / "dyn")
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    write_table(
+        spark.createDataFrame([("A", d1), ("B", d2)], "t string, date date"),
+        path,
+        partition_by="date",
+    )
+    # overwrite only date=d2
+    write_table(
+        spark.createDataFrame([("C", d2)], "t string, date date"),
+        path,
+        partition_by="date",
+        dynamic=True,
+    )
+    rows = {(r.t, r.date) for r in read_table(spark, path).collect()}
+    assert rows == {("A", d1), ("C", d2)}
+
+
+def test_init_table_empty_with_schema(spark, tmp_path):
+    path = str(tmp_path / "empty")
+    init_table(spark, path, schemas.STOCKS)
+    out = read_table(spark, path)
+    assert out.count() == 0
+    assert out.columns == [f.name for f in schemas.STOCKS.fields]
+
+
+def test_get_max_date(spark, tmp_path):
+    path = str(tmp_path / "wm")
+    assert get_max_date(spark, path) is None
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 2),), (dt.date(2024, 3, 4),)], "date date"
+    )
+    write_table(df, path)
+    assert get_max_date(spark, path) == "2024-03-04"
+
+
+def test_checkpoints_roundtrip(tmp_path):
+    cp = Checkpoints(str(tmp_path / "cp.json"))
+    assert cp.load() == {}
+    cp.set("bronze_stocks_last_date", "2024-01-02")
+    assert cp.get("bronze_stocks_last_date") == "2024-01-02"
+    cp.set("last_run_timestamp", "2024-01-02T21:30:00Z")
+    assert len(cp.load()) == 2
+
+
+def test_conform_casts_and_missing(spark):
+    df = spark.createDataFrame(
+        [("AAPL", "100", "1.5")], "ticker string, volume string, open string"
+    )
+    out = conform(df, schemas.STOCKS)
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in schemas.STOCKS.fields
+    ]
+    row = out.first()
+    assert row.volume == 100 and abs(row.open - 1.5) < 1e-6 and row.date is None

@@ -1,0 +1,99 @@
+"""Core expression library — pure Spark SQL expressions, no Python UDFs.
+
+Each helper pins one of the reference's semantics gotchas (SURVEY §4.3) as a
+reusable Column expression so every operator gets oracle-exact behavior:
+
+- rolling means are null until the window is full (Polars min_samples
+  semantics, reference: silver/indicators.py:10-25);
+- the product aggregate (stacked split factors, reference:
+  silver/splits.py:77) has no Spark builtin — expressed as exp(sum(log));
+- unsigned-integer truncation on division (reference: silver/splits.py:92-97,
+  silver/indicators.py:88) becomes floor().cast(long).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window, WindowSpec
+from pyspark.sql import functions as F
+
+__all__ = [
+    "epoch_ms_to_date",
+    "floor_div_long",
+    "product",
+    "rolling_mean_strict",
+    "rolling_window",
+    "true_range",
+]
+
+
+def epoch_ms_to_date(col: Column | str) -> Column:
+    """Epoch-milliseconds -> DateType (UTC).
+
+    Reference: bronze/transformers.py:72 (cast Datetime('ms') then Date).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.to_date(F.timestamp_millis(c))
+
+
+def floor_div_long(numerator: Column, denominator: Column) -> Column:
+    """Truncating division to long — replicates the reference's
+    float -> UInt64 cast (truncation toward zero; all inputs here are
+    non-negative so floor == trunc). Reference: silver/splits.py:92-97."""
+    return F.floor(numerator / denominator).cast("long")
+
+
+def product(col: Column | str) -> Column:
+    """Product aggregate via exp(sum(log)).
+
+    Valid for strictly positive inputs (split ratios always are,
+    reference: silver/splits.py:77). Exact enough for the $0.01 oracle
+    tolerance; for a bit-exact product use
+    ``F.aggregate(F.collect_list(c), F.lit(1.0), lambda a, x: a * x)`` at the
+    cost of materializing the list.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.exp(F.sum(F.log(c)))
+
+
+def rolling_window(
+    partition_cols: list[str], order_cols: list[str], n: int
+) -> WindowSpec:
+    """Trailing n-row window (current row inclusive)."""
+    return (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(n - 1), 0)
+    )
+
+
+def rolling_mean_strict(
+    col: Column | str,
+    n: int,
+    partition_cols: list[str],
+    order_cols: list[str],
+) -> Column:
+    """Trailing n-row mean, null until n rows are present in the partition.
+
+    Polars ``rolling_mean(window_size=n)`` defaults min_samples == n, so the
+    first n-1 rows per group are null (reference: silver/indicators.py:10-25).
+    Spark's ``avg over rowsBetween`` emits partial averages, so we mask on the
+    window row count.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = rolling_window(partition_cols, order_cols, n)
+    return F.when(F.count(c).over(w) == n, F.avg(c).over(w))
+
+
+def true_range(
+    high: Column | str, low: Column | str, prev_close: Column | str
+) -> Column:
+    """True range = max(high-low, |high-prev_close|, |low-prev_close|);
+    falls back to high-low on the first row (null prev_close).
+
+    Reference: silver/indicators.py:47-52 (max_horizontal ignores nulls, so a
+    null prev_close leaves high-low; F.greatest also skips nulls).
+    """
+    h = F.col(high) if isinstance(high, str) else high
+    lo = F.col(low) if isinstance(low, str) else low
+    pc = F.col(prev_close) if isinstance(prev_close, str) else prev_close
+    return F.greatest(h - lo, F.abs(h - pc), F.abs(lo - pc))

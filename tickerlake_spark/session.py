@@ -1,0 +1,74 @@
+"""SparkSession factory.
+
+Defaults are chosen for large-scale batch analytics and scale down to the
+local[N] test harness via environment variables:
+
+- ``SPARK_GRAFT_CPUS``  local parallelism (default 32 in the harness).
+- ``SPARK_GRAFT_SHUFFLE_PARTITIONS``  shuffle fan-out; on a real cluster this
+  would be ~2-3x total cores (AQE coalesces small partitions back down).
+
+Design notes (100 TB posture):
+- AQE on: runtime re-plan, skew-join splitting, partition coalescing.
+- zstd Parquet everywhere (reference parity: storage/operations.py:47).
+- Arrow enabled for the few Pandas-UDF paths (vector ops, multimodal stubs).
+- ``spark.sql.files.maxPartitionBytes`` left at 128m: scan parallelism scales
+  with input size, not with a hand-tuned constant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark"]
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "tickerlake-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    On a cluster, ``master`` comes from spark-submit; locally we default to
+    ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = _default_parallelism()
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Broadcast threshold: dimension tables (region/nation/tickers/splits)
+        # are tiny even at 100 TB fact scale; 64m is a safe ceiling.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

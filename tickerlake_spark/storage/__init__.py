@@ -1,0 +1,20 @@
+from tickerlake_spark.storage.catalog import Catalog, get_table_path
+from tickerlake_spark.storage.checkpoints import Checkpoints
+from tickerlake_spark.storage.io import (
+    get_max_date,
+    init_table,
+    read_table,
+    table_exists,
+    write_table,
+)
+
+__all__ = [
+    "Catalog",
+    "get_table_path",
+    "Checkpoints",
+    "read_table",
+    "write_table",
+    "init_table",
+    "table_exists",
+    "get_max_date",
+]

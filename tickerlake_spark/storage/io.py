@@ -1,0 +1,104 @@
+"""Parquet table IO.
+
+Spark-first rebuild of the reference's storage operations
+(reference: storage/operations.py:11-184):
+
+- ``write_table`` supports real ``overwrite`` *and* ``append`` (the reference's
+  writer rejects append — storage/operations.py:35-38 — and silver's "append"
+  silently overwrites; here append is genuine, a documented bug-fix).
+- Partitioned writes use Spark's native Hive layout (``partitionBy``); reads
+  recover partition columns automatically (reference glob + hive_partitioning
+  at storage/operations.py:84-87 is native in Spark).
+- zstd compression comes from the session config (session.py).
+- ``dynamic`` partition overwrite replaces only the partitions present in the
+  incoming frame — the scalable equivalent of the reference's
+  read-concat-rewrite loop (bronze/main.py:245-253).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = ["read_table", "write_table", "init_table", "table_exists", "get_max_date"]
+
+_VALID_MODES = ("overwrite", "append")
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a Parquet table (plain or Hive-partitioned directory).
+
+    Partition-column recovery and partition pruning are native; filters on
+    partition columns never touch non-matching files.
+    """
+    return spark.read.parquet(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: str | list[str] | None = None,
+    dynamic: bool = False,
+) -> None:
+    """Write ``df`` as a Parquet table.
+
+    ``dynamic=True`` (with mode=overwrite and partition_by) overwrites only
+    the partitions present in ``df`` — incremental daily loads rewrite one
+    ``date=.../`` directory, not the whole dataset.
+    """
+    if mode not in _VALID_MODES:
+        raise ValueError(f"mode must be one of {_VALID_MODES}, got {mode!r}")
+    writer = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = writer.partitionBy(*cols)
+        if dynamic and mode == "overwrite":
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(path)
+
+
+def init_table(spark: SparkSession, path: str, schema: StructType) -> None:
+    """Bootstrap an empty table with a schema
+    (reference: storage/operations.py:124-147)."""
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+
+
+def table_exists(path: str) -> bool:
+    """True if ``path`` holds at least one Parquet part file
+    (reference: storage/operations.py:99-121).
+
+    Local-filesystem implementation; on a cluster swap in the Hadoop FS API
+    via ``spark._jvm`` — the call sites don't change.
+    """
+    if os.path.isfile(path):
+        return path.endswith(".parquet")
+    if not os.path.isdir(path):
+        return False
+    for _, _, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def get_max_date(
+    spark: SparkSession, path: str, column: str = "date"
+) -> str | None:
+    """Max watermark of ``column`` as ISO string, or None for missing/empty
+    tables (reference: storage/operations.py:150-184).
+
+    Unlike the reference (reads the whole table into memory then takes max),
+    this is a single-column aggregate: Parquet column pruning + min/max
+    row-group statistics make it metadata-cheap even on a 100 TB table.
+    """
+    if not table_exists(path):
+        return None
+    row = (
+        spark.read.parquet(path)
+        .agg(F.max(F.col(column).cast("string")).alias("mx"))
+        .first()
+    )
+    return row["mx"] if row and row["mx"] is not None else None
