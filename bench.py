@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (foreachPartition no-op sink — forces
+full materialization without driver collect); timing includes plan + execute.
+A warmup pass on the first query amortizes JVM/codegen startup so numbers
+reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from tickerlake_spark.plans import QUERIES
+    from tickerlake_spark.plans.catalog import _ensure_loaded
+    from tickerlake_spark.session import get_spark
+
+    _ensure_loaded()
+    spark = get_spark(app_name="tickerlake-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = {n: s for n, s in QUERIES.items() if s.bench}
+
+    # Warmup: run the first bench query once to pay JVM/codegen startup.
+    first = next(iter(bench_queries.values()))
+    first.fn(spark, sf_dir).foreachPartition(lambda it: None)
+
+    timings: dict[str, float] = {}
+    for name, spec in bench_queries.items():
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).foreachPartition(lambda it: None)
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

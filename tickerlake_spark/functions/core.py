@@ -18,12 +18,29 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "epoch_ms_to_date",
+    "stable_round",
     "floor_div_long",
     "product",
     "rolling_mean_strict",
     "rolling_window",
     "true_range",
 ]
+
+
+def stable_round(col: Column, n: int) -> Column:
+    """Round to ``n`` decimals with the half-way boundary nudged off the data
+    grid: ``round(x + 5*10^-(n+3), n)``.
+
+    Cross-engine float aggregates agree only to ~1e-10 (different summation
+    orders), and data-derived rationals (2-decimal prices / integer volumes)
+    can land EXACTLY on a round-half boundary, where Spark's BigDecimal
+    HALF_UP and DuckDB's float-domain round disagree. Shifting the boundary
+    by half a sub-grid step puts it 5*10^-(n+3) away from every value the
+    data can produce — 50-1000x the cross-engine noise. Valid for
+    non-negative values (all query outputs here). The SQL oracles inline the
+    same expression: ``ROUND(x + 5e-9, 6)`` / ``ROUND(x + 5e-7, 4)``.
+    """
+    return F.round(col + F.lit(5.0 * 10 ** -(n + 3)), n)
 
 
 def epoch_ms_to_date(col: Column | str) -> Column:
