@@ -105,6 +105,7 @@ def _ensure_loaded() -> None:
         return
     from tickerlake_spark.plans import (  # noqa: F401
         q_core,
+        q_finance,
     )
 
     _LOADED = True

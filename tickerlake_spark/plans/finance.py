@@ -1,0 +1,174 @@
+"""Finance-shaped fixtures derived from the driver's TPC-H-ish tables.
+
+The reference's domain is (ticker, date) OHLCV bars + splits; the driver's
+correctness tables are TPC-H-ish. This module derives a deterministic stock
+universe from them — identically in Spark and in the DuckDB oracle SQL — so
+the finance operators (split adjustment, resample, indicators, VWAP, HVC)
+are oracle-checkable end-to-end:
+
+- ticker     := l_suppkey as string
+- daily bar  := per (ticker, shipdate): open/close = first/last extendedprice
+                under the total order (orderkey, linenumber, price, qty),
+                high/low = max/min price, volume = sum quantity,
+                transactions = row count
+- splits     := suppkey % 3 == 0 -> 1:2 forward split on 1998-06-15,
+                suppkey % 5 == 0 -> 5:1 reverse split on 1999-09-01
+                (suppkey % 15 gets both -> exercises the stacked-split
+                product path; ratios 0.5 / 5.0 are exactly representable so
+                the truncating volume division is reproducible cross-engine)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tickerlake_spark.plans.catalog import load_table
+
+__all__ = [
+    "stock_bars",
+    "stock_splits",
+    "BARS_CTE",
+    "ADJUSTED_CTE",
+    "INDICATORS_CTE",
+]
+
+
+def stock_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLCV bars derived from lineitem (see module docstring)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    order_struct = F.struct(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    return (
+        li.select(
+            F.col("l_suppkey").cast("string").alias("ticker"),
+            F.col("l_shipdate").cast("date").alias("date"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_quantity").alias("qty"),
+            order_struct.alias("__ord"),
+        )
+        .groupBy("ticker", "date")
+        .agg(
+            F.min_by("price", "__ord").alias("open"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.max_by("price", "__ord").alias("close"),
+            F.sum("qty").cast("long").alias("volume"),
+            F.count("*").alias("transactions"),
+        )
+    )
+
+
+def stock_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic splits table derived from supplier keys."""
+    s = load_table(spark, sf_dir, "supplier")
+    fwd = s.filter(F.col("s_suppkey") % 3 == 0).select(
+        F.col("s_suppkey").cast("string").alias("ticker"),
+        F.lit("1998-06-15").cast("date").alias("execution_date"),
+        F.lit(1.0).cast("double").alias("split_from"),
+        F.lit(2.0).cast("double").alias("split_to"),
+    )
+    rev = s.filter(F.col("s_suppkey") % 5 == 0).select(
+        F.col("s_suppkey").cast("string").alias("ticker"),
+        F.lit("1999-09-01").cast("date").alias("execution_date"),
+        F.lit(5.0).cast("double").alias("split_from"),
+        F.lit(1.0).cast("double").alias("split_to"),
+    )
+    return fwd.unionByName(rev)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle CTEs mirroring the derivations above. Composable: oracles do
+# f"WITH {BARS_CTE} SELECT ..." / f"WITH {ADJUSTED_CTE} SELECT ...".
+# ---------------------------------------------------------------------------
+
+BARS_CTE = """
+ranked AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS ticker,
+         CAST(l_shipdate AS DATE) AS date,
+         l_extendedprice AS price,
+         l_quantity AS qty,
+         row_number() OVER (PARTITION BY l_suppkey, CAST(l_shipdate AS DATE)
+             ORDER BY l_orderkey ASC, l_linenumber ASC,
+                      l_extendedprice ASC, l_quantity ASC) AS rn_a,
+         row_number() OVER (PARTITION BY l_suppkey, CAST(l_shipdate AS DATE)
+             ORDER BY l_orderkey DESC, l_linenumber DESC,
+                      l_extendedprice DESC, l_quantity DESC) AS rn_d
+  FROM lineitem
+),
+bars AS (
+  SELECT ticker, date,
+         MAX(CASE WHEN rn_a = 1 THEN price END) AS open,
+         MAX(price) AS high,
+         MIN(price) AS low,
+         MAX(CASE WHEN rn_d = 1 THEN price END) AS close,
+         CAST(SUM(qty) AS BIGINT) AS volume,
+         COUNT(*) AS transactions
+  FROM ranked
+  GROUP BY ticker, date
+),
+splits AS (
+  SELECT CAST(s_suppkey AS VARCHAR) AS ticker,
+         DATE '1998-06-15' AS execution_date,
+         CAST(1.0 AS DOUBLE) AS split_from,
+         CAST(2.0 AS DOUBLE) AS split_to
+  FROM supplier WHERE s_suppkey % 3 = 0
+  UNION ALL
+  SELECT CAST(s_suppkey AS VARCHAR),
+         DATE '1999-09-01',
+         CAST(5.0 AS DOUBLE),
+         CAST(1.0 AS DOUBLE)
+  FROM supplier WHERE s_suppkey % 5 = 0
+)"""
+
+ADJUSTED_CTE = (
+    BARS_CTE
+    + """,
+sj AS (
+  SELECT b.*,
+         CASE WHEN b.date < s.execution_date
+              THEN s.split_from / s.split_to ELSE 1.0 END AS factor
+  FROM bars b LEFT JOIN splits s ON b.ticker = s.ticker
+),
+adjusted AS (
+  SELECT ticker, date,
+         MIN(open)  * PRODUCT(factor) AS open,
+         MIN(high)  * PRODUCT(factor) AS high,
+         MIN(low)   * PRODUCT(factor) AS low,
+         MIN(close) * PRODUCT(factor) AS close,
+         CAST(FLOOR(MIN(volume) / PRODUCT(factor)) AS BIGINT) AS volume,
+         CAST(FLOOR(MIN(transactions) / PRODUCT(factor)) AS BIGINT) AS transactions
+  FROM sj
+  GROUP BY ticker, date
+)"""
+)
+
+INDICATORS_CTE = (
+    ADJUSTED_CTE
+    + """,
+with_tr AS (
+  SELECT ticker, date, close, volume,
+         CASE WHEN lag(close) OVER wt IS NULL THEN high - low
+              ELSE GREATEST(high - low,
+                            ABS(high - lag(close) OVER wt),
+                            ABS(low  - lag(close) OVER wt)) END AS tr
+  FROM adjusted
+  WINDOW wt AS (PARTITION BY ticker ORDER BY date ASC)
+),
+ind AS (
+  SELECT ticker, date, volume,
+         CASE WHEN COUNT(close) OVER w20 = 20 THEN AVG(close) OVER w20 END AS sma_20,
+         CASE WHEN COUNT(close) OVER w50 = 50 THEN AVG(close) OVER w50 END AS sma_50,
+         CASE WHEN COUNT(close) OVER w200 = 200 THEN AVG(close) OVER w200 END AS sma_200,
+         CASE WHEN COUNT(tr) OVER w14 = 14 THEN AVG(tr) OVER w14 END AS atr_14,
+         CAST(FLOOR(CASE WHEN COUNT(volume) OVER w20 = 20
+                         THEN AVG(volume) OVER w20 END) AS BIGINT) AS volume_ma_20
+  FROM with_tr
+  WINDOW
+    w20  AS (PARTITION BY ticker ORDER BY date ASC ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+    w50  AS (PARTITION BY ticker ORDER BY date ASC ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+    w200 AS (PARTITION BY ticker ORDER BY date ASC ROWS BETWEEN 199 PRECEDING AND CURRENT ROW),
+    w14  AS (PARTITION BY ticker ORDER BY date ASC ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)"""
+)
