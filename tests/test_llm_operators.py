@@ -1,0 +1,133 @@
+"""Unit tests for the LLM-pipeline operators: dedup recall on known
+duplicates, similarity ranking sanity, multimodal plumbing, text edge cases.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tickerlake_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from tickerlake_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+from tickerlake_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+from tickerlake_spark.operators.text_analysis import detect_language, fingerprint, text_stats
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away to the hills "
+    "where it rests for a while and then returns home in the evening"
+)
+
+
+@pytest.fixture(scope="module")
+def doc_corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE + " tail"),          # near-dup of 1
+        (3, BASE),                    # exact dup of 1
+        (4, "el perro grande corre por la calle y la casa es de madera por que si"),
+        (5, "completely different words about spark catalyst optimizer plans"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(spark, doc_corpus):
+    out = exact_dedup(doc_corpus, "text", "doc_id")
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {1, 2, 4, 5}  # 3 collapsed into 1
+
+
+def test_minhash_finds_near_and_exact_dups(spark, doc_corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(doc_corpus, jaccard_threshold=0.5).collect()
+    }
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
+    assert (1, 2) in pairs and 0.8 < pairs[(1, 2)] < 1.0
+    assert not any({a, b} == {1, 5} for a, b in pairs)
+
+
+def test_simhash_pairs_banding_bound(spark, doc_corpus):
+    pairs = {(r.id_a, r.id_b) for r in simhash_pairs(doc_corpus, max_hamming=3).collect()}
+    assert (1, 3) in pairs  # identical text -> hamming 0
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(doc_corpus, bits=32, max_hamming=4, band_bits=8)
+
+
+def test_ngram_jaccard_exact(spark, doc_corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(doc_corpus, threshold=0.3).collect()
+    }
+    assert pairs[(1, 3)] == 1.0
+    assert (4, 5) not in pairs
+
+
+def test_embedding_neardup_and_topk(spark):
+    import math
+
+    def unit(seed: int, bump: float = 0.0) -> list[float]:
+        v = [math.sin(seed * 31 + i) for i in range(16)]
+        v[0] += bump
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [(i, unit(i)) for i in range(20)] + [(100, unit(0, 0.05))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    near = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            df, vec_col="embedding", threshold=0.99
+        ).collect()
+    }
+    assert (0, 100) in near
+
+    top = brute_force_topk(df, unit(0), k=3).collect()
+    assert top[0].id == 0 and top[0].cosine == pytest.approx(1.0)
+    assert top[1].id == 100
+
+    approx = lsh_ann_topk(df, unit(0), k=3, n_planes=6)
+    assert approx.first().id == 0  # query's own vector always in its bucket
+
+
+def test_multimodal_plumbing(spark, doc_corpus):
+    media = attach_fake_media(doc_corpus)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[1].n_bytes == len(BASE.encode())
+    assert feats[1].feat_mean == pytest.approx(
+        sum(BASE.encode()) / len(BASE.encode())
+    )
+    resized = resize_images(media, 8, 8).collect()
+    assert all(len(r.data) == 64 and r.width == 8 for r in resized)
+    frames = sample_frames(media, every_ms=100)
+    vid = media.filter(F.col("modality") == "video").count()
+    assert frames.count() >= vid  # at least frame 0 per video
+
+
+def test_text_stats_and_langid(spark, doc_corpus):
+    stats = {r.doc_id: r for r in text_stats(doc_corpus).collect()}
+    assert stats[1].n_tokens == len(BASE.split())
+    assert stats[1].stopword_ratio > 0
+    assert stats[1].is_quality  # long clean text
+    assert not stats[5].is_quality  # only 8 tokens (< 10 minimum)
+
+    langs = {r.doc_id: r.detected_lang for r in detect_language(doc_corpus).collect()}
+    assert langs[1] == "en" and langs[4] == "es"
+    assert langs[5] in ("und", "en")
+
+
+def test_fingerprint_short_text_guard(spark):
+    df = spark.createDataFrame([(1, "ab"), (2, "abcdefgh")], "doc_id long, text string")
+    out = {r.doc_id: r for r in fingerprint(df).collect()}
+    assert out[1].distinct_shingles_5 == 0  # shorter than one shingle
+    assert out[2].distinct_shingles_5 == 4

@@ -21,6 +21,10 @@ __all__ = [
     "dedup_keep_last",
     "dedup_keep_first",
     "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
 ]
 
 
@@ -60,4 +64,264 @@ def exact_dedup(
         hashed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to full parallelism before CPU-heavy per-row work.
+
+    Document corpora are byte-small but compute-heavy (hashing every
+    shingle): a 3 MB parquet file maps to ONE scan task, serializing the
+    whole job. The repartition costs a shuffle of the raw rows and buys
+    cluster-wide parallelism for everything downstream.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _with_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    from tickerlake_spark.functions.text import h60, tokens, word_shingles
+
+    toks = tokens(text_col)
+    sh = word_shingles(toks, n)
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            sh.alias("__shingles"),
+            F.transform(sh, h60).alias("__hashes"),
+        )
+        .filter(F.size("__shingles") > 0)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs: (id_a, id_b, jaccard).
+
+    Pipeline (all set-based, no pairwise scan over the corpus):
+      shingle -> h60 hash -> k-perm MinHash signature -> band keys ->
+      self-join on (band, key) for candidates -> verify exact shingle-set
+      Jaccard >= threshold.
+
+    Scale: the only joins are equi-joins on band keys. A band key bucket at
+    100 TB holds near-identical docs (plus rare collisions), so the candidate
+    join output is ~linear in the number of true duplicates; AQE's skew-join
+    split handles pathological buckets (e.g. boilerplate-heavy corpora).
+    """
+    from tickerlake_spark.functions.text import minhash_signature
+
+    rows = num_hashes // bands
+    sig = (
+        _with_shingles(df, text_col, id_col, shingle_n)
+        .withColumn("__sig", minhash_signature(F.col("__hashes"), num_hashes))
+        # exchange barrier: banding references __sig 4x per band — without a
+        # physical boundary, projection collapsing would inline (and
+        # re-evaluate) the whole shingle+hash+signature pipeline per reference
+        .repartition("doc_id")
+    )
+    banded = sig.select(
+        "doc_id",
+        "__shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.element_at(F.col("__sig"), (b * rows + r + 1).cast("int"))
+                            for r in range(rows)
+                        ],
+                    ).alias("key"),
+                ),
+            )
+        ).alias("__bk"),
+    ).select("doc_id", "__shingles", "__bk.band", "__bk.key")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.__shingles").alias("__sa"),
+            F.col("b.__shingles").alias("__sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jacc = F.size(F.array_intersect("__sa", "__sb")) / F.size(
+        F.array_union("__sa", "__sb")
+    )
+    return (
+        cand.withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    band_bits: int = 8,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (id_a, id_b, hamming).
+
+    Candidates come from banding the simhash into ``bits/band_bits`` chunks —
+    two docs within Hamming distance < #bands share at least one exact chunk
+    (pigeonhole), so the self-join is an equi-join on (chunk_idx, chunk),
+    never a pairwise scan.
+    """
+    from tickerlake_spark.functions.text import h60, simhash, tokens
+
+    n_bands = bits // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs < {n_bands} (pigeonhole bound "
+            f"for {bits}-bit simhash with {band_bits}-bit bands)"
+        )
+    sh = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        simhash(F.transform(tokens(text_col), h60), bits).alias("__sh"),
+    ).repartition("doc_id")  # barrier: chunk extraction references __sh per band
+    mask = (1 << band_bits) - 1
+    chunks = sh.select(
+        "doc_id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("__sh"), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("__c"),
+    ).select("doc_id", "__sh", "__c.chunk_idx", "__c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via shingle inverted index.
+
+    Explodes shingles and joins on them (inverted-index join), counts shared
+    shingles per pair, then computes |A∩B| / (|A| + |B| - |A∩B|). Linear in
+    total postings, not quadratic in docs — the standard scalable exact-
+    Jaccard plan. Use ``minhash_lsh_pairs`` when even the postings join is
+    too hot (it prunes candidates before any join).
+    """
+    ls = _with_shingles(left, text_col, id_col, shingle_n).select(
+        "doc_id", F.size("__shingles").alias("__n"), F.explode("__shingles").alias("__s")
+    )
+    rs = (
+        ls
+        if right is None
+        else _with_shingles(right, text_col, id_col, shingle_n).select(
+            "doc_id", F.size("__shingles").alias("__n"), F.explode("__shingles").alias("__s")
+        )
+    )
+    a, b = ls.alias("a"), rs.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
+        )
+        .agg(F.count("*").alias("__i"))
+    )
+    jacc = F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+    return (
+        inter.withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine >= threshold).
+
+    Candidates from random-hyperplane LSH: bucket = sign pattern of
+    ``n_planes`` deterministic pseudo-random projections (hash-derived plane
+    coefficients, reproducible across runs/engines). Vectors with cosine
+    ~1 agree on almost all sign bits, so near-dups share a bucket with high
+    probability; the verify step computes exact cosine inside buckets only.
+    """
+    from tickerlake_spark.functions.vector import as_double_array, cosine_similarity
+    from tickerlake_spark.operators.similarity import hyperplane_bucket
+
+    v = df.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("__v"))
+    bucketed = v.withColumn("__bucket", hyperplane_bucket(F.col("__v"), n_planes))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cos = cosine_similarity(F.col("a.__v"), F.col("b.__v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )

@@ -1,0 +1,112 @@
+"""Document text analysis: quality scoring, language ID, token counting,
+fingerprinting.
+
+All pure SQL expressions (functions/text.py) — these are per-row maps with
+no shuffle at all; over 100 TB they run at parquet scan speed with column
+pruning (only ``text`` + id are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tickerlake_spark.functions.text import PUNCT_CLASS, STOPWORDS, h60, tokens
+
+__all__ = ["text_stats", "detect_language", "fingerprint"]
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features: lengths, token stats, punctuation/stopword/
+    uppercase ratios, and a composite quality flag.
+
+    The thresholds mirror common pretraining-corpus filters (C4/Gopher
+    style): docs that are too short, punctuation-heavy, or stopword-free
+    are flagged low quality.
+    """
+    toks = tokens(text_col)
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    n_upper = F.length(F.regexp_replace(t, "[^A-Z]", ""))
+    en_stop = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(en_stop, x)))
+    avg_token_len = (F.length(F.regexp_replace(F.lower(F.trim(t)), r"\s+", ""))) / n_tokens
+    stop_ratio = n_stop / n_tokens
+    punct_ratio = n_punct / n_chars
+    quality = (
+        (n_tokens >= 10)
+        & (punct_ratio <= 0.2)
+        & (avg_token_len.between(2.0, 12.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        (n_upper / n_chars).alias("upper_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("is_quality"),
+    )
+
+
+def detect_language(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-lexicon language heuristic: score = fraction of tokens that
+    are stopwords of each language; pick the argmax (ties broken by language
+    code ascending), 'und' when nothing matches.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    langs = sorted(STOPWORDS)
+    scores = {
+        lang: F.size(
+            F.filter(
+                toks,
+                lambda x: F.array_contains(F.array([F.lit(w) for w in STOPWORDS[lang]]), x),
+            )
+        )
+        / n
+        for lang in langs
+    }
+    # argmax with deterministic ascending-code tie-break: strictly-greater
+    # comparison in code order
+    best_lang: Column = F.lit("und")
+    best_score: Column = F.lit(0.0)
+    for lang in langs:
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return df.select(
+        F.col(id_col),
+        best_lang.alias("detected_lang"),
+        best_score.alias("lang_score"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document fingerprints: full-content md5, 60-bit content hash, and a
+    5-char rolling-shingle distinct count (content-defined signature used
+    for containment checks)."""
+    t = F.col(text_col)
+    norm = F.lower(F.trim(t))
+    # guard: Spark's sequence(1, n) runs DESCENDING for n < 1, so short texts
+    # need an explicit empty array
+    char_shingles = F.when(
+        F.length(norm) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - 4),
+            lambda i: norm.substr(i, F.lit(5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col),
+        F.md5(t).alias("content_md5"),
+        h60(norm).alias("content_h60"),
+        F.size(F.array_distinct(char_shingles)).cast("long").alias("distinct_shingles_5"),
+    )

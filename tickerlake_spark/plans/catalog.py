@@ -85,9 +85,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_executors_can_import(spark: SparkSession) -> None:
+    """Ship the tickerlake_spark package to executors (addPyFile zip).
+
+    Python-UDF paths (mapInPandas kernels) pickle references to this
+    package; executors spawned from an arbitrary cwd can't import it unless
+    it is distributed. Idempotent per session. On a real cluster this is the
+    same mechanism used for any job dependency (--py-files).
+    """
+    if getattr(spark, "_tickerlake_pyfiles_added", False):
+        return
+    import tempfile
+    import zipfile
+
+    import tickerlake_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(tickerlake_spark.__file__))
+    fd, zpath = tempfile.mkstemp(suffix="_tickerlake_spark.zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "tickerlake_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark._tickerlake_pyfiles_added = True
+
+
+def _wrapped(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_executors_can_import(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_loaded()
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    return {name: _wrapped(spec.fn) for name, spec in QUERIES.items()}
 
 
 def oracle_map() -> dict[str, str]:
@@ -106,6 +147,8 @@ def _ensure_loaded() -> None:
     from tickerlake_spark.plans import (  # noqa: F401
         q_core,
         q_finance,
+        q_llm,
+        q_media,
     )
 
     _LOADED = True

@@ -1,0 +1,493 @@
+"""LLM-data-pipeline queries: dedup suite, similarity search, text analysis.
+
+Correctness design notes:
+- The dedup corpora inject duplicates in-query (exact copies / one-token
+  mutations / one-dim embedding perturbations) because the driver corpus is
+  all-distinct — the operators must demonstrably FIND the dups, not return
+  empty.
+- MinHash-LSH has no recall guarantee, so its oracle mirrors the banding
+  arithmetic exactly (same h60 hash, same permutations, same band keys).
+- SimHash banding IS exact for max_hamming < n_bands (pigeonhole), so its
+  oracle brute-forces all pairs — stronger check than mirroring.
+- Integer-ratio outputs (jaccard, ratios) are bit-identical across engines;
+  cosine outputs use stable_round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tickerlake_spark.functions.core import stable_round
+from tickerlake_spark.functions.text import MINHASH_PRIME
+from tickerlake_spark.plans.catalog import load_table, register
+
+P = MINHASH_PRIME
+
+# h60 in DuckDB
+_H60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _mutated_docs(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
+    """documents + injected duplicates: exact copies (doc_id+100000) or
+    one-token-appended near-copies, for doc_id < 100 / < 25."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if exact:
+        dup = d.filter(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    else:
+        dup = d.filter(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq"), F.col("doc_id").cast("string")).alias(
+                "text"
+            ),
+        )
+    return d.unionByName(dup)
+
+
+_EXACT_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100
+)"""
+
+_NEAR_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         text || ' qq' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 25
+)"""
+
+
+@register(
+    "q40_exact_dedup",
+    doc="Exact content-hash dedup: keep lowest id per md5(text) over a "
+    "corpus with 100 injected exact copies. One hash shuffle; the hash "
+    "column (32B) is what moves, not the documents.",
+    oracle=f"""
+WITH {_EXACT_CORPUS_SQL}
+SELECT md5(text) AS content_md5, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM corpus GROUP BY md5(text)
+""",
+)
+def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _mutated_docs(spark, sf_dir, exact=True)
+    return corpus.groupBy(F.md5("text").alias("content_md5")).agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+_MINHASH_SQL_BODY = f"""
+tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM tok WHERE len(t) >= 3
+),
+hs AS (
+  SELECT doc_id, s,
+         list_transform(s, x -> {_H60.format(x='x')}) AS hh
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, s,
+         list_transform(range(0, 32),
+           j -> list_min(list_transform(hh,
+                h -> ((1 + 41*j) * (h % {P}) + 7 + 17*j) % {P}))) AS sg
+  FROM hs
+),
+banded AS (
+  SELECT doc_id, s, b AS band,
+         concat_ws('-', sg[4*b+1], sg[4*b+2], sg[4*b+3], sg[4*b+4]) AS key
+  FROM sig, unnest(range(0, 8)) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+
+
+@register(
+    "q41_minhash_lsh_dedup",
+    doc="MinHash(32) + LSH(8 bands) near-dup pairs with exact Jaccard "
+    "verify >= 0.6, over a corpus with 25 injected one-token mutations. "
+    "Oracle mirrors the banding arithmetic exactly (h60 + affine perms).",
+    bench=True,
+    oracle=f"""
+WITH {_NEAR_CORPUS_SQL},
+{_MINHASH_SQL_BODY}
+SELECT id_a, id_b,
+       CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+         / len(list_distinct(sa || sb)) AS jaccard
+FROM cand
+WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+        / len(list_distinct(sa || sb)) >= 0.6
+""",
+)
+def q41_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.dedup import minhash_lsh_pairs
+
+    corpus = _mutated_docs(spark, sf_dir, exact=False)
+    return minhash_lsh_pairs(
+        corpus, "text", "doc_id", shingle_n=3, num_hashes=32, bands=8,
+        jaccard_threshold=0.6,
+    )
+
+
+_SIMHASH_SQL = f"""
+sim AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32), b ->
+           CASE WHEN list_sum(list_transform(hh, h -> ((h >> b) & 1) * 2 - 1)) > 0
+                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+  FROM (
+    SELECT doc_id,
+           list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                          x -> {_H60.format(x='x')}) AS hh
+    FROM corpus
+  )
+)"""
+
+
+@register(
+    "q42_simhash_fingerprint",
+    doc="32-bit SimHash document fingerprints (majority vote per bit over "
+    "token hashes) — identical bit arithmetic in both engines.",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{_SIMHASH_SQL}
+SELECT doc_id, simhash FROM sim
+""",
+)
+def q42_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.functions.text import h60, simhash, tokens
+    from tickerlake_spark.operators.dedup import _spread
+
+    d = load_table(spark, sf_dir, "documents")
+    return _spread(d).select(
+        "doc_id", simhash(F.transform(tokens("text"), h60), 32).alias("simhash")
+    )
+
+
+@register(
+    "q43_simhash_neardup",
+    doc="SimHash near-dup pairs (Hamming <= 3) via 8-bit band candidates — "
+    "exact by pigeonhole (3 < 4 bands), so the oracle brute-forces all "
+    "pairs and the banded plan must find the identical set.",
+    oracle=f"""
+WITH {_NEAR_CORPUS_SQL},
+{_SIMHASH_SQL}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def q43_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.dedup import simhash_pairs
+
+    corpus = _mutated_docs(spark, sf_dir, exact=False)
+    out = simhash_pairs(corpus, "text", "doc_id", bits=32, max_hamming=3, band_bits=8)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register(
+    "q44_ngram_jaccard",
+    doc="Exact n-gram Jaccard pairs via shingle inverted-index join "
+    "(postings equi-join + per-pair intersection count, never O(n^2)).",
+    oracle=f"""
+WITH {_NEAR_CORPUS_SQL},
+tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM tok WHERE len(t) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / len(list_distinct(a.s || b.s)) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+""",
+)
+def q44_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.dedup import ngram_jaccard_pairs
+
+    corpus = _mutated_docs(spark, sf_dir, exact=False)
+    return ngram_jaccard_pairs(corpus, text_col="text", id_col="doc_id", threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+_EMB_CORPUS_SQL = """
+emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_concat([embedding[1]::DOUBLE + 0.1], (embedding::DOUBLE[])[2:]) AS v
+  FROM embeddings WHERE vec_id < 25
+)"""
+
+
+def _mutated_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mut = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + 0.1), F.slice("v", 2, 10_000)
+        ).alias("v"),
+    )
+    return e.unionByName(mut)
+
+
+@register(
+    "q45_ann_bruteforce",
+    doc="Exact cosine top-20 against a query vector (the ANN ground-truth "
+    "baseline): broadcast query, scan, top-k with id tie-break.",
+    bench=True,
+    oracle="""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS id,
+       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv) + 5e-9, 6) AS cosine
+FROM embeddings e, q
+ORDER BY cosine DESC, id ASC
+LIMIT 20
+""",
+)
+def q45_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    scored = brute_force_topk(e, qvec, k=10_000_000)  # score all, round, re-rank
+    return (
+        scored.select("id", stable_round(F.col("cosine"), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q46_embedding_neardup",
+    doc="Embedding-cosine near-dup pairs via hyperplane-LSH buckets + exact "
+    "verify, over 25 injected one-dim perturbations. Oracle mirrors the "
+    "hash-derived hyperplanes exactly.",
+    oracle=f"""
+WITH {_EMB_CORPUS_SQL},
+planes AS (
+  SELECT p, list_transform(range(1, 65),
+           i -> ({_H60.format(x="'plane:' || p || ':' || i")} % {P})
+                / CAST({P} AS DOUBLE) - 0.5) AS coef
+  FROM unnest(range(0, 8)) AS t(p)
+),
+bucketed AS (
+  SELECT vec_id, v,
+         CAST(SUM(CASE WHEN list_dot_product(v, coef) > 0
+                       THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM emb, planes
+  GROUP BY vec_id, v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v) + 5e-9, 6) AS cosine
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.98
+""",
+)
+def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _mutated_embeddings(spark, sf_dir)
+    pairs = embedding_neardup_pairs(
+        emb, vec_col="v", id_col="vec_id", threshold=0.98, n_planes=8
+    )
+    return pairs.select(
+        "id_a", "id_b", stable_round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
+@register(
+    "q47_lsh_ann",
+    doc="Hyperplane-LSH approximate top-10 with multiprobe (Hamming-1 "
+    "buckets) + exact re-rank. Approximate by design -> rows-only check; "
+    "the bucket arithmetic itself is oracled by q46.",
+    oracle=None,
+)
+def q47_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.similarity import lsh_ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return lsh_ann_topk(e, qvec, k=10, n_planes=8)
+
+
+@register(
+    "q48_ivf_ann",
+    doc="IVF-style ANN: 16 hash-derived coarse cells, probe nearest 4, "
+    "exact re-rank inside. Approximate -> rows-only check.",
+    oracle=None,
+)
+def q48_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return ivf_topk(e, qvec, k=10, n_cells=16, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q49_text_stats",
+    doc="Quality-scoring features: char/token counts, punct/upper/stopword "
+    "ratios, composite quality flag (pretraining-filter style). Pure "
+    "per-row map, zero shuffles.",
+    oracle=r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+       length(regexp_replace(lower(trim(text)), '\s+', '', 'g'))
+         / CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS avg_token_len,
+       (length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')))
+         / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       length(regexp_replace(text, '[^A-Z]', '', 'g'))
+         / CAST(length(text) AS DOUBLE) AS upper_ratio,
+       len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+           x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))
+         / CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS stopword_ratio,
+       (len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 10
+        AND (length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')))
+              / CAST(length(text) AS DOUBLE) <= 0.2
+        AND length(regexp_replace(lower(trim(text)), '\s+', '', 'g'))
+              / CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)
+              BETWEEN 2.0 AND 12.0) AS is_quality
+FROM documents
+""",
+)
+def q49_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.text_analysis import text_stats
+
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q50_language_id",
+    doc="Stopword-lexicon language heuristic with deterministic argmax "
+    "(n-gram language-ID family).",
+    oracle=r"""
+WITH scored AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))
+      / CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS s_en,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        x -> list_contains(['el','la','de','y','que','en','un','una','es','por'], x)))
+      / CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS s_es,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        x -> list_contains(['le','la','de','et','que','en','un','une','est','pour'], x)))
+      / CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS s_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN s_fr > s_es AND s_fr > s_en AND s_fr > 0 THEN 'fr'
+            WHEN s_es > s_en AND s_es > 0 THEN 'es'
+            WHEN s_en > 0 THEN 'en'
+            ELSE 'und' END AS detected_lang,
+       GREATEST(s_en, s_es, s_fr, 0.0) AS lang_score
+FROM scored
+""",
+)
+def q50_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.text_analysis import detect_language
+
+    return detect_language(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q51_fingerprint",
+    doc="Document fingerprints: md5, 60-bit content hash, distinct 5-char "
+    "rolling shingle count.",
+    oracle=f"""
+SELECT doc_id,
+       md5(text) AS content_md5,
+       {_H60.format(x='lower(trim(text))')} AS content_h60,
+       CAST(len(list_distinct(list_transform(
+            range(1, greatest(length(lower(trim(text))) - 4, 0) + 1),
+            i -> substr(lower(trim(text)), i, 5)))) AS BIGINT) AS distinct_shingles_5
+FROM documents
+""",
+)
+def q51_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.text_analysis import fingerprint
+
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q52_token_count",
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens "
+    "(words / punctuation marks).",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def q52_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "q53_json_props",
+    doc="JSON field extraction from the events props column (semi-structured "
+    "capability beyond the reference).",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+)
+def q53_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
