@@ -1,0 +1,173 @@
+"""End-to-end medallion pipeline tests with an injected market source —
+ports the spirit of the reference's tests (test_bronze_download.py:
+parallel fetch stops on 403; combine with existing data; no write when
+empty) plus full bronze -> silver -> gold runs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from tickerlake_spark.sources.calendar import is_trading_day, trading_days
+from tickerlake_spark.sources.market import (
+    ApiLimitReached,
+    InMemoryMarketSource,
+    classify_fetch_error,
+    fetch_dates_parallel,
+)
+from tickerlake_spark.pipeline import run_bronze, run_gold, run_silver, should_full_rewrite
+from tickerlake_spark.storage import Catalog, Checkpoints, read_table, table_exists
+
+D = dt.date
+
+
+def _bars_for(date: dt.date, tickers=("AAPL", "MSFT"), price=100.0) -> list[dict]:
+    ms = int(dt.datetime(date.year, date.month, date.day).timestamp() * 1000)
+    return [
+        {
+            "ticker": t,
+            "volume": 1000 + i,
+            "open": price,
+            "close": price + 1 + i,
+            "high": price + 2,
+            "low": price - 1,
+            "window_start": ms,
+            "transactions": 10,
+        }
+        for i, t in enumerate(tickers)
+    ]
+
+
+@pytest.fixture()
+def env(tmp_path):
+    return Catalog(root=str(tmp_path / "data")), Checkpoints(
+        str(tmp_path / "checkpoints.json")
+    )
+
+
+def _source(dates, **kw):
+    return InMemoryMarketSource(
+        bars_by_date={d: _bars_for(d) for d in dates},
+        ticker_rows=[
+            {"ticker": "AAPL", "name": "Apple", "type": "CS", "active": True,
+             "market": "stocks", "locale": "us", "primary_exchange": "XNAS",
+             "currency_name": "usd", "cik": "1"},
+            {"ticker": "MSFT", "name": "Microsoft", "type": "CS", "active": True,
+             "market": "stocks", "locale": "us", "primary_exchange": "XNAS",
+             "currency_name": "usd", "cik": "2"},
+            {"ticker": "WARRANTX", "name": "Warrant", "type": "WARRANT",
+             "active": True, "market": "stocks", "locale": "us",
+             "primary_exchange": "XNAS", "currency_name": "usd", "cik": "3"},
+        ],
+        split_rows=[
+            {"id": "s1", "ticker": "AAPL",
+             "execution_date": D(2024, 1, 9), "split_from": 1.0, "split_to": 2.0},
+        ],
+        **kw,
+    )
+
+
+class TestCalendar:
+    def test_weekends_and_holidays_excluded(self):
+        assert not is_trading_day(D(2024, 1, 6))   # Saturday
+        assert not is_trading_day(D(2024, 1, 1))   # New Year
+        assert not is_trading_day(D(2024, 7, 4))   # July 4th
+        assert not is_trading_day(D(2024, 3, 29))  # Good Friday 2024
+        assert not is_trading_day(D(2024, 11, 28)) # Thanksgiving 2024
+        assert is_trading_day(D(2024, 1, 8))       # regular Monday
+        days = trading_days(D(2024, 1, 1), D(2024, 1, 31))
+        assert len(days) == 21  # NYSE January 2024
+
+
+class TestFetcher:
+    def test_stop_on_limit_cancels_older(self):
+        dates = trading_days(D(2024, 1, 2), D(2024, 1, 12))
+        src = _source(dates, limit_before=D(2024, 1, 8))
+        got, limit = fetch_dates_parallel(src, dates, max_workers=2)
+        assert limit is True
+        assert all(d >= D(2024, 1, 8) for d in got)  # newest-first wins
+        assert got  # newer dates fetched before the limit hit
+
+    def test_transient_vs_limit_classification(self):
+        assert classify_fetch_error(ApiLimitReached("x")) == "limit"
+        assert classify_fetch_error(Exception("403 Forbidden")) == "limit"
+        assert classify_fetch_error(Exception("boom")) == "transient"
+
+
+class TestBronze:
+    def test_ingest_and_incremental(self, spark, env):
+        cat, cp = env
+        days = trading_days(D(2024, 1, 8), D(2024, 1, 12))
+        src = _source(days)
+        out = run_bronze(spark, src, cat, cp, D(2024, 1, 8), D(2024, 1, 12))
+        assert out["dates_fetched"] == 5 and out["rows"] == 10
+        stocks = read_table(spark, cat.bronze("stocks"))
+        assert stocks.count() == 10
+        assert {str(r.date) for r in stocks.select("date").distinct().collect()} == {
+            str(d) for d in days
+        }
+        assert cp.get("bronze_stocks_last_date") == "2024-01-12"
+
+        # second run: nothing new to fetch
+        out2 = run_bronze(spark, src, cat, cp, D(2024, 1, 8), D(2024, 1, 12))
+        assert out2["dates_fetched"] == 0
+        assert read_table(spark, cat.bronze("stocks")).count() == 10
+
+    def test_no_write_when_empty(self, spark, env):
+        cat, cp = env
+        src = InMemoryMarketSource()
+        out = run_bronze(spark, src, cat, cp, D(2024, 1, 8), D(2024, 1, 9))
+        assert out["rows"] == 0
+        assert not table_exists(cat.bronze("stocks"))
+
+
+class TestSilverGold:
+    def test_full_pipeline(self, spark, env):
+        cat, cp = env
+        days = trading_days(D(2024, 1, 2), D(2024, 1, 12))
+        run_bronze(spark, _source(days), cat, cp, D(2024, 1, 2), D(2024, 1, 12))
+
+        assert should_full_rewrite(spark, cat) is True
+        s = run_silver(spark, cat, cp)
+        assert s["mode"] == "full"
+
+        meta = read_table(spark, cat.silver("ticker_metadata"))
+        assert {r.ticker for r in meta.collect()} == {"AAPL", "MSFT"}  # CS only
+
+        daily = read_table(spark, cat.silver("daily_aggregates"))
+        assert daily.count() == len(days) * 2
+        # split on 2024-01-09: AAPL bars before it are halved (1:2 -> x0.5)
+        aapl = {str(r.date): r for r in daily.filter("ticker='AAPL'").collect()}
+        assert aapl["2024-01-08"].close == pytest.approx((100.0 + 1) * 0.5)
+        assert aapl["2024-01-09"].close == pytest.approx(101.0)
+        assert aapl["2024-01-08"].volume == 2000  # 1000 / 0.5
+        weekly = read_table(spark, cat.silver("weekly_aggregates"))
+        assert weekly.count() == 4  # 2 tickers x 2 ISO weeks
+        assert table_exists(cat.silver("daily_indicators"))
+
+        g = run_gold(spark, cat, hvc_threshold=0.5, min_steps=2,
+                     calculated_at=dt.datetime(2026, 1, 1))
+        assert g["vwap_rows"] == daily.count()
+        vwap = read_table(spark, cat.gold("vwap_signals"))
+        assert {f.name for f in vwap.schema.fields} >= {
+            "ticker", "date", "ytd_vwap", "qtd_vwap", "above_both", "calculated_at"
+        }
+        # second silver run with no new data: noop append
+        s2 = run_silver(spark, cat, cp)
+        assert s2["mode"] == "noop"
+
+    def test_append_after_new_day(self, spark, env):
+        cat, cp = env
+        days1 = trading_days(D(2024, 1, 2), D(2024, 1, 10))
+        run_bronze(spark, _source(days1), cat, cp, D(2024, 1, 2), D(2024, 1, 10))
+        run_silver(spark, cat, cp)
+        n1 = read_table(spark, cat.silver("daily_aggregates")).count()
+
+        days2 = trading_days(D(2024, 1, 2), D(2024, 1, 12))
+        run_bronze(spark, _source(days2), cat, cp, D(2024, 1, 2), D(2024, 1, 12))
+        s = run_silver(spark, cat, cp)
+        assert s["mode"] == "append"  # no new splits after watermark
+        n2 = read_table(spark, cat.silver("daily_aggregates")).count()
+        assert n2 == n1 + 2 * 2  # two new trading days x two tickers

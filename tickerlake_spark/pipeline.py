@@ -1,0 +1,234 @@
+"""Medallion pipeline orchestration: bronze -> silver -> gold.
+
+The reference's three console entry points (bronze/silver/gold,
+reference: pyproject.toml scripts; control flow at bronze/main.py:343-385,
+silver/main.py:236-264, gold/main.py:12-41) re-expressed as Spark jobs:
+
+- bronze: driver-side API fetch (sources/market.py) -> createDataFrame ->
+  partitioned parquet append (dynamic partition overwrite per date).
+- silver: split adjustment + daily/weekly/monthly aggregates + indicators.
+  The reference's ticker-batching loops (memory control, 250/500 tickers
+  per batch) are GONE — shuffle partitioning and spill replace them, so the
+  silver job is a single declarative plan per output table.
+- gold: VWAP signals + the HVC/stair-step analytics suite.
+
+Incremental logic is the reference's: full rewrite iff first run or any
+split executed after the silver watermark; otherwise append only bars newer
+than the watermark (reference: silver/incremental.py:20-107).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tickerlake_spark import schemas
+from tickerlake_spark.functions.core import epoch_ms_to_date
+from tickerlake_spark.operators.hvc import best_patterns, hvc_events, stairstep_patterns
+from tickerlake_spark.operators.indicators import compute_indicators
+from tickerlake_spark.operators.resample import resample_ohlcv
+from tickerlake_spark.operators.splits import apply_splits
+from tickerlake_spark.operators.vwap import vwap_signals
+from tickerlake_spark.sources.calendar import trading_days
+from tickerlake_spark.sources.market import MarketSource, fetch_dates_parallel
+from tickerlake_spark.storage import (
+    Catalog,
+    Checkpoints,
+    get_max_date,
+    read_table,
+    table_exists,
+    write_table,
+)
+
+__all__ = ["run_bronze", "run_silver", "run_gold", "should_full_rewrite"]
+
+
+def _transform_raw_bars(df: DataFrame) -> DataFrame:
+    """Raw API bars -> bronze.stocks: epoch-ms -> date, drop window_start
+    (reference: bronze/transformers.py:43-77)."""
+    return schemas.conform(
+        df.withColumn("date", epoch_ms_to_date("window_start")).drop("window_start"),
+        schemas.STOCKS,
+    )
+
+
+def run_bronze(
+    spark: SparkSession,
+    source: MarketSource,
+    catalog: Catalog,
+    checkpoints: Checkpoints,
+    start: dt.date,
+    end: dt.date,
+    max_workers: int = 4,
+) -> dict:
+    """Ingest splits + tickers + missing daily bars; returns a summary dict."""
+    # reference data (small; single driver-side frames)
+    tickers_rows = source.tickers()
+    if tickers_rows:
+        tdf = schemas.conform(
+            spark.createDataFrame(tickers_rows), schemas.TICKERS
+        )
+        write_table(tdf, catalog.bronze("tickers"))
+    splits_rows = source.splits(dt.date(2020, 1, 1))
+    if splits_rows:
+        sdf = schemas.conform(
+            spark.createDataFrame(splits_rows), schemas.SPLITS
+        )
+        write_table(sdf, catalog.bronze("splits"))
+
+    # required dates = trading days minus already-stored dates
+    required = set(trading_days(start, end))
+    stocks_path = catalog.bronze("stocks")
+    had_table = table_exists(stocks_path)
+    if had_table:
+        have = {
+            r.date
+            for r in read_table(spark, stocks_path).select("date").distinct().collect()
+        }
+        required -= have
+    fetched, limit_reached = fetch_dates_parallel(
+        source, sorted(required), max_workers=max_workers
+    )
+
+    n_rows = 0
+    if fetched:
+        all_rows = [row for rows in fetched.values() for row in rows]
+        raw = spark.createDataFrame(all_rows, schemas.STOCKS_RAW)
+        bars = _transform_raw_bars(raw)
+        n_rows = bars.count()
+        # dynamic overwrite: only the fetched date partitions are replaced
+        write_table(
+            bars, stocks_path, mode="overwrite", partition_by="date", dynamic=had_table
+        )
+        checkpoints.set(
+            "bronze_stocks_last_date", max(fetched).isoformat()
+        )
+    checkpoints.set("last_run_timestamp", dt.datetime.utcnow().isoformat())
+    return {
+        "dates_fetched": len(fetched),
+        "rows": n_rows,
+        "limit_reached": limit_reached,
+    }
+
+
+def should_full_rewrite(
+    spark: SparkSession, catalog: Catalog
+) -> bool:
+    """True iff first run or any split executed after the silver watermark
+    (reference: silver/incremental.py:20-66)."""
+    daily_path = catalog.silver("daily_aggregates")
+    if not table_exists(daily_path):
+        return True
+    max_silver = get_max_date(spark, daily_path)
+    splits_path = catalog.bronze("splits")
+    if max_silver is None or not table_exists(splits_path):
+        return max_silver is None
+    n_new = (
+        read_table(spark, splits_path)
+        .filter(F.col("execution_date") > F.lit(max_silver).cast("date"))
+        .count()
+    )
+    return n_new > 0
+
+
+def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) -> dict:
+    """bronze.stocks + bronze.splits -> silver aggregates + indicators.
+
+    Append path filters bars newer than the silver watermark BEFORE any
+    compute (partition pruning on the date-partitioned bronze table);
+    full-rewrite recomputes everything in one plan per table.
+    """
+    stocks = read_table(spark, catalog.bronze("stocks"))
+    splits = (
+        read_table(spark, catalog.bronze("splits"))
+        if table_exists(catalog.bronze("splits"))
+        else spark.createDataFrame([], schemas.SPLITS)
+    )
+
+    # ticker_metadata: CS/ETF only (reference: silver/incremental.py:205-236)
+    if table_exists(catalog.bronze("tickers")):
+        meta = (
+            read_table(spark, catalog.bronze("tickers"))
+            .filter(F.col("type").isin("CS", "ETF"))
+            .select("ticker", "name", "type", "primary_exchange", "active", "cik")
+        )
+        write_table(meta, catalog.silver("ticker_metadata"))
+
+    full = should_full_rewrite(spark, catalog)
+    mode = "overwrite"
+    if not full:
+        watermark = get_max_date(spark, catalog.silver("daily_aggregates"))
+        stocks = stocks.filter(F.col("date") > F.lit(watermark).cast("date"))
+        mode = "append"
+        if stocks.isEmpty():
+            return {"mode": "noop", "reason": "no bars newer than watermark"}
+
+    adjusted = apply_splits(
+        schemas.conform(stocks, schemas.AGGREGATES), splits
+    )
+    daily = schemas.conform(adjusted, schemas.AGGREGATES)
+    write_table(daily, catalog.silver("daily_aggregates"), mode=mode)
+
+    # weekly/monthly + indicators always recompute from the full daily table:
+    # resample buckets and rolling windows straddle the watermark, so an
+    # append-only recompute would be wrong (documented divergence from the
+    # reference, whose "append" writer silently overwrote anyway - SURVEY §4.3.7)
+    full_daily = read_table(spark, catalog.silver("daily_aggregates"))
+    for period, table in (("week", "weekly_aggregates"), ("month", "monthly_aggregates")):
+        write_table(
+            schemas.conform(resample_ohlcv(full_daily, period), schemas.AGGREGATES),
+            catalog.silver(table),
+        )
+    for src_table, out_table in (
+        ("daily_aggregates", "daily_indicators"),
+        ("weekly_aggregates", "weekly_indicators"),
+        ("monthly_aggregates", "monthly_indicators"),
+    ):
+        ind = compute_indicators(read_table(spark, catalog.silver(src_table)))
+        write_table(
+            schemas.conform(ind, schemas.INDICATORS), catalog.silver(out_table)
+        )
+    if full:
+        checkpoints.set("silver_last_full_rewrite", dt.date.today().isoformat())
+    return {"mode": "full" if full else "append"}
+
+
+def run_gold(
+    spark: SparkSession,
+    catalog: Catalog,
+    hvc_threshold: float = 3.0,
+    min_steps: int = 3,
+    calculated_at: dt.datetime | None = None,
+) -> dict:
+    """silver -> gold: VWAP signals + HVC events + stair-step patterns."""
+    daily = read_table(spark, catalog.silver("daily_aggregates"))
+    signals = vwap_signals(daily, calculated_at=calculated_at)
+    write_table(
+        schemas.conform(signals, schemas.VWAP_SIGNALS), catalog.gold("vwap_signals")
+    )
+
+    ind = read_table(spark, catalog.silver("daily_indicators"))
+    events = hvc_events(ind, daily, threshold=hvc_threshold)
+    write_table(schemas.conform(events, schemas.HVC_EVENTS), catalog.gold("hvc_daily"))
+
+    closes = daily.select("ticker", "date", "close")
+    for direction, table in (("up", "stairstep_up"), ("down", "stairstep_down")):
+        pats = stairstep_patterns(
+            events.select("ticker", "date"), closes, min_steps=min_steps,
+            direction=direction,
+        )
+        write_table(
+            schemas.conform(pats, schemas.STAIRSTEP_PATTERNS), catalog.gold(table)
+        )
+    best = best_patterns(
+        read_table(spark, catalog.gold("stairstep_up"))
+    )
+    write_table(
+        schemas.conform(best, schemas.STAIRSTEP_PATTERNS), catalog.gold("best_patterns")
+    )
+    return {
+        "vwap_rows": read_table(spark, catalog.gold("vwap_signals")).count(),
+        "hvc_rows": read_table(spark, catalog.gold("hvc_daily")).count(),
+    }

@@ -149,6 +149,7 @@ def _ensure_loaded() -> None:
         q_finance,
         q_llm,
         q_media,
+        q_streaming,
     )
 
     _LOADED = True
