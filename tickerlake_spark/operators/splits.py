@@ -30,38 +30,47 @@ _OHLCV = ("open", "high", "low", "close", "volume", "transactions")
 def apply_splits(stocks: DataFrame, splits: DataFrame) -> DataFrame:
     """Adjust historical prices for later splits.
 
-    For each (ticker, date), every split with ``execution_date > date``
+    For each (ticker, date) bar, every split with ``execution_date > date``
     contributes ``split_from / split_to``; the total adjustment is their
     product. Prices are multiplied by it; volume and transactions divided and
     truncated to long (the reference's UInt64 cast,
     reference: silver/splits.py:92-97).
+
+    Plan: the splits dimension is pre-grouped into a per-ticker sorted array
+    and BROADCAST; the factor is a map-side fold over that (tiny) array.
+    The reference's formulation — row-multiplying left join then re-group
+    with a product aggregate (silver/splits.py:60-84) — would shuffle the
+    full fact table twice; this plan shuffles it ZERO times, which is the
+    difference between a map job and a 100 TB shuffle at scale.
+
+    Input contract: ``stocks`` holds one bar per (ticker, date) — the
+    grouping the reference's re-aggregation implied is already the bar key.
+    The fold multiplies in execution_date order (sorted array), exact for
+    exactly-representable ratios.
     """
-    s = F.broadcast(
-        splits.select("ticker", "execution_date", "split_from", "split_to")
-    )
-    joined = stocks.join(s, on="ticker", how="left")
-    factor = (
-        F.when(
-            F.col("date") < F.col("execution_date"),
-            F.col("split_from") / F.col("split_to"),
+    per_ticker = F.broadcast(
+        splits.select(
+            "ticker",
+            F.struct(
+                F.col("execution_date").alias("d"),
+                (F.col("split_from") / F.col("split_to"))
+                .cast("double")
+                .alias("r"),
+            ).alias("__s"),
         )
-        .otherwise(F.lit(1.0))
-        .cast("double")
+        .groupBy("ticker")
+        .agg(F.sort_array(F.collect_list("__s")).alias("__splits"))
     )
-    grouped = (
-        joined.withColumn("__factor", factor)
-        .groupBy("ticker", "date")
-        .agg(
-            # exact ordered product of the (few) factors; see module docstring
-            F.aggregate(
-                F.sort_array(F.collect_list("__factor")),
-                F.lit(1.0),
-                lambda acc, x: acc * x,
-            ).alias("__total"),
-            *[F.first(c).alias(c) for c in _OHLCV],
-        )
-    )
-    adj = grouped.select(
+    joined = stocks.join(per_ticker, on="ticker", how="left")
+    factor = F.when(
+        F.col("__splits").isNotNull(),
+        F.aggregate(
+            F.filter("__splits", lambda s: F.col("date") < s["d"]),
+            F.lit(1.0),
+            lambda acc, s: acc * s["r"],
+        ),
+    ).otherwise(F.lit(1.0))
+    adj = joined.withColumn("__total", factor).select(
         "ticker",
         "date",
         (F.col("open") * F.col("__total")).alias("open"),

@@ -35,7 +35,13 @@ __all__ = [
 
 
 def stock_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily OHLCV bars derived from lineitem (see module docstring)."""
+    """Daily OHLCV bars derived from lineitem (see module docstring).
+
+    The scan is repartitioned to full parallelism first: the sf0.1 lineitem
+    file maps to only 3 scan tasks, which would serialize the min_by/struct
+    partial aggregation; at real scale the scan width comes from file splits
+    and this repartition collapses into AQE-planned exchanges.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     order_struct = F.struct(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
