@@ -1,6 +1,7 @@
 from tickerlake_spark.storage.catalog import Catalog, get_table_path
 from tickerlake_spark.storage.checkpoints import Checkpoints
 from tickerlake_spark.storage.io import (
+    drop_table,
     get_max_date,
     init_table,
     read_table,
@@ -14,6 +15,7 @@ __all__ = [
     "Checkpoints",
     "read_table",
     "write_table",
+    "drop_table",
     "init_table",
     "table_exists",
     "get_max_date",

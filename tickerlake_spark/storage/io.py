@@ -23,7 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-__all__ = ["read_table", "write_table", "init_table", "table_exists", "get_max_date"]
+__all__ = [
+    "read_table",
+    "write_table",
+    "init_table",
+    "table_exists",
+    "get_max_date",
+    "drop_table",
+]
 
 _VALID_MODES = ("overwrite", "append")
 
@@ -82,6 +89,25 @@ def table_exists(path: str) -> bool:
         if any(f.endswith(".parquet") for f in files):
             return True
     return False
+
+
+def drop_table(path: str) -> None:
+    """Destructively remove a table directory (reference: bronze/clean.py:12-36).
+
+    No-op when the table doesn't exist; refuses paths that don't look like
+    Parquet tables (a directory containing no parquet files AND no partition
+    dirs) as a guard against deleting arbitrary trees.
+    """
+    import shutil
+
+    if not os.path.exists(path):
+        return
+    if os.path.isdir(path) and not table_exists(path):
+        raise ValueError(f"refusing to drop non-table directory {path!r}")
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    else:
+        os.unlink(path)
 
 
 def get_max_date(
