@@ -122,7 +122,16 @@ def minhash_lsh_pairs(
     100 TB holds near-identical docs (plus rare collisions), so the candidate
     join output is ~linear in the number of true duplicates; AQE's skew-join
     split handles pathological buckets (e.g. boilerplate-heavy corpora).
+
+    The signature table is persisted (MEMORY_AND_DISK): the plan is a diamond
+    — band self-join (2 refs) + per-side shingle fetch for the verify (2
+    refs) — and without materialization the shingle+hash+signature pipeline
+    executes 4x (measured: 4 parquet scans, 0 reused exchanges). At 100 TB
+    this is the standard "materialize the signature table" step; callers
+    doing repeated dedup rounds should write it to storage instead.
     """
+    from pyspark import StorageLevel
+
     from tickerlake_spark.functions.text import minhash_signature
 
     rows = num_hashes // bands
@@ -133,6 +142,7 @@ def minhash_lsh_pairs(
         # physical boundary, projection collapsing would inline (and
         # re-evaluate) the whole shingle+hash+signature pipeline per reference
         .repartition("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # band join on ids ONLY — exploding each doc's shingle array through the
     # 8-band self-join would shuffle every array 8x; instead the (small)
@@ -213,10 +223,19 @@ def simhash_pairs(
             f"max_hamming={max_hamming} needs < {n_bands} (pigeonhole bound "
             f"for {bits}-bit simhash with {band_bits}-bit bands)"
         )
-    sh = _spread(df).select(
-        F.col(id_col).alias("doc_id"),
-        simhash(F.transform(tokens(text_col), h60), bits).alias("__sh"),
-    ).repartition("doc_id")  # barrier: chunk extraction references __sh per band
+    from pyspark import StorageLevel
+
+    sh = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            simhash(F.transform(tokens(text_col), h60), bits).alias("__sh"),
+        )
+        .repartition("doc_id")  # barrier: chunk extraction references __sh per band
+        # self-join reads the hash pipeline twice; materialize it once
+        # (16 bytes/doc — trivially cacheable at any corpus size)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     mask = (1 << band_bits) - 1
     chunks = sh.select(
         "doc_id",
@@ -270,8 +289,15 @@ def ngram_jaccard_pairs(
     Jaccard plan. Use ``minhash_lsh_pairs`` when even the postings join is
     too hot (it prunes candidates before any join).
     """
-    ls = _with_shingles(left, text_col, id_col, shingle_n).select(
-        "doc_id", F.size("__shingles").alias("__n"), F.explode("__shingles").alias("__s")
+    from pyspark import StorageLevel
+
+    # materialize postings once: the self-join (right=None) reads them twice
+    ls = (
+        _with_shingles(left, text_col, id_col, shingle_n)
+        .select(
+            "doc_id", F.size("__shingles").alias("__n"), F.explode("__shingles").alias("__s")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rs = (
         ls
@@ -320,8 +346,13 @@ def embedding_neardup_pairs(
     from tickerlake_spark.functions.vector import as_double_array, cosine_similarity
     from tickerlake_spark.operators.similarity import hyperplane_bucket
 
+    from pyspark import StorageLevel
+
     v = df.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("__v"))
-    bucketed = v.withColumn("__bucket", hyperplane_bucket(F.col("__v"), n_planes))
+    # self-join reads the projection pipeline twice; cache the bucketed table
+    bucketed = v.withColumn(
+        "__bucket", hyperplane_bucket(F.col("__v"), n_planes)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cos = cosine_similarity(F.col("a.__v"), F.col("b.__v"))
     return (
