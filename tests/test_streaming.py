@@ -65,6 +65,75 @@ def test_streaming_tumbling_matches_batch(spark, event_drops, tmp_path):
         assert abs(s.total_value - b.total_value) < 1e-6
 
 
+def test_stateful_running_totals_matches_batch(spark, event_drops, tmp_path):
+    """applyInPandasWithState running totals: the last update per key must
+    equal the batch groupBy aggregate over the full input."""
+    from tickerlake_spark.streaming.stateful import running_totals
+
+    drop_dir, events = event_drops
+    stream = stream_events(spark, drop_dir, events.schema, max_files_per_trigger=1)
+    totals = running_totals(stream, key_col="event_type", value_col="value")
+    query = (
+        totals.writeStream.format("memory")
+        .queryName("running_totals_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        updates = spark.sql("SELECT * FROM running_totals_test").collect()
+    finally:
+        query.stop()
+
+    # update mode appends one row per key per touching micro-batch: the row
+    # with the max n_events per key is the final state
+    final: dict[str, tuple[int, float]] = {}
+    for r in updates:
+        if r.event_type not in final or r.n_events > final[r.event_type][0]:
+            final[r.event_type] = (r.n_events, r.total_value)
+
+    batch = {
+        r.event_type: (r.n, r.s)
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(batch) and len(batch) > 0
+    for k, (n, s) in batch.items():
+        assert final[k][0] == n
+        assert abs(final[k][1] - s) < 1e-6
+
+
+def test_stateful_first_seen_filter(spark, event_drops, tmp_path):
+    """Novelty gate: exactly one output row per distinct key, ever."""
+    from tickerlake_spark.streaming.stateful import first_seen_filter
+
+    drop_dir, events = event_drops
+    # duplicate both drops into a second landing dir so every key arrives 2x+
+    dup_dir = str(tmp_path / "landing_dup")
+    events.coalesce(1).write.mode("append").parquet(dup_dir)
+    events.coalesce(1).write.mode("append").parquet(dup_dir)
+
+    stream = stream_events(spark, dup_dir, events.schema, max_files_per_trigger=1)
+    novel = first_seen_filter(stream, key_col="user_id")
+    query = (
+        novel.writeStream.format("memory")
+        .queryName("first_seen_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        rows = spark.sql("SELECT user_id FROM first_seen_test").collect()
+    finally:
+        query.stop()
+    seen = [r.user_id for r in rows]
+    n_distinct = events.select("user_id").distinct().count()
+    assert len(seen) == len(set(seen)) == n_distinct > 0
+
+
 def test_streaming_dedup_with_watermark(spark, event_drops, tmp_path):
     """Streaming exact-dedup on event_id: duplicate drops collapse."""
     drop_dir, events = event_drops

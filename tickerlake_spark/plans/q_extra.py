@@ -205,3 +205,41 @@ def q28_date_format_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.date_format("o_orderdate", "yyyy/MM").alias("month_label"),
     )
+
+
+@register(
+    "q29_set_ops",
+    doc="INTERSECT / EXCEPT set operations (U2 generalized beyond the "
+    "reference's driver-side date set-diff): customers active in 1997 vs "
+    "1998, tagged by which set they fall in.",
+    oracle="""
+WITH c97 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'),
+     c98 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= DATE '1998-01-01' AND o_orderdate < DATE '1999-01-01')
+SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM c97 INTERSECT SELECT * FROM c98)
+UNION ALL
+SELECT o_custkey, 'only_1997' AS tag FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c98)
+UNION ALL
+SELECT o_custkey, 'only_1998' AS tag FROM (SELECT * FROM c98 EXCEPT SELECT * FROM c97)
+""",
+)
+def q29_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def actives(year: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("date"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    c97, c98 = actives(1997), actives(1998)
+    return (
+        c97.intersect(c98).withColumn("tag", F.lit("both"))
+        .unionByName(c97.exceptAll(c98).withColumn("tag", F.lit("only_1997")))
+        .unionByName(c98.exceptAll(c97).withColumn("tag", F.lit("only_1998")))
+    )

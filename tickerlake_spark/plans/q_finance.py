@@ -316,6 +316,42 @@ def q37_stairstep_up(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q37b_stairstep_down",
+    doc="Falling-down-stairs pattern mining: consecutive HVCs with strictly "
+    "falling closes — the declining mirror of q37 (D3, "
+    "metadata.json:457-576).",
+    oracle=f"""
+WITH {INDICATORS_CTE},
+{_STAIRSTEP_BODY.format(cmp='<')}
+SELECT ticker, start_date, end_date, hvc_count,
+       ROUND(first_close + 5e-9, 6) AS first_close,
+       ROUND(last_close + 5e-9, 6) AS last_close,
+       ROUND((last_close - first_close) / first_close * 100.0 + 5e-9, 6) AS gain_pct,
+       dates_str
+FROM patterns
+""",
+)
+def q37b_stairstep_down(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adj = _adjusted(spark, sf_dir)
+    ind = compute_indicators(adj)
+    ev = hvc_events(ind, adj, threshold=HVC_THRESHOLD)
+    pat = stairstep_patterns(
+        ev, adj.select("ticker", "date", "close"),
+        min_steps=STAIRSTEP_MIN_STEPS, direction="down",
+    )
+    return pat.select(
+        "ticker",
+        "start_date",
+        "end_date",
+        "hvc_count",
+        stable_round(F.col("first_close"), 6).alias("first_close"),
+        stable_round(F.col("last_close"), 6).alias("last_close"),
+        stable_round(F.col("gain_pct"), 6).alias("gain_pct"),
+        "dates_str",
+    )
+
+
+@register(
     "q38_best_pattern",
     doc="Per-ticker best stair-step pattern: most steps, earliest start "
     "(D4, metadata.json:335-456) — ranked dedup over pattern mining.",
