@@ -1,0 +1,126 @@
+"""Physical-plan quality gates — the 100 TB posture, asserted.
+
+Correctness tests prove the operators compute the right answer at small SF;
+these prove the *plans* are the ones that survive a 1000-executor scale-up:
+filters reach the parquet scan, small dimensions broadcast instead of
+shuffling the fact table, the split-adjustment path adds zero exchanges, and
+no row-at-a-time Python evaluation appears anywhere in the hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tickerlake_spark.plans import QUERIES
+from tickerlake_spark.plans.catalog import _ensure_loaded
+
+_ensure_loaded()
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """q01's shipdate predicate must appear as a parquet PushedFilters, and
+    the scan must prune to the projected columns (ReadSchema, not SELECT *)."""
+    df = QUERIES["q01_pricing_summary"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_comment" not in read_schema, "scan reads columns the query never uses"
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, sf_dir):
+    """Fact-to-dimension joins (customer/nation/region enrich) must be
+    broadcast hash joins — shuffling the fact table on a dim key is the
+    classic 100 TB failure mode."""
+    for name in ("q04_join_left_enrich", "q05_local_supplier_volume"):
+        plan = _physical_plan(QUERIES[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+
+
+def _exchanges(p: str) -> int:
+    return sum(
+        line.strip().lstrip("+-: ").startswith("Exchange")
+        for line in p.splitlines()
+    )
+
+
+def test_split_adjust_never_shuffles_the_fact(spark, tmp_path):
+    """apply_splits over a leaf parquet scan must plan exactly ONE shuffle —
+    the tiny splits-dim groupBy that feeds the broadcast (~1e3 rows). With the
+    fact as a leaf scan, any second exchange could only be a fact-table
+    shuffle, the thing this formulation exists to avoid at 100 TB."""
+    from tickerlake_spark.operators.splits import apply_splits
+
+    bars = spark.createDataFrame(
+        [("A", f"2024-01-{d:02d}", 10.0, 11.0, 9.0, 10.5, 1000, 10) for d in range(1, 9)],
+        "ticker string, date string, open double, high double, low double, "
+        "close double, volume long, transactions long",
+    ).withColumn("date", F.to_date("date"))
+    splits = spark.createDataFrame(
+        [("A", "2024-01-05", 2.0, 1.0)],
+        "ticker string, execution_date string, split_from double, split_to double",
+    )
+    bars.write.parquet(str(tmp_path / "bars"))
+    splits.write.parquet(str(tmp_path / "splits"))
+
+    adj = apply_splits(
+        spark.read.parquet(str(tmp_path / "bars")),
+        spark.read.parquet(str(tmp_path / "splits")),
+    )
+    plan = _physical_plan(adj)
+    assert "BroadcastExchange" in plan, "splits dim must broadcast"
+    assert _exchanges(plan) == 1, (
+        "apply_splits must add no exchange beyond the splits-dim prep:\n" + plan
+    )
+
+
+def test_split_adjust_stage_cost_vs_bars_alone(spark, sf_dir):
+    """q31 (bars + adjustment) may exceed q30 (bars alone) by at most the one
+    splits-dim exchange; the fact lineage itself gains none."""
+    bars_plan = _physical_plan(QUERIES["q30_stock_bars"].fn(spark, sf_dir))
+    adj_plan = _physical_plan(QUERIES["q31_split_adjust"].fn(spark, sf_dir))
+    assert _exchanges(adj_plan) <= _exchanges(bars_plan) + 1
+    assert "BroadcastExchange" in adj_plan
+
+
+def test_no_python_eval_in_hot_paths(spark, sf_dir):
+    """Every query except the deliberate Arrow/mapInPandas multimodal stubs
+    must stay JVM-side: no BatchEvalPython (row-at-a-time UDF) anywhere, and
+    ArrowEvalPython/MapInPandas only in q54/q55."""
+    allowed_arrow = {"q54_media_features", "q55_frame_sampling"}
+    for name, spec in QUERIES.items():
+        plan = _physical_plan(spec.fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+        if name not in allowed_arrow:
+            assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
+                f"{name}: unexpected Python boundary"
+            )
+
+
+def test_whole_stage_codegen_on_core_aggregation(spark, sf_dir):
+    """The TPC-H Q1 shape must run inside whole-stage codegen spans. AQE only
+    materializes the final plan (with codegen IDs) after execution, so run the
+    query first and inspect the adaptive final plan."""
+    df = QUERIES["q01_pricing_summary"].fn(spark, sf_dir)
+    df.collect()
+    plan = _physical_plan(df)
+    assert "isFinalPlan=true" in plan
+    # codegen'd operators carry a `*(stageId)` prefix in the plan string;
+    # both the partial and final HashAggregate must be inside a span
+    assert plan.count("*(") >= 2, "core aggregation not in whole-stage codegen:\n" + plan
+
+
+@pytest.mark.parametrize("name", ["q03_shipping_priority", "q13_topk_sort"])
+def test_topk_uses_take_ordered(spark, sf_dir, name):
+    """Global sort + limit must plan as TakeOrderedAndProject (heap top-k,
+    no full global sort/exchange of the entire result)."""
+    plan = _physical_plan(QUERIES[name].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
