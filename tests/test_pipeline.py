@@ -17,7 +17,13 @@ from tickerlake_spark.sources.market import (
     classify_fetch_error,
     fetch_dates_parallel,
 )
-from tickerlake_spark.pipeline import run_bronze, run_gold, run_silver, should_full_rewrite
+from tickerlake_spark.pipeline import (
+    run_bronze,
+    run_gold,
+    run_silver,
+    run_validate,
+    should_full_rewrite,
+)
 from tickerlake_spark.storage import Catalog, Checkpoints, read_table, table_exists
 
 D = dt.date
@@ -157,6 +163,13 @@ class TestSilverGold:
         # second silver run with no new data: noop append
         s2 = run_silver(spark, cat, cp)
         assert s2["mode"] == "noop"
+
+        # validate entry point: silver's adjustment must pass the offline
+        # spot-check and the tiny fixture dates all flag below_min
+        v = run_validate(spark, cat, sample_splits=5, min_records=5000)
+        assert v["split_adjustment"]["ok"] is True
+        assert v["split_adjustment"]["checked"] > 0
+        assert v["date_counts"]["anomalous_dates"] == len(days)
 
     def test_append_after_new_day(self, spark, env):
         cat, cp = env

@@ -1,0 +1,214 @@
+"""Tests for the scale-posture modules: SQL views, bucketed tables,
+skew-salted joins, and the offline validation harness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _final_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --------------------------------------------------------------------------
+# sql.py — SQL-queryable surface
+
+
+def test_testdata_views_run_oracle_sql_verbatim(spark, sf_dir, duck):
+    """Registering the testdata views makes catalog oracle SQL runnable
+    through spark.sql too — same names, same tables, both engines agree."""
+    from tickerlake_spark.sql import register_testdata_views
+
+    names = register_testdata_views(spark, sf_dir)
+    assert {"lineitem", "orders", "region"} <= set(names)
+    sql = (
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+    got = [(r["o_orderstatus"], r["n"]) for r in spark.sql(sql).collect()]
+    want = duck.execute(sql).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_catalog_views_layer_naming(spark, tmp_path):
+    from tickerlake_spark.sql import register_catalog_views
+    from tickerlake_spark.storage import Catalog, write_table
+
+    cat = Catalog(root=str(tmp_path))
+    df = spark.range(5).select(F.col("id").alias("ticker"))
+    write_table(df, cat.silver("ticker_metadata"))
+    names = register_catalog_views(spark, cat)
+    assert names == ["silver_ticker_metadata"]
+    assert spark.sql("SELECT COUNT(*) AS n FROM silver_ticker_metadata").first()["n"] == 5
+
+
+# --------------------------------------------------------------------------
+# storage/bucketing.py — shuffle-free co-located joins
+
+
+def test_bucketed_join_plans_zero_exchanges(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with NO
+    Exchange in the final plan — the pre-shuffle happened at write time."""
+    from tickerlake_spark.storage import write_bucketed
+
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 7).alias("o_flag")
+    )
+    items = spark.range(0, 4000).select(
+        (F.col("id") % 1000).alias("o_orderkey"), F.col("id").alias("l_item")
+    )
+    write_bucketed(orders, "b_orders", str(tmp_path / "o"), 4, "o_orderkey")
+    write_bucketed(items, "b_items", str(tmp_path / "i"), 4, "o_orderkey")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force SMJ so the assertion targets the shuffle, not broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_items"), "o_orderkey")
+        assert joined.count() == 4000
+        plan = _final_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles:\n" + plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_attach_bucketed_restores_metadata(spark, tmp_path):
+    """Bucket metadata is catalog state; attach_bucketed re-declares it over
+    existing files and the shuffle-free plan comes back."""
+    from tickerlake_spark.storage import attach_bucketed, write_bucketed
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_bucketed(df, "b_tmp", str(tmp_path / "t"), 4, "k")
+    spark.sql("DROP TABLE b_tmp")  # metadata gone, files remain
+
+    attach_bucketed(spark, "b_tmp", str(tmp_path / "t"), 4, "k", "k BIGINT, v BIGINT")
+    got = spark.table("b_tmp")
+    assert got.count() == 100
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        self_join = spark.table("b_tmp").join(
+            spark.table("b_tmp").select("k", F.col("v").alias("v2")), "k"
+        )
+        self_join.count()
+        assert "Exchange" not in _final_plan(self_join)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_tmp")
+
+
+# --------------------------------------------------------------------------
+# operators/skew.py — salted join
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from tickerlake_spark.operators.skew import salted_join
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.col("l_suppkey").alias("s_suppkey"), "l_orderkey", "l_linenumber")
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    plain = li.join(sup, "s_suppkey").select("l_orderkey", "l_linenumber", "s_name")
+    salted = salted_join(li, sup, on="s_suppkey", salt=8).select(
+        "l_orderkey", "l_linenumber", "s_name"
+    )
+    assert salted.exceptAll(plain).isEmpty() and plain.exceptAll(salted).isEmpty()
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    from tickerlake_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (9, "c")], "k int, payload string"
+    )
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k int, attr string")
+    out = salted_join(fact, dim, on="k", how="left", salt=4).orderBy("payload")
+    rows = [(r["k"], r["payload"], r["attr"]) for r in out.collect()]
+    assert rows == [(1, "a", "x"), (2, "b", "y"), (9, "c", None)]
+    assert "__salt" not in out.columns
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A single hot key must land in multiple salt sub-keys (the point)."""
+    from tickerlake_spark.operators.skew import _SALT
+
+    fact = spark.range(0, 1000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    salted = fact.withColumn(
+        _SALT, F.pmod(F.xxhash64(*fact.columns), F.lit(16)).cast("int")
+    )
+    n_subkeys = salted.select(_SALT).distinct().count()
+    assert n_subkeys >= 12  # 1000 draws over 16 buckets: all ~always hit
+
+
+# --------------------------------------------------------------------------
+# validation.py — offline validation harness
+
+
+def test_classify_date_counts_statuses(spark):
+    from tickerlake_spark.validation import classify_date_counts
+
+    rows = (
+        [("2024-01-01",)] * 10
+        + [("2024-01-02",)] * 10
+        + [("2024-01-03",)] * 1  # below_min (<2) wins over low
+        + [("2024-01-04",)] * 3  # low: < 50% of mean (6)
+        + [("2024-01-05",)] * 30  # high: > 200% of mean
+        + [("2024-01-06",)] * 0
+    )
+    df = spark.createDataFrame(rows, "date string").select(
+        F.to_date("date").alias("date")
+    )
+    out = {
+        r["date"].isoformat(): r["status"]
+        for r in classify_date_counts(df, min_records=2).collect()
+    }
+    assert out == {
+        "2024-01-01": "ok",
+        "2024-01-02": "ok",
+        "2024-01-03": "below_min",
+        "2024-01-04": "low",
+        "2024-01-05": "high",
+    }
+
+
+def test_split_adjustment_cross_validates(spark, sf_dir):
+    """The engine's zero-shuffle fold and the reference-shaped join+product
+    formulation must agree within $0.01 around every sampled split."""
+    from tickerlake_spark.operators.splits import apply_splits
+    from tickerlake_spark.plans.finance import stock_bars, stock_splits
+    from tickerlake_spark.validation import validate_split_adjustment
+
+    bars = stock_bars(spark, sf_dir)
+    splits = stock_splits(spark, sf_dir)
+    adjusted = apply_splits(bars, splits)
+    report = validate_split_adjustment(bars, splits, adjusted)
+    n = report.count()
+    assert n > 0, "spot-checker sampled no bars — fixture too small?"
+    bad = report.filter(~F.col("ok"))
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_validation_detects_injected_drift(spark, sf_dir):
+    """Sanity: a deliberately broken adjustment (off by $0.05) must fail."""
+    from tickerlake_spark.operators.splits import apply_splits
+    from tickerlake_spark.plans.finance import stock_bars, stock_splits
+    from tickerlake_spark.validation import validate_split_adjustment
+
+    bars = stock_bars(spark, sf_dir)
+    splits = stock_splits(spark, sf_dir)
+    broken = apply_splits(bars, splits).withColumn(
+        "close", F.col("close") + F.lit(0.05)
+    )
+    report = validate_split_adjustment(bars, splits, broken)
+    assert report.filter(~F.col("ok")).count() == report.count()

@@ -42,7 +42,13 @@ from tickerlake_spark.storage import (
     write_table,
 )
 
-__all__ = ["run_bronze", "run_silver", "run_gold", "should_full_rewrite"]
+__all__ = [
+    "run_bronze",
+    "run_silver",
+    "run_gold",
+    "run_validate",
+    "should_full_rewrite",
+]
 
 
 def _transform_raw_bars(df: DataFrame) -> DataFrame:
@@ -232,3 +238,57 @@ def run_gold(
         "vwap_rows": read_table(spark, catalog.gold("vwap_signals")).count(),
         "hvc_rows": read_table(spark, catalog.gold("hvc_daily")).count(),
     }
+
+
+def run_validate(
+    spark: SparkSession,
+    catalog: Catalog,
+    tolerance: float = 0.01,
+    sample_splits: int = 25,
+    min_records: int = 5000,
+) -> dict:
+    """The reference's 4th entry point (``uv run validate``), offline.
+
+    1. Split-adjustment spot-check: silver's adjusted closes around sampled
+       splits vs an independent recomputation, within ``tolerance`` dollars
+       (reference: silver/validation.py:333-365 — theirs diffs against the
+       Polygon adjusted API; ours cross-validates two formulations).
+    2. Per-date record-count anomaly classification over bronze.stocks
+       (reference: utils/validation.py:16-139, bronze/main.py:322-340).
+    """
+    from tickerlake_spark.validation import (
+        classify_date_counts,
+        validate_split_adjustment,
+    )
+
+    result: dict = {}
+    stocks_path = catalog.bronze("stocks")
+    splits_path = catalog.bronze("splits")
+    daily_path = catalog.silver("daily_aggregates")
+    if table_exists(stocks_path) and table_exists(splits_path) and table_exists(
+        daily_path
+    ):
+        report = validate_split_adjustment(
+            schemas.conform(read_table(spark, stocks_path), schemas.AGGREGATES),
+            read_table(spark, splits_path),
+            read_table(spark, daily_path),
+            tolerance=tolerance,
+            sample_splits=sample_splits,
+        )
+        checked = report.count()
+        mismatched = report.filter(~F.col("ok")).count()
+        result["split_adjustment"] = {
+            "checked": checked,
+            "mismatched": mismatched,
+            "ok": mismatched == 0,
+        }
+    if table_exists(stocks_path):
+        anomalies = (
+            classify_date_counts(
+                read_table(spark, stocks_path), min_records=min_records
+            )
+            .filter(F.col("status") != "ok")
+            .count()
+        )
+        result["date_counts"] = {"anomalous_dates": anomalies}
+    return result

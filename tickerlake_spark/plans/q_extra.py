@@ -243,3 +243,69 @@ def q29_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(c97.exceptAll(c98).withColumn("tag", F.lit("only_1997")))
         .unionByName(c98.exceptAll(c97).withColumn("tag", F.lit("only_1998")))
     )
+
+
+@register(
+    "q63_salted_join_skew",
+    doc="Skew-salted equi-join (operators/skew.py): the fact side salted 16 "
+    "ways, the dim side replicated per salt — semantics identical to the "
+    "plain join, which is exactly what the oracle checks. Beyond-reference "
+    "scale operator for hot-key joins AQE can't pre-split.",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, s.s_name,
+       ROUND(l.l_extendedprice * (1 - l.l_discount) + 5e-9, 6) AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE l.l_shipdate >= DATE '1998-01-01'
+""",
+)
+def q63_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.skew import salted_join
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("date"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return salted_join(li, sup, on="s_suppkey", how="inner", salt=16).select(
+        "l_orderkey",
+        "l_linenumber",
+        "s_name",
+        stable_round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "q64_date_count_anomalies",
+    doc="Per-date record-count anomaly classification (validation.py, the "
+    "reference's utils/validation.py:16-139 driver loop as one broadcast-"
+    "mean plan).",
+    oracle="""
+WITH counts AS (SELECT o_orderdate AS date, COUNT(*) AS n FROM orders GROUP BY 1),
+     m AS (SELECT AVG(n) AS mean_n FROM counts)
+SELECT date, n, ROUND(mean_n + 5e-9, 6) AS mean_n,
+       CASE WHEN n < 2 THEN 'below_min'
+            WHEN n < 0.5 * mean_n THEN 'low'
+            WHEN n > 2.0 * mean_n THEN 'high'
+            ELSE 'ok' END AS status
+FROM counts CROSS JOIN m
+""",
+)
+def q64_date_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.validation import classify_date_counts
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("date")
+    )
+    df = classify_date_counts(o, min_records=2)
+    return df.select(
+        "date", "n", stable_round(F.col("mean_n"), 6).alias("mean_n"), "status"
+    )

@@ -1,0 +1,83 @@
+"""SQL-queryable surface over every table.
+
+The reference exposes capabilities only through Python functions; this engine
+additionally registers every table as a Spark SQL temp view so the whole
+operator repertoire is reachable from ``spark.sql(...)`` — the design stance
+of SURVEY §7 ("plus Spark SQL views over every table so the capabilities are
+also SQL-queryable").
+
+Two surfaces:
+
+- :func:`register_testdata_views` — the driver's synthetic tables
+  (``region`` … ``embeddings``) under their bare names, matching the DuckDB
+  oracle's view names so any oracle SQL in the catalog is *also* runnable
+  verbatim through Spark SQL.
+- :func:`register_catalog_views` — the medallion tables as
+  ``{layer}_{table}`` views (``bronze_stocks``, ``silver_daily_aggregates``,
+  ``gold_vwap_signals`` …), mirroring the reference's layer/table naming
+  (reference: storage/paths.py:6-26).
+
+Views are lazy metadata: registering them costs nothing until queried, and a
+query through a view gets identical Catalyst treatment (pushdown, pruning) to
+the DataFrame API.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from tickerlake_spark.plans.catalog import TABLES, load_table
+from tickerlake_spark.storage import Catalog, table_exists
+
+__all__ = ["register_testdata_views", "register_catalog_views"]
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every present testdata table as a temp view; returns names."""
+    registered = []
+    for name in TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+            registered.append(name)
+    return registered
+
+
+def register_catalog_views(
+    spark: SparkSession, catalog: Catalog, tables: dict[str, list[str]] | None = None
+) -> list[str]:
+    """Register medallion tables as ``{layer}_{table}`` temp views.
+
+    ``tables`` maps layer -> table names; defaults to the full reference
+    catalog (SURVEY §1.4). Missing tables are skipped (e.g. before the
+    corresponding pipeline stage has run).
+    """
+    if tables is None:
+        tables = {
+            "bronze": ["stocks", "tickers", "splits"],
+            "silver": [
+                "ticker_metadata",
+                "daily_aggregates",
+                "weekly_aggregates",
+                "monthly_aggregates",
+                "daily_indicators",
+                "weekly_indicators",
+                "monthly_indicators",
+            ],
+            "gold": [
+                "vwap_signals",
+                "hvc_daily",
+                "stairstep_up",
+                "stairstep_down",
+                "best_patterns",
+            ],
+        }
+    registered = []
+    for layer, names in tables.items():
+        for name in names:
+            path = catalog.path(layer, name)
+            if table_exists(path):
+                spark.read.parquet(path).createOrReplaceTempView(f"{layer}_{name}")
+                registered.append(f"{layer}_{name}")
+    return registered

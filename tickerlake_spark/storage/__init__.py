@@ -1,3 +1,4 @@
+from tickerlake_spark.storage.bucketing import attach_bucketed, write_bucketed
 from tickerlake_spark.storage.catalog import Catalog, get_table_path
 from tickerlake_spark.storage.checkpoints import Checkpoints
 from tickerlake_spark.storage.io import (
@@ -19,4 +20,6 @@ __all__ = [
     "init_table",
     "table_exists",
     "get_max_date",
+    "write_bucketed",
+    "attach_bucketed",
 ]
