@@ -85,18 +85,33 @@ def minhash_signature(shingle_hashes: Column, k: int = 32) -> Column:
     "transform over k slots, array_min inside" re-evaluates the input
     expression per slot (no CSE through higher-order lambdas) — measured
     13x slower at 260k shingles.
+
+    The permutation coefficients live in ONE literal array of structs and the
+    permutation arithmetic in ONE zip_with lambda — an unrolled k-wide
+    expression (k copies of the arithmetic) computes identically but costs
+    ~8s of Catalyst analysis + codegen per query at k=32, which dominated the
+    whole dedup pipeline's first-run latency.
     """
     p = F.lit(MINHASH_PRIME)
     init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), k)
-
-    def perms(h: Column) -> Column:
-        hp = h % p
-        return F.array(*[((1 + 41 * j) * hp + 7 + 17 * j) % p for j in range(k)])
+    coefs = F.array(
+        *[
+            F.struct(
+                F.lit(1 + 41 * j).cast("long").alias("a"),
+                F.lit(7 + 17 * j).cast("long").alias("b"),
+            )
+            for j in range(k)
+        ]
+    )
 
     return F.aggregate(
         shingle_hashes,
         init,
-        lambda acc, h: F.zip_with(acc, perms(h), lambda a, b: F.least(a, b)),
+        lambda acc, h: F.zip_with(
+            acc,
+            coefs,
+            lambda m, c: F.least(m, (c["a"] * (h % p) + c["b"]) % p),
+        ),
     )
 
 
@@ -105,22 +120,24 @@ def simhash(token_hashes: Column, bits: int = 32) -> Column:
     majority of tokens have bit b set. Returns a non-negative long.
 
     Near-duplicate texts differ in a few tokens -> small Hamming distance
-    (compare with bit_count(simhash(a) ^ simhash(b))). The per-bit loop is
-    unrolled in Python (shift amounts must be literals), producing one flat
-    codegen'd expression.
+    (compare with bit_count(simhash(a) ^ simhash(b))).
     """
     # Single pass over the hashes: fold an array of per-bit counters
     # (one aggregate referencing the input ONCE), then fold the counters
     # into the hash long via zip_with against the bit-value array — the
     # per-bit-aggregate version re-evaluates token_hashes `bits` times.
+    # The per-bit ±1 extraction is ONE transform lambda over a literal
+    # powers array (h & 2^b), not a `bits`-wide unrolled expression — see
+    # minhash_signature on why tree size dominates first-run latency.
     init = F.array_repeat(F.lit(0).cast("long"), bits)
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
 
     def bitvec(h: Column) -> Column:
-        return F.array(
-            *[
-                F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
-                for b in range(bits)
-            ]
+        return F.transform(
+            powers,
+            lambda pw: F.when(h.bitwiseAND(pw) != 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long"),
         )
 
     counters = F.aggregate(
@@ -128,7 +145,6 @@ def simhash(token_hashes: Column, bits: int = 32) -> Column:
         init,
         lambda acc, h: F.zip_with(acc, bitvec(h), lambda a, b: a + b),
     )
-    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     return F.aggregate(
         F.zip_with(
             counters,

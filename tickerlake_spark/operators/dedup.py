@@ -83,18 +83,39 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _barrier(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition on ``cols`` with an EXPLICIT partition count.
+
+    Serves two purposes at once: (1) an optimizer barrier — columns computed
+    below the exchange become bound attributes, so higher-order-function
+    pipelines above never re-inline them (no CSE through lambda bodies); and
+    (2) guaranteed width — AQE coalesces keyless ``repartition(col)``
+    exchanges by BYTE size, which collapses byte-small / CPU-heavy document
+    stages onto 1-2 tasks; an explicit count is exempt from coalescing, so
+    the hashing stages keep full parallelism.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, *cols)
+
+
 def _with_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     from tickerlake_spark.functions.text import h60, tokens, word_shingles
 
     # staged behind exchanges so tokens and shingles become bound attributes:
     # inline, the tokenizer/shingler would be re-evaluated per reference
     # through the HOF lambdas (no CSE) — measured 6x slower on this path
-    tok = _spread(df).select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
-    ).repartition("doc_id")
-    sh = tok.select(
-        "doc_id", word_shingles(F.col("__toks"), n).alias("__shingles")
-    ).repartition("doc_id")
+    # Binding discipline: every array column is computed on the MAP side of
+    # an exchange (select BELOW repartition), so it reaches the next stage as
+    # a bound attribute — HOF lambdas above never re-inline the tokenizer /
+    # shingler (no CSE through lambda bodies; inline was measured 6x slower).
+    # Two exchanges total: the spread (parallelism for byte-small corpora)
+    # doubles as the token binder, the doc_id barrier as the shingle binder.
+    tok = _barrier(
+        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
+    )
+    sh = _barrier(
+        tok.select("doc_id", word_shingles(F.col("__toks"), n).alias("__shingles")),
+        "doc_id",
+    )
     return sh.select(
         "doc_id",
         "__shingles",
@@ -137,11 +158,16 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     sig = (
         _with_shingles(df, text_col, id_col, shingle_n)
-        .withColumn("__sig", minhash_signature(F.col("__hashes"), num_hashes))
-        # exchange barrier: banding references __sig 4x per band — without a
-        # physical boundary, projection collapsing would inline (and
-        # re-evaluate) the whole shingle+hash+signature pipeline per reference
-        .repartition("doc_id")
+        # __hashes is referenced exactly once (by the signature fold), so it
+        # inlines safely; dropping it from the projection keeps it out of the
+        # cache. Banding references __sig 4x per band, but the persist itself
+        # is the physical boundary: consumers read bound attributes out of
+        # the cached relation, so no extra exchange is needed here.
+        .select(
+            "doc_id",
+            "__shingles",
+            minhash_signature(F.col("__hashes"), num_hashes).alias("__sig"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # band join on ids ONLY — exploding each doc's shingle array through the
@@ -154,12 +180,15 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.concat_ws(
+                    # one slice per band, joined to a string key — identical
+                    # value to concat_ws over per-row element_at, with a
+                    # `rows`-times smaller expression tree
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("__sig"), b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
                         "-",
-                        *[
-                            F.element_at(F.col("__sig"), (b * rows + r + 1).cast("int"))
-                            for r in range(rows)
-                        ],
                     ).alias("key"),
                 ),
             )
@@ -231,7 +260,7 @@ def simhash_pairs(
             F.col(id_col).alias("doc_id"),
             simhash(F.transform(tokens(text_col), h60), bits).alias("__sh"),
         )
-        .repartition("doc_id")  # barrier: chunk extraction references __sh per band
+        .transform(lambda d: _barrier(d, "doc_id"))  # barrier: chunk extraction references __sh per band
         # self-join reads the hash pipeline twice; materialize it once
         # (16 bytes/doc — trivially cacheable at any corpus size)
         .persist(StorageLevel.MEMORY_AND_DISK)

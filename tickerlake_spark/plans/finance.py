@@ -37,22 +37,23 @@ __all__ = [
 def stock_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLCV bars derived from lineitem (see module docstring).
 
-    The scan is repartitioned to full parallelism first: the sf0.1 lineitem
-    file maps to only 3 scan tasks, which would serialize the min_by/struct
-    partial aggregation; at real scale the scan width comes from file splits
-    and this repartition collapses into AQE-planned exchanges.
+    The first/last tie-break order is (orderkey, linenumber, price, qty), but
+    (orderkey, linenumber) is already lineitem's primary key, so the total
+    order collapses to the single long ``orderkey * 10 + linenumber``
+    (linenumber ∈ 1..7). That keeps the min_by/max_by aggregation buffer a
+    fixed-width primitive, so the groupBy plans as HashAggregate — a
+    struct-typed ordering key would force SortAggregate, adding a full
+    per-partition sort on both sides of the shuffle, pure waste at 100 TB.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    order_struct = F.struct(
-        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
-    )
+    order_key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
     return (
         li.select(
             F.col("l_suppkey").cast("string").alias("ticker"),
             F.col("l_shipdate").cast("date").alias("date"),
             F.col("l_extendedprice").alias("price"),
             F.col("l_quantity").alias("qty"),
-            order_struct.alias("__ord"),
+            order_key.alias("__ord"),
         )
         .groupBy("ticker", "date")
         .agg(
