@@ -55,6 +55,13 @@ def stock_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").alias("qty"),
             order_key.alias("__ord"),
         )
+        # ONE shuffle for the whole downstream finance chain: hash on ticker
+        # alone satisfies the (ticker, date) groupBy here AND every consumer
+        # — resample groupBys, indicator/VWAP windows all cluster on ticker
+        # (subset rule: hashpartitioning(ticker) ⊆ their clustering keys), so
+        # none of them re-exchanges the bars. Partial aggregation still runs
+        # map-side before this exchange.
+        .repartition(F.col("ticker"))
         .groupBy("ticker", "date")
         .agg(
             F.min_by("price", "__ord").alias("open"),
