@@ -118,6 +118,18 @@ def test_whole_stage_codegen_on_core_aggregation(spark, sf_dir):
     assert plan.count("*(") >= 2, "core aggregation not in whole-stage codegen:\n" + plan
 
 
+@pytest.mark.parametrize("name", ["q34_indicators", "q35_vwap_signals"])
+def test_finance_chain_single_fact_exchange(spark, sf_dir, name):
+    """The whole finance chain (bars -> adjust -> windows) must shuffle the
+    fact exactly once: the ticker-hash exchange. The only other allowed
+    hash exchange is the tiny splits-dim groupBy feeding its broadcast."""
+    plan = _physical_plan(QUERIES[name].fn(spark, sf_dir))
+    n_hash = sum(
+        "Exchange hashpartitioning" in line for line in plan.splitlines()
+    )
+    assert n_hash <= 2, f"{name}: fact shuffled more than once:\n{plan}"
+
+
 @pytest.mark.parametrize("name", ["q03_shipping_priority", "q13_topk_sort"])
 def test_topk_uses_take_ordered(spark, sf_dir, name):
     """Global sort + limit must plan as TakeOrderedAndProject (heap top-k,
