@@ -131,3 +131,25 @@ def test_fingerprint_short_text_guard(spark):
     out = {r.doc_id: r for r in fingerprint(df).collect()}
     assert out[1].distinct_shingles_5 == 0  # shorter than one shingle
     assert out[2].distinct_shingles_5 == 4
+
+
+def test_repetition_stats_edges(spark):
+    from tickerlake_spark.operators.text_analysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # fully repetitive
+            (2, "one two three four five six"),  # no repetition
+            (3, "hi"),  # shorter than any n-gram
+            (4, "go go stop go go stop go go"),  # partial repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].rep_2gram == pytest.approx(1 - 1 / 5)
+    assert out[1].is_repetitious
+    assert out[2].rep_2gram == 0.0 and out[2].rep_3gram == 0.0
+    assert not out[2].is_repetitious
+    assert out[3].rep_2gram == 0.0 and not out[3].is_repetitious
+    # doc 4: 7 bigrams, distinct {go go, go stop, stop go} = 3 -> 4/7
+    assert out[4].rep_2gram == pytest.approx(1 - 3 / 7)

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from tickerlake_spark.functions.text import PUNCT_CLASS, STOPWORDS, h60, tokens
 
-__all__ = ["text_stats", "detect_language", "fingerprint"]
+__all__ = ["text_stats", "detect_language", "fingerprint", "repetition_stats"]
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -49,6 +49,48 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         (n_upper / n_chars).alias("upper_ratio"),
         stop_ratio.alias("stopword_ratio"),
         quality.alias("is_quality"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_rep_2gram: float = 0.3,
+    max_rep_3gram: float = 0.2,
+) -> DataFrame:
+    """Within-document repetition ratios — the Gopher/FineWeb-style signal
+    that catches boilerplate and degenerate generation loops that per-token
+    stats (text_stats) miss.
+
+    rep_ngram_k = 1 − distinct_k_grams / total_k_grams (0 = no repetition).
+    ``is_repetitious`` flags docs whose 2-gram or 3-gram ratio exceeds the
+    thresholds. Pure per-row map: zero shuffles, scan-speed over 100 TB.
+    """
+
+    def rep(n: int) -> Column:
+        toks = tokens(text_col)
+        # guard: Spark's sequence(0, m) runs DESCENDING for m < 0, so docs
+        # shorter than n tokens need an explicit empty gram list
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        total = F.size(grams)
+        return F.when(
+            total > 0,
+            1.0 - F.size(F.array_distinct(grams)) / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    rep2, rep3 = rep(2), rep(3)
+    return df.select(
+        F.col(id_col),
+        rep2.alias("rep_2gram"),
+        rep3.alias("rep_3gram"),
+        ((rep2 > max_rep_2gram) | (rep3 > max_rep_3gram)).alias("is_repetitious"),
     )
 
 

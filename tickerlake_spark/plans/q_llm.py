@@ -491,3 +491,48 @@ def q53_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
+
+
+@register(
+    "q56_repetition_ratio",
+    doc="Within-document n-gram repetition ratios (Gopher/FineWeb-style "
+    "boilerplate signal): rep_k = 1 - distinct_k_grams/total_k_grams, "
+    "flagged over per-k thresholds. Pure per-row map, zero shuffles.",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> array_to_string(list_slice(t, i, i + 1), ' '))
+         ELSE [] END AS g2,
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(list_slice(t, i, i + 2), ' '))
+         ELSE [] END AS g3
+  FROM toks
+),
+rep AS (
+  SELECT doc_id,
+    CASE WHEN len(g2) > 0 THEN 1 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE) ELSE 0.0 END AS r2,
+    CASE WHEN len(g3) > 0 THEN 1 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE) ELSE 0.0 END AS r3
+  FROM grams
+)
+SELECT doc_id,
+       ROUND(r2 + 5e-9, 6) AS rep_2gram,
+       ROUND(r3 + 5e-9, 6) AS rep_3gram,
+       (r2 > 0.3 OR r3 > 0.2) AS is_repetitious
+FROM rep
+""",
+)
+def q56_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.text_analysis import repetition_stats
+
+    df = repetition_stats(load_table(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        stable_round(F.col("rep_2gram"), 6).alias("rep_2gram"),
+        stable_round(F.col("rep_3gram"), 6).alias("rep_3gram"),
+        "is_repetitious",
+    )
