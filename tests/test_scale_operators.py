@@ -212,3 +212,52 @@ def test_validation_detects_injected_drift(spark, sf_dir):
     )
     report = validate_split_adjustment(bars, splits, broken)
     assert report.filter(~F.col("ok")).count() == report.count()
+
+
+# --------------------------------------------------------------------------
+# operators/rangejoin.py — bucketed range join
+
+
+def test_range_join_matches_naive_theta_join(spark, sf_dir):
+    from tickerlake_spark.operators.rangejoin import bucketed_range_join
+
+    points = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    bands = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey",
+        (F.col("s_acctbal") * 30).alias("lo"),
+        (F.col("s_acctbal") * 30 + 4000).alias("hi"),
+    )
+    fast = bucketed_range_join(
+        points, bands, "o_totalprice", "lo", "hi", bucket_width=3000.0
+    ).select("o_orderkey", "s_suppkey")
+    naive = (
+        points.crossJoin(bands)
+        .filter(
+            (F.col("lo") <= F.col("o_totalprice"))
+            & (F.col("o_totalprice") < F.col("hi"))
+        )
+        .select("o_orderkey", "s_suppkey")
+    )
+    assert fast.exceptAll(naive).isEmpty() and naive.exceptAll(fast).isEmpty()
+    plan = _final_plan(fast)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_edges(spark):
+    from tickerlake_spark.operators.rangejoin import bucketed_range_join
+
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 9.99), (3, 10.0), (4, -5.0)], "pid long, p double"
+    )
+    iv = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, -10.0, 0.0), (300, 5.0, 5.0)],
+        "iid long, lo double, hi double",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in bucketed_range_join(points, iv, "p", "lo", "hi", 4.0).collect()
+    )
+    # hi exclusive, lo inclusive; empty interval (300) matches nothing
+    assert got == [(1, 100), (2, 100), (4, 200)]

@@ -309,3 +309,35 @@ def q64_date_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "date", "n", stable_round(F.col("mean_n"), 6).alias("mean_n"), "status"
     )
+
+
+@register(
+    "q65_range_join",
+    doc="Point-in-interval range join (operators/rangejoin.py): bucketed "
+    "equi-join + residual instead of the O(n*m) nested-loop a bare "
+    "inequality join plans as. Irregular overlapping price bands derived "
+    "from supplier; DuckDB's IEJoin is the oracle.",
+    oracle="""
+WITH bands AS (
+  SELECT s_suppkey,
+         s_acctbal * 30 AS lo,
+         s_acctbal * 30 + 2000 + (s_suppkey % 7) * 500 AS hi
+  FROM supplier
+)
+SELECT o.o_orderkey, b.s_suppkey, o.o_totalprice, b.lo, b.hi
+FROM orders o JOIN bands b
+  ON b.lo <= o.o_totalprice AND o.o_totalprice < b.hi
+""",
+)
+def q65_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.rangejoin import bucketed_range_join
+
+    points = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") * 30).alias("lo"),
+        (F.col("s_acctbal") * 30 + 2000 + (F.col("s_suppkey") % 7) * 500).alias("hi"),
+    )
+    return bucketed_range_join(
+        points, bands, "o_totalprice", "lo", "hi", bucket_width=2500.0
+    ).select("o_orderkey", "s_suppkey", "o_totalprice", "lo", "hi")
