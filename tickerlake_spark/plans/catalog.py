@@ -146,6 +146,7 @@ def _ensure_loaded() -> None:
         return
     from tickerlake_spark.plans import (  # noqa: F401
         q_core,
+        q_datapipe,
         q_extra,
         q_finance,
         q_llm,

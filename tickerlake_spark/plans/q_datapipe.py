@@ -1,0 +1,690 @@
+"""Training-data-pipeline queries, batch 2: relevance scoring, sampling,
+quality filtering, PII masking, embedding compression, and three further
+classic join/agg plan shapes (decorrelated min-per-group, large-orders
+having, market-share multi-join).
+
+All hot paths are JVM expressions (whole-stage codegen); the only floats that
+cross an aggregation boundary are rounded via ``stable_round`` on both
+engines. Rankings order on full-precision scores WITHIN each engine and
+tie-break on integer/string keys, so the selected row SET is deterministic
+cross-engine (equal inputs produce bitwise-equal scores; mathematically
+distinct scores differ by far more than the ulp-level libm drift).
+
+Scale notes per query live in the docstrings — the common theme: everything
+is a hash-shuffle on a key or a broadcast of a scalar/dim table; no driver
+collects, no O(n^2) stages, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tickerlake_spark.functions.core import stable_round
+from tickerlake_spark.functions.text import h60, tokens
+from tickerlake_spark.plans.catalog import load_table, register
+
+_TOK_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Relevance scoring: TF-IDF and BM25
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q66_tfidf_topterms",
+    doc="TF-IDF top-3 terms per document (doc_id < 100), IDF over the full "
+    "corpus. Plan: tokenize -> explode -> two hash aggs (term freq per doc, "
+    "doc freq per term) -> broadcast the 1-row corpus count -> ranking "
+    "window per doc. The explode shuffles (doc_id, term) pairs only, never "
+    "document text; df and N are corpus-global but reduce to a broadcast "
+    "join, so the plan is linear in total postings at 100 TB.",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL} AS t FROM documents
+),
+terms AS (
+  SELECT doc_id, unnest(t) AS term, len(t) AS n FROM tok WHERE len(t) > 0
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS c, MAX(n) AS n
+  FROM terms GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM tok WHERE len(t) > 0),
+scored AS (
+  SELECT f.doc_id, f.term, f.c, d.df,
+         (CAST(f.c AS DOUBLE) / f.n)
+           * (ln((n_docs + 1.0) / (d.df + 1.0)) + 1.0) AS score
+  FROM tf f JOIN dfreq d USING (term), nd
+  WHERE f.doc_id < 100
+)
+SELECT doc_id, term, c AS term_count, df AS doc_freq,
+       ROUND(score + 5e-9, 6) AS tfidf
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+)
+def q66_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") > 0)
+    terms = tok.select(
+        "doc_id", F.explode("t").alias("term"), F.size("t").alias("n")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count("*").alias("c"), F.max("n").alias("n")
+    )
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    nd = tok.agg(F.count("*").alias("n_docs"))
+    score = (F.col("c").cast("double") / F.col("n")) * (
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    scored = (
+        tf.filter(F.col("doc_id") < 100)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("c").alias("term_count"),
+            F.col("df").alias("doc_freq"),
+            stable_round(F.col("score"), 6).alias("tfidf"),
+        )
+    )
+
+
+_BM25_TERMS = ("spark", "table", "query")
+_K1, _B = 1.2, 0.75
+
+
+@register(
+    "q67_bm25_rank",
+    doc="BM25 (k1=1.2, b=0.75) ranking of the corpus for a 3-term query; "
+    "top 50 docs. Same linear postings plan as q66: the per-term df and the "
+    "corpus (N, avgdl) scalars broadcast; only docs containing a query term "
+    "ever leave the scan (predicate on the exploded term), so at 100 TB the "
+    "score aggregation touches the inverted-index slice, not the corpus.",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL} AS t FROM documents
+),
+doclen AS (SELECT doc_id, len(t) AS dl FROM tok WHERE len(t) > 0),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM doclen),
+terms AS (
+  SELECT doc_id, unnest(t) AS term FROM tok WHERE len(t) > 0
+),
+qtf AS (
+  SELECT doc_id, term, COUNT(*) AS f
+  FROM terms WHERE term IN ('spark', 'table', 'query')
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms
+  WHERE term IN ('spark', 'table', 'query') GROUP BY term
+),
+contrib AS (
+  SELECT q.doc_id,
+         ln(1.0 + (n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (q.f * ({_K1} + 1.0))
+           / (q.f + {_K1} * (1.0 - {_B} + {_B} * l.dl / avgdl)) AS part
+  FROM qtf q
+  JOIN dfreq d USING (term)
+  JOIN doclen l USING (doc_id), stats
+),
+scored AS (SELECT doc_id, SUM(part) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, ROUND(score + 5e-9, 6) AS bm25
+FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 50
+""",
+)
+def q67_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") > 0)
+    doclen = tok.select("doc_id", F.size("t").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    terms = tok.select("doc_id", F.explode("t").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    qtf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("f"))
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    part = (
+        F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("f") * (_K1 + 1.0))
+        / (F.col("f") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        qtf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("part", part)
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", stable_round(F.col("score"), 6).alias("bm25"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampling / quality / PII
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q68_stratified_sample",
+    doc="Deterministic stratified sampling: per-language rates (en 10%, "
+    "de 20%, others 50%) via h60(doc key) mod 100 — a pure map-side filter, "
+    "reproducible across engines and runs (the scalable replacement for "
+    "rand()-based sampling; cf. the reference's unseeded shuffle sample, "
+    "silver/validation.py:142-145). Zero shuffles: the filter composes with "
+    "scan pushdown and the output is the kept rows themselves.",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(concat('0x', substr(md5(concat('strat-', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100
+      < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 20 ELSE 50 END
+""",
+)
+def q68_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang") == "de", 20)
+        .otherwise(50)
+    )
+    bucket = F.pmod(h60(F.concat(F.lit("strat-"), F.col("doc_id").cast("string"))), F.lit(100))
+    return d.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+@register(
+    "q69_quality_filter",
+    doc="Gopher-style document quality rules: word-count bounds, mean word "
+    "length, punctuation ratio, stopword evidence — each a flag plus the "
+    "underlying metric, and a conjunctive keep. All row-local array/string "
+    "expressions: no shuffle at all, runs at scan speed over 100 TB.",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_words,
+         CAST(list_aggregate(list_transform(
+             regexp_split_to_array(lower(trim(text)), '\\s+'),
+             x -> len(x)), 'sum') AS DOUBLE)
+           / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS mwl,
+         CAST(len(text) - len(regexp_replace(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+           / len(text) AS punct_ratio,
+         len(list_intersect(
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+             ['the', 'a', 'of', 'and', 'to'])) AS stop_hits
+  FROM documents WHERE len(text) > 0
+)
+SELECT doc_id, n_words,
+       ROUND(mwl + 5e-9, 6) AS mean_word_len,
+       ROUND(punct_ratio + 5e-9, 6) AS punct_ratio,
+       stop_hits,
+       (n_words BETWEEN 10 AND 100000) AS ok_words,
+       (mwl >= 2.0 AND mwl <= 12.0) AS ok_word_len,
+       (punct_ratio <= 0.2) AS ok_punct,
+       (stop_hits >= 1) AS ok_stop,
+       (n_words BETWEEN 10 AND 100000 AND mwl >= 2.0 AND mwl <= 12.0
+        AND punct_ratio <= 0.2 AND stop_hits >= 1) AS keep
+FROM m
+""",
+)
+def q69_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.functions.text import PUNCT_CLASS
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = tokens("text")
+    n_words = F.size(t)
+    mwl = (
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).cast("double")
+        / n_words
+    )
+    punct_ratio = (
+        (F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))).cast(
+            "double"
+        )
+        / F.length("text")
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(t), F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "to"]])
+        )
+    )
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mwl"),
+        punct_ratio.alias("punct_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+    ok_words = F.col("n_words").between(10, 100000)
+    ok_word_len = (F.col("mwl") >= 2.0) & (F.col("mwl") <= 12.0)
+    ok_punct = F.col("punct_ratio") <= 0.2
+    ok_stop = F.col("stop_hits") >= 1
+    return m.select(
+        "doc_id",
+        "n_words",
+        stable_round(F.col("mwl"), 6).alias("mean_word_len"),
+        stable_round(F.col("punct_ratio"), 6).alias("punct_ratio"),
+        "stop_hits",
+        ok_words.alias("ok_words"),
+        ok_word_len.alias("ok_word_len"),
+        ok_punct.alias("ok_punct"),
+        ok_stop.alias("ok_stop"),
+        (ok_words & ok_word_len & ok_punct & ok_stop).alias("keep"),
+    )
+
+
+@register(
+    "q70_pii_mask",
+    doc="PII detection/redaction shapes: synthesize deterministic phone + "
+    "email strings from customer keys (the driver tables carry no real "
+    "PII), then mask all but the last 4 phone digits and all but the first "
+    "email-local char. Pure row-local regex/string ops — scan-speed "
+    "scrubbing, the standard pre-training redaction pass.",
+    oracle="""
+WITH pii AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 900 + 100 AS VARCHAR) || '-'
+           || lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0') AS phone,
+         lower(replace(c_name, '#', '')) || '@example.com' AS email
+  FROM customer WHERE c_custkey < 500
+)
+SELECT c_custkey, phone,
+       regexp_replace(substr(phone, 1, len(phone) - 4), '[0-9]', '*', 'g')
+         || substr(phone, len(phone) - 3, 4) AS masked_phone,
+       email,
+       substr(split_part(email, '@', 1), 1, 1)
+         || repeat('*', len(split_part(email, '@', 1)) - 1)
+         || '@' || split_part(email, '@', 2) AS masked_email
+FROM pii
+""",
+)
+def q70_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    phone = F.concat(
+        (F.col("c_custkey") % 900 + 100).cast("string"),
+        F.lit("-"),
+        F.lpad(((F.col("c_custkey") * 7) % 10000).cast("string"), 4, "0"),
+    )
+    email = F.concat(
+        F.lower(F.regexp_replace("c_name", "#", "")), F.lit("@example.com")
+    )
+    pii = c.select("c_custkey", phone.alias("phone"), email.alias("email"))
+    local = F.substring_index("email", "@", 1)
+    domain = F.substring_index("email", "@", -1)
+    masked_phone = F.concat(
+        F.regexp_replace(
+            F.expr("substr(phone, 1, length(phone) - 4)"), "[0-9]", "*"
+        ),
+        F.expr("substr(phone, length(phone) - 3, 4)"),
+    )
+    masked_email = F.concat(
+        F.substring(local, 1, 1),
+        F.expr("repeat('*', length(substring_index(email, '@', 1)) - 1)"),
+        F.lit("@"),
+        domain,
+    )
+    return pii.select(
+        "c_custkey",
+        "phone",
+        masked_phone.alias("masked_phone"),
+        "email",
+        masked_email.alias("masked_email"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q71_percentiles_exact",
+    doc="Exact linear-interpolated percentiles (p25/p50/p75/p95) of "
+    "extended price per return flag — Spark's `percentile` aggregate vs "
+    "DuckDB's quantile_cont. Exact percentiles need the full value "
+    "multiset per group (that's inherent); per-group state is the sorted "
+    "digest, and groups are few — for streaming/huge-cardinality cases "
+    "approx_percentile is the scale path.",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25) + 5e-9, 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50) + 5e-9, 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75) + 5e-9, 6) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.95) + 5e-9, 6) AS p95,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q71_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"), F.count("*").alias("n"))
+        .select(
+            "l_returnflag",
+            stable_round(F.element_at("p", 1), 6).alias("p25"),
+            stable_round(F.element_at("p", 2), 6).alias("p50"),
+            stable_round(F.element_at("p", 3), 6).alias("p75"),
+            stable_round(F.element_at("p", 4), 6).alias("p95"),
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression / centroids
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q72_embedding_quantize",
+    doc="Symmetric int8 quantization of embeddings: per-vector scale = "
+    "127/max|x|, q_i = clamp(floor(x*scale + .5)) — explicit floor(+0.5) "
+    "so both engines round identically. Reports the reconstruction L2 "
+    "error and the int checksum. Row-local array math (zip_with/aggregate) "
+    "— zero shuffle; this is the 4x storage cut before ANN indexing.",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+         list_aggregate(list_transform(e, x -> abs(x)), 'max') AS amax
+  FROM v
+),
+sc AS (
+  SELECT vec_id, e,
+         CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS scale
+  FROM s
+),
+q AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, x ->
+           CAST(greatest(-127.0, least(127.0, floor(x * scale + 0.5))) AS BIGINT)) AS qv
+  FROM sc
+)
+SELECT vec_id,
+       ROUND(scale + 5e-9, 6) AS scale,
+       ROUND(sqrt(list_aggregate(
+         list_transform(range(1, len(e) + 1),
+                        i -> (e[i] - qv[i] / scale) * (e[i] - qv[i] / scale)),
+         'sum')) + 5e-9, 6) AS l2_err,
+       list_aggregate(qv, 'sum') AS q_checksum
+FROM q
+""",
+)
+def q72_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.functions.vector import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double_array("embedding").alias("e"))
+    amax = F.aggregate(
+        F.transform("e", lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x)
+    )
+    s = v.withColumn("scale", F.when(amax > 0, 127.0 / amax).otherwise(F.lit(1.0)))
+    qv = F.transform(
+        "e",
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x * F.col("scale") + 0.5))
+        ).cast("long"),
+    )
+    q = s.withColumn("qv", qv)
+    err2 = F.aggregate(
+        F.zip_with(
+            "e",
+            "qv",
+            lambda x, qq: (x - qq / F.col("scale")) * (x - qq / F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return q.select(
+        "vec_id",
+        stable_round(F.col("scale"), 6).alias("scale"),
+        stable_round(F.sqrt(err2), 6).alias("l2_err"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_checksum"
+        ),
+    )
+
+
+@register(
+    "q73_label_centroids",
+    doc="Per-label centroid of the embedding space, one output row per "
+    "(label, dimension): posexplode -> hash agg on (label, pos). The "
+    "explode shuffles (label, pos, value) triples — 64x the row count but "
+    "24 bytes each, and partial aggregation runs map-side, so the exchange "
+    "carries ~n_labels*dim rows per task. The per-label k-means seed step "
+    "at corpus scale.",
+    oracle="""
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+ev AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN idx
+)
+SELECT label, pos, ROUND(AVG(val) + 5e-9, 6) AS centroid_val, COUNT(*) AS n
+FROM ev GROUP BY label, pos
+""",
+)
+def q73_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.functions.vector import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.select(
+        "label", F.posexplode(as_double_array("embedding")).alias("pos", "val")
+    )
+    return ev.groupBy("label", "pos").agg(
+        stable_round(F.avg("val"), 6).alias("centroid_val"), F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classic plan shapes: decorrelated min-per-group, having, market share
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q74_top_supplier_per_part",
+    doc="Decorrelated per-group argmax with join-back (TPC-H Q2's shape on "
+    "the available tables): per part, the supplier with the highest total "
+    "shipped quantity; ranking key (total_qty DESC, suppkey ASC) is all-"
+    "integer, so cross-engine deterministic. One agg shuffle on (partkey, "
+    "suppkey), one ranking window on partkey, dims broadcast.",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem WHERE l_partkey < 1000
+  GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey
+                               ORDER BY total_qty DESC, l_suppkey ASC) AS rn
+  FROM ps
+)
+SELECT b.l_partkey AS partkey, p.p_name, b.l_suppkey AS suppkey, s.s_name,
+       b.total_qty
+FROM best b
+JOIN part p ON p.p_partkey = b.l_partkey
+JOIN supplier s ON s.s_suppkey = b.l_suppkey
+WHERE b.rn = 1
+""",
+)
+def q74_top_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 1000)
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("long").alias("total_qty")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("total_qty").desc(), F.col("l_suppkey").asc()
+    )
+    best = ps.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "p_name",
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q75_revenue_filter_agg",
+    doc="TPC-H Q6 shape: tight filter -> single global agg. The whole "
+    "query is a map-side partial sum + 1-row exchange; the three "
+    "predicates all push to the parquet scan.",
+    oracle="""
+SELECT ROUND(SUM(l_extendedprice * l_discount) + 5e-7, 4) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q75_revenue_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            stable_round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q76_large_orders",
+    doc="TPC-H Q18 shape: groupBy-HAVING on the fact, then join back to "
+    "orders + customer. The having-filtered orderkey set is small, so AQE "
+    "turns the join-back into a broadcast at runtime; the only big shuffle "
+    "is the orderkey agg.",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 250
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def q76_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
+    )
+
+
+@register(
+    "q77_market_share",
+    doc="TPC-H Q8 shape: supplier-nation market share within a customer "
+    "region, by order year. Six-table join where every dimension chain "
+    "(supplier->nation, customer->nation->region) broadcasts; the fact "
+    "shuffles once for the year agg. Share = conditional sum / total sum.",
+    oracle="""
+SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+       ROUND(SUM(CASE WHEN ns.n_name = 'NATION_7'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)) + 5e-9, 6) AS mkt_share,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 5e-7, 4) AS total_revenue
+FROM lineitem l
+JOIN orders o    ON o.o_orderkey = l.l_orderkey
+JOIN customer c  ON c.c_custkey = o.o_custkey
+JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+JOIN region r    ON r.r_regionkey = nc.n_regionkey
+JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+WHERE r.r_name = 'EUROPE'
+GROUP BY EXTRACT(year FROM o.o_orderdate)
+""",
+)
+def q77_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    nc = n.alias("nc")
+    ns = n.alias("ns")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("nc.n_nationkey") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(r),
+            (F.col("r_regionkey") == F.col("nc.n_regionkey"))
+            & (F.col("r_name") == "EUROPE"),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("ns.n_nationkey") == F.col("s_nationkey"))
+    )
+    return (
+        joined.withColumn("rev", rev)
+        .withColumn(
+            "nation_rev",
+            F.when(F.col("ns.n_name") == "NATION_7", F.col("rev")).otherwise(F.lit(0.0)),
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            stable_round(F.sum("nation_rev") / F.sum("rev"), 6).alias("mkt_share"),
+            stable_round(F.sum("rev"), 4).alias("total_revenue"),
+        )
+    )
