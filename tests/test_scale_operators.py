@@ -261,3 +261,38 @@ def test_range_join_edges(spark):
     )
     # hi exclusive, lo inclusive; empty interval (300) matches nothing
     assert got == [(1, 100), (2, 100), (4, 200)]
+
+
+def test_connected_components_chain_and_cliques(spark):
+    from tickerlake_spark.operators.graph import (
+        canonical_per_component,
+        connected_components,
+    )
+
+    # a 6-node chain (diameter 5), a 3-clique, and a 2-node pair
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "src long, dst long",
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert {comp[i] for i in range(6)} == {0}
+    assert {comp[i] for i in (10, 11, 12)} == {10}
+    assert comp[20] == comp[21] == 20
+    canon = {
+        r.component: (r.n_members, r.keep_node)
+        for r in canonical_per_component(connected_components(edges)).collect()
+    }
+    assert canon == {0: (6, 0), 10: (3, 10), 20: (2, 20)}
+
+
+def test_connected_components_pointer_doubling_depth(spark):
+    """A 33-node chain converges well under the diameter bound (O(log d))."""
+    from tickerlake_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "src long, dst long"
+    )
+    comp = connected_components(edges, max_iter=10)
+    assert comp.select("component").distinct().count() == 1

@@ -510,6 +510,192 @@ def q73_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Dedup clustering: pairs -> connected components -> canonical keep
+# ---------------------------------------------------------------------------
+
+_CC_EDGES_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100
+),
+dup_edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM corpus a JOIN corpus b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+),
+chain_edges AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id < 20
+),
+edges AS (SELECT * FROM dup_edges UNION SELECT * FROM chain_edges),
+sym AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION SELECT dst AS a, src AS b FROM edges
+)"""
+
+_CC_CLOSURE_SQL = f"""
+WITH RECURSIVE {_CC_EDGES_SQL},
+reach(node, lbl) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.node
+),
+components AS (
+  SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+)"""
+
+
+def _cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.graph import connected_components
+
+    corpus = _cc_corpus(spark, sf_dir)
+    a = corpus.select(F.col("doc_id").alias("ida"), F.md5("text").alias("h"))
+    b = corpus.select(F.col("doc_id").alias("idb"), F.md5("text").alias("h"))
+    dup_edges = (
+        a.join(b, "h")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
+    )
+    chain = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+    )
+    edges = dup_edges.union(chain).distinct()
+    return connected_components(edges, "src", "dst")
+
+
+def _cc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dup)
+
+
+@register(
+    "q78_connected_components",
+    doc="Connected components over the duplicate-similarity graph "
+    "(exact-dup pairs on a corpus with 100 injected copies, plus a 21-node "
+    "chain exercising multi-hop label propagation). Spark: iterative "
+    "min-label propagation, one join+agg per iteration, lineage truncated "
+    "via localCheckpoint (operators/graph.py — the transitive-closure step "
+    "every pair-emitting dedup needs). Oracle: DuckDB recursive CTE "
+    "closure. Output label = min reachable id per node.",
+    oracle=f"""
+{_CC_CLOSURE_SQL}
+SELECT node, component FROM components
+""",
+)
+def q78_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cc_components(spark, sf_dir)
+
+
+@register(
+    "q79_dedup_canonical",
+    doc="Canonical-keep decision per duplicate cluster: component label, "
+    "member count, kept (min-id) document. The terminal step of the dedup "
+    "pipeline — one hash-agg over the component table.",
+    oracle=f"""
+{_CC_CLOSURE_SQL}
+SELECT component, COUNT(*) AS n_members, MIN(node) AS keep_node
+FROM components GROUP BY component
+""",
+)
+def q79_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.graph import canonical_per_component
+
+    return canonical_per_component(_cc_components(spark, sf_dir))
+
+
+@register(
+    "q80_nearest_centroid",
+    doc="Nearest-centroid assignment (one k-means E-step): per-label "
+    "centroids (rounded to 6dp on both engines so distances are computed "
+    "from identical inputs), then each vector joins ALL centroids via "
+    "broadcast (k rows) and takes argmin L2 — a map-side broadcast "
+    "nested-loop, the scalable assignment plan (no shuffle of the vector "
+    "table). Distance folds run in index order on both engines, so "
+    "results are bitwise-comparable; ties break on label asc.",
+    oracle="""
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+ev AS (
+  SELECT vec_id, label AS true_label, i - 1 AS pos,
+         CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN idx
+),
+cent AS (
+  SELECT true_label AS clabel, pos, ROUND(AVG(val) + 5e-9, 6) AS cval
+  FROM ev GROUP BY true_label, pos
+),
+cvecs AS (
+  SELECT clabel, list(cval ORDER BY pos) AS cvec FROM cent GROUP BY clabel
+),
+vvecs AS (
+  SELECT vec_id, label AS true_label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+dists AS (
+  SELECT v.vec_id, v.true_label, c.clabel,
+         list_aggregate(
+           list_transform(range(1, 65),
+                          i -> (v.e[i] - c.cvec[i]) * (v.e[i] - c.cvec[i])),
+           'sum') AS d2
+  FROM vvecs v CROSS JOIN cvecs c
+)
+SELECT vec_id, clabel AS assigned_label,
+       ROUND(sqrt(d2) + 5e-9, 6) AS dist,
+       (clabel = true_label) AS is_correct
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2 ASC, clabel ASC) AS rn
+  FROM dists
+) WHERE rn = 1
+""",
+)
+def q80_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.functions.vector import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.posexplode(as_double_array("embedding")).alias("pos", "val"),
+    )
+    cent = ev.groupBy(F.col("true_label").alias("clabel"), F.col("pos")).agg(
+        stable_round(F.avg("val"), 6).alias("cval")
+    )
+    cvecs = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda x: x.cval
+        ).alias("cvec")
+    )
+    vvecs = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        as_double_array("embedding").alias("e"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("e", "cvec", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    dists = vvecs.crossJoin(F.broadcast(cvecs)).withColumn("d2", d2)
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("clabel").asc())
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("clabel").alias("assigned_label"),
+            stable_round(F.sqrt("d2"), 6).alias("dist"),
+            (F.col("clabel") == F.col("true_label")).alias("is_correct"),
+        )
+    )
+
+
 @register(
     "q74_top_supplier_per_part",
     doc="Decorrelated per-group argmax with join-back (TPC-H Q2's shape on "
