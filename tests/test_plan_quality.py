@@ -136,3 +136,26 @@ def test_topk_uses_take_ordered(spark, sf_dir, name):
     no full global sort/exchange of the entire result)."""
     plan = _physical_plan(QUERIES[name].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q75_predicates_all_push_to_scan(spark, sf_dir):
+    """The Q6-shape query's shipdate/discount/quantity predicates must all
+    reach the parquet reader as PushedFilters."""
+    plan = _physical_plan(QUERIES["q75_revenue_filter_agg"].fn(spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed to scan"
+
+
+def test_q80_centroid_join_is_broadcast(spark, sf_dir):
+    """Nearest-centroid assignment must broadcast the k-row centroid table —
+    the vector table itself must never shuffle for the assignment join."""
+    plan = _physical_plan(QUERIES["q80_nearest_centroid"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q77_dimension_chains_broadcast(spark, sf_dir):
+    """Q8-shape market share: both nation chains and region/supplier must be
+    broadcast hash joins, never fact shuffles on dim keys."""
+    plan = _physical_plan(QUERIES["q77_market_share"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4

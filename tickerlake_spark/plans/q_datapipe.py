@@ -696,6 +696,168 @@ def q80_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Event analytics: funnel, cohort retention, batch sessionization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q81_funnel_conversion",
+    doc="Ordered funnel (view -> click -> purchase): per user, the first "
+    "view, the first click AFTER that view, the first purchase AFTER that "
+    "click, and the stage reached. Three filtered min-aggs chained by "
+    "time-constrained joins — each stage's table shrinks, and every join "
+    "key is user_id, so one user-hash partitioning serves the whole chain.",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS reached_stage
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id
+""",
+)
+def q81_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNull(), 0).otherwise(1)
+                + F.when(F.col("t_purchase").isNull(), 0).otherwise(1)
+            ).alias("reached_stage"),
+        )
+    )
+
+
+@register(
+    "q82_cohort_retention",
+    doc="Weekly cohort retention: cohort = Monday-truncated week of a "
+    "user's first event; one output row per (cohort, week_offset) with the "
+    "distinct users active that week. Two hash-aggs on user_id + one on "
+    "the (cohort, offset) pair — the user-grain tables are tiny relative "
+    "to the event log, standard retention shape at any scale.",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INTEGER) AS week_offset,
+       COUNT(*) AS n_users
+FROM first_seen f JOIN activity a USING (user_id)
+GROUP BY f.cohort_week, week_offset
+""",
+)
+def q82_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "q83_batch_sessionize",
+    doc="Batch sessionization with a 30-minute inactivity gap "
+    "(gaps-and-islands: lag + cumulative gap count over the user window — "
+    "same pattern as the stair-step miner, reference metadata.json:189-334)."
+    " One user-hash window; per-session rollup reuses the partitioning. "
+    "The batch complement of the streaming session_window (q62).",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq, MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
+FROM sessions GROUP BY user_id, session_seq
+""",
+)
+def q83_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wcum = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
+    as_epoch = lambda c: c.cast("timestamp").cast("long")
+    gap = as_epoch(F.col("ts")) - as_epoch(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sessions = marked.withColumn("session_seq", F.sum("new_session").over(wcum))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+        (F.max("ts").cast("timestamp").cast("long")
+         - F.min("ts").cast("timestamp").cast("long")).alias("duration_sec"),
+    )
+
+
 @register(
     "q74_top_supplier_per_part",
     doc="Decorrelated per-group argmax with join-back (TPC-H Q2's shape on "
