@@ -117,3 +117,39 @@ def test_conform_casts_and_missing(spark):
     ]
     row = out.first()
     assert row.volume == 100 and abs(row.open - 1.5) < 1e-6 and row.date is None
+
+
+def test_clustered_write_has_disjoint_file_ranges(spark, tmp_path):
+    """write_clustered must produce files whose cluster-key min/max ranges
+    are pairwise disjoint (the property that lets engines skip files on
+    range predicates) and row groups sorted within each file."""
+    import pyarrow.parquet as pq
+
+    from tickerlake_spark.storage.clustering import write_clustered
+
+    df = spark.range(0, 10_000).selectExpr(
+        "cast(id as long) as k", "cast(id % 97 as double) as v"
+    )
+    path = str(tmp_path / "clustered")
+    write_clustered(df, path, ["k"], num_files=4)
+
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        kmins, kmaxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            kmins.append(col.statistics.min)
+            kmaxs.append(col.statistics.max)
+        ranges.append((min(kmins), max(kmaxs)))
+    ranges.sort()
+    assert len(ranges) >= 2, "expected multiple clustered files"
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    # a range predicate must prune parquet files at planning time
+    got = spark.read.parquet(path).filter("k >= 9000").count()
+    assert got == 1000

@@ -696,6 +696,98 @@ def q80_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q84_small_qty_revenue",
+    doc="TPC-H Q17 shape: scalar correlated subquery (per-part average "
+    "quantity) decorrelated into a groupBy + join-back — the rewrite "
+    "Catalyst cannot skip and the only scalable form at 100 TB. The "
+    "threshold comparison is deterministic cross-engine: integer-valued "
+    "quantities sum exactly in doubles, so 0.2*avg is bitwise identical.",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0 + 5e-7, 4) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE l.l_quantity < pa.threshold
+""",
+)
+def q84_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("threshold")
+    )
+    return (
+        li.join(pa.withColumnRenamed("l_partkey", "pk"), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            stable_round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q85_late_supplier_blame",
+    doc="TPC-H Q21 shape (EXISTS + NOT EXISTS) adapted to the available "
+    "columns: per supplier, count orders where this supplier shipped late "
+    "(> 60 days after order date), at least one other supplier was on the "
+    "order, and no other supplier was late. Decorrelated into per-order "
+    "supplier/late-supplier counts — two hash-aggs replacing correlated "
+    "per-row subqueries; the exists/not-exists pair becomes integer "
+    "predicates on the counts.",
+    oracle="""
+WITH ls AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey,
+         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY l.l_orderkey, l.l_suppkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_supps,
+         SUM(is_late) AS n_late
+  FROM ls GROUP BY l_orderkey
+)
+SELECT s.s_name, ls.l_suppkey AS suppkey, COUNT(*) AS numwait
+FROM ls
+JOIN per_order p ON p.l_orderkey = ls.l_orderkey
+JOIN supplier s ON s.s_suppkey = ls.l_suppkey
+WHERE ls.is_late = 1 AND p.n_supps > 1 AND p.n_late = 1
+GROUP BY s.s_name, ls.l_suppkey
+""",
+)
+def q85_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    ls = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = ls.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").alias("n_supps"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        ls.join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("is_late") == 1) & (F.col("n_supps") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name", F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event analytics: funnel, cohort retention, batch sessionization
 # ---------------------------------------------------------------------------
