@@ -153,3 +153,60 @@ def test_streaming_dedup_with_watermark(spark, event_drops, tmp_path):
     finally:
         query.stop()
     assert n == events.count()  # drops were disjoint halves -> no loss, no dup
+
+
+def test_stateful_session_tracker_matches_batch_islands(spark, event_drops, tmp_path):
+    """Watermark-correct sessionization: every emitted session must match the
+    batch gaps-and-islands result over the full input, restricted to sessions
+    the final watermark could actually close — and each exactly once."""
+    from tickerlake_spark.streaming.stateful import session_tracker
+
+    drop_dir, events = event_drops
+    stream = stream_events(spark, drop_dir, events.schema, max_files_per_trigger=1)
+    sessions = session_tracker(stream, gap="30 minutes", watermark="1 hour")
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName("session_tracker_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = spark.sql("SELECT * FROM session_tracker_test").collect()
+    finally:
+        query.stop()
+
+    # final watermark = max event time of the FIRST drop (even ids) - 1h:
+    # the watermark active while the second (last) micro-batch ran
+    rows = events.select("event_id", "user_id", F.col("ts").cast("timestamp")).collect()
+    first_max_ms = max(
+        int(r.ts.timestamp() * 1000) for r in rows if r.event_id % 2 == 0
+    )
+    wm = first_max_ms - 3_600_000
+    gap_ms = 30 * 60_000
+
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[str(r.user_id)].append(int(r.ts.timestamp() * 1000))
+    expected = set()
+    for u, ts in per_user.items():
+        ts.sort()
+        cur = [ts[0]]
+        sess = []
+        for t in ts[1:]:
+            if t - cur[-1] > gap_ms:
+                sess.append(cur)
+                cur = [t]
+            else:
+                cur.append(t)
+        sess.append(cur)
+        for s in sess:
+            if s[-1] + gap_ms < wm:
+                expected.add((u, s[0], s[-1], len(s)))
+
+    emitted = [(r.user, r.session_start_ms, r.session_end_ms, r.n_events) for r in got]
+    assert len(emitted) == len(set(emitted)), "a session was emitted twice"
+    assert set(emitted) == expected and len(expected) > 0

@@ -788,6 +788,85 @@ def q85_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q86_trailing_active_users",
+    doc="Rolling 7-day distinct active users per day (the WAU curve). "
+    "COUNT DISTINCT over a sliding window isn't a window-function in either "
+    "engine; the scalable exact plan is: reduce to the (user, day) grain "
+    "first (one hash-agg, the big shrink), then a bounded range join day -> "
+    "[day-6, day] and a countDistinct per day. The range join fans each "
+    "(user, day) row out 7x — bounded, unlike a naive per-day self-join.",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day, COUNT(DISTINCT u.user_id) AS active_users_7d
+FROM days d
+JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+""",
+)
+def q86_trailing_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    u = ud.select(F.col("user_id"), F.col("day").alias("uday"))
+    return (
+        days.join(
+            u,
+            (F.col("uday") >= F.date_sub(F.col("day"), 6))
+            & (F.col("uday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )
+
+
+@register(
+    "q87_value_histogram",
+    doc="Fixed-width 20-bucket histogram of event values: global min/max "
+    "reduce to a broadcast scalar, bucket assignment is a map-side floor "
+    "expression, then one hash-agg on bucket id. The two-pass shape "
+    "(bounds, then bin) is the exact-histogram plan at any scale; "
+    "single-pass approximations swap in approx_percentile sketches.",
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events WHERE value IS NOT NULL
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20.0)) AS INTEGER), 19) AS bucket,
+         lo, hi
+  FROM events, bounds WHERE value IS NOT NULL
+)
+SELECT bucket,
+       ROUND(lo + bucket * ((hi - lo) / 20.0) + 5e-9, 6) AS bucket_lo,
+       COUNT(*) AS n
+FROM binned GROUP BY bucket, lo, hi
+""",
+)
+def q87_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("int"), F.lit(19)
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "lo", "hi")
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            stable_round(F.col("lo") + F.col("bucket") * width, 6).alias("bucket_lo"),
+            "n",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event analytics: funnel, cohort retention, batch sessionization
 # ---------------------------------------------------------------------------

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -35,7 +36,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["running_totals", "first_seen_filter"]
+__all__ = ["running_totals", "first_seen_filter", "session_tracker"]
 
 
 def running_totals(
@@ -127,4 +128,99 @@ def first_seen_filter(
         events = events.withWatermark(ts_col, watermark)
     return events.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def session_tracker(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermark-correct streaming sessionization (custom stateful op).
+
+    Buffers each user's event times in state, splits them into sessions by
+    ``gap``, and emits a session only once the event-time watermark has
+    passed ``session_end + gap`` — i.e. once no late event can extend or
+    bridge it. This handles out-of-order arrival that an eager gap-closer
+    would mis-sessionize; it is the applyInPandasWithState analog of the
+    built-in ``session_window`` (q62) with full control over the emitted
+    shape, and the stateful generalization of the batch gaps-and-islands
+    plan (q83).
+
+    State per user is the buffered not-yet-closable event times — bounded by
+    the watermark horizon, the standard streaming-sessionization bound.
+    Output: (user, session_start_ms, session_end_ms, n_events), append-style
+    (each closed session exactly once).
+    """
+    import re as _re
+
+    def _ms(spec: str) -> int:
+        m = _re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", spec.strip())
+        if not m:
+            raise ValueError(f"unsupported interval: {spec!r}")
+        mult = {"second": 1_000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
+        return int(m.group(1)) * mult[m.group(2)]
+
+    gap_ms = _ms(gap)
+
+    out_schema = StructType(
+        [
+            StructField("user", StringType()),
+            StructField("session_start_ms", LongType()),
+            StructField("session_end_ms", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("buf", ArrayType(LongType()))])
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        buf = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            if len(pdf):
+                # pandas datetime64[us/ns] -> epoch ms
+                buf.extend(
+                    int(v.value // 1_000_000) for v in pd.to_datetime(pdf[ts_col])
+                )
+        if not buf:
+            if state.exists:
+                state.remove()
+            return
+        buf.sort()
+        wm = state.getCurrentWatermarkMs()
+        sessions: list[list[int]] = [[buf[0]]]
+        for t in buf[1:]:
+            if t - sessions[-1][-1] > gap_ms:
+                sessions.append([t])
+            else:
+                sessions[-1].append(t)
+        closed = [s for s in sessions if s[-1] + gap_ms < wm]
+        kept = [t for s in sessions if s[-1] + gap_ms >= wm for t in s]
+        if kept:
+            state.update((kept,))
+        elif state.exists:
+            state.remove()
+        else:
+            state.update(([],))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user": [str(key[0])] * len(closed),
+                    "session_start_ms": [s[0] for s in closed],
+                    "session_end_ms": [s[-1] for s in closed],
+                    "n_events": [len(s) for s in closed],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
     )
