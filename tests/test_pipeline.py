@@ -184,3 +184,36 @@ class TestSilverGold:
         assert s["mode"] == "append"  # no new splits after watermark
         n2 = read_table(spark, cat.silver("daily_aggregates")).count()
         assert n2 == n1 + 2 * 2  # two new trading days x two tickers
+
+
+def test_cli_full_chain(tmp_path):
+    """python -m tickerlake_spark bronze/silver/gold/validate/clean over the
+    deterministic demo source — the console-script surface of the reference
+    (pyproject.toml [project.scripts]) driven end-to-end."""
+    import json
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "cli_data")
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "tickerlake_spark", *args],
+            capture_output=True, text=True, timeout=600,
+            cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    b = run("bronze", "--data-root", root, "--demo",
+            "--start", "2024-01-01", "--end", "2024-02-01")
+    assert b["rows"] > 0 and not b["limit_reached"]
+    s = run("silver", "--data-root", root)
+    assert s["mode"] == "full"
+    g = run("gold", "--data-root", root)
+    assert g["vwap_rows"] > 0
+    v = run("validate", "--data-root", root, "--min-records", "1")
+    assert v["split_adjustment"]["ok"]
+    assert v["date_counts"]["anomalous_dates"] == 0
+    c = run("clean", "--data-root", root, "--layer", "bronze")
+    assert len(c["dropped"]) == 3

@@ -1,0 +1,154 @@
+"""Command-line entry points mirroring the reference's console scripts.
+
+The reference exposes ``bronze`` / ``silver`` / ``gold`` / ``validate`` /
+``clean`` (reference: pyproject.toml [project.scripts]); here they are
+subcommands of ``python -m tickerlake_spark``:
+
+    python -m tickerlake_spark bronze --data-root ./data --demo \
+        --start 2024-01-01 --end 2024-03-01
+    python -m tickerlake_spark silver --data-root ./data
+    python -m tickerlake_spark gold --data-root ./data
+    python -m tickerlake_spark validate --data-root ./data
+    python -m tickerlake_spark clean --data-root ./data --layer bronze
+
+Bronze ingests through the ``MarketSource`` protocol. ``--demo`` wires the
+deterministic offline source below (no network in this environment); a real
+deployment implements ``MarketSource`` over the REST client of choice and
+passes it to ``pipeline.run_bronze`` — the scheduler, checkpointing, and
+write path are identical.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import sys
+
+
+def _demo_source(start: dt.date, end: dt.date):
+    """Deterministic offline MarketSource: 8 tickers, sine-ish prices derived
+    from (ticker, date) hashes, one split — enough to drive every downstream
+    stage."""
+    import hashlib
+
+    from tickerlake_spark.sources.calendar import trading_days
+    from tickerlake_spark.sources.market import InMemoryMarketSource
+
+    tickers = ["AAPL", "MSFT", "NVDA", "AMZN", "GOOG", "META", "TSLA", "SPY"]
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    bars_by_date: dict[dt.date, list[dict]] = {}
+    for d in trading_days(start, end):
+        # raw API row shape (schemas.STOCKS_RAW): window_start is epoch ms
+        ms = int(dt.datetime(d.year, d.month, d.day, tzinfo=dt.timezone.utc).timestamp() * 1000)
+        rows = []
+        for t in tickers:
+            base = 50.0 + (h(t) % 400)
+            wiggle = (h(f"{t}|{d}") % 1000) / 100.0
+            close = base + wiggle
+            rows.append(
+                {
+                    "ticker": t,
+                    "window_start": ms,
+                    "open": close - 1.0,
+                    "high": close + 2.0,
+                    "low": close - 2.5,
+                    "close": close,
+                    "volume": 1_000_000 + h(f"v|{t}|{d}") % 5_000_000,
+                    "transactions": 1000 + h(f"t|{t}|{d}") % 9000,
+                }
+            )
+        bars_by_date[d] = rows
+    ticker_rows = [
+        {"ticker": t, "name": f"{t} Inc", "type": "CS" if t != "SPY" else "ETF",
+         "primary_exchange": "XNAS", "active": True, "cik": str(1000 + i)}
+        for i, t in enumerate(tickers)
+    ]
+    mid = start + (end - start) / 2
+    split_rows = [
+        {"id": "demo-split-1", "ticker": "NVDA", "execution_date": mid,
+         "split_from": 1.0, "split_to": 4.0}
+    ]
+    return InMemoryMarketSource(bars_by_date, ticker_rows, split_rows)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="tickerlake_spark")
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument(
+        "--data-root",
+        default=None,
+        help="storage root (default $TICKERLAKE_DATA or ./data)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bronze", parents=[common], help="ingest bars/tickers/splits")
+    b.add_argument("--start", type=dt.date.fromisoformat, required=True)
+    b.add_argument("--end", type=dt.date.fromisoformat, required=True)
+    b.add_argument("--demo", action="store_true", help="use the deterministic offline source")
+    b.add_argument("--max-workers", type=int, default=4)
+    sub.add_parser("silver", parents=[common], help="split-adjust, resample, indicators")
+    sub.add_parser("gold", parents=[common], help="VWAP signals, HVC events, stair-step patterns")
+    v = sub.add_parser("validate", parents=[common], help="offline split-adjustment + count-anomaly checks")
+    v.add_argument("--min-records", type=int, default=5000,
+                   help="absolute per-date record floor for the anomaly check (reference default 5000)")
+    c = sub.add_parser("clean", parents=[common], help="drop a layer's tables")
+    c.add_argument("--layer", default="bronze", choices=["bronze", "silver", "gold"])
+
+    args = ap.parse_args(argv)
+
+    import os
+
+    from tickerlake_spark import pipeline
+    from tickerlake_spark.session import get_spark
+    from tickerlake_spark.storage.catalog import Catalog
+    from tickerlake_spark.storage.checkpoints import Checkpoints
+
+    catalog = Catalog(args.data_root) if args.data_root else Catalog()
+
+    if args.cmd == "clean":
+        import glob
+
+        from tickerlake_spark.storage.io import drop_table
+
+        layer_dir = os.path.join(catalog.root, args.layer)
+        dropped = []
+        for p in sorted(glob.glob(os.path.join(layer_dir, "*"))):
+            drop_table(p)
+            dropped.append(p)
+        print(json.dumps({"cmd": "clean", "dropped": dropped}))
+        return 0
+
+    spark = get_spark(app_name=f"tickerlake-{args.cmd}")
+    checkpoints = Checkpoints(os.path.join(catalog.root, "checkpoints.json"))
+    try:
+        if args.cmd == "bronze":
+            if not args.demo:
+                print(
+                    "no network source in this environment: pass --demo, or "
+                    "implement MarketSource and call pipeline.run_bronze",
+                    file=sys.stderr,
+                )
+                return 2
+            source = _demo_source(args.start, args.end)
+            result = pipeline.run_bronze(
+                spark, source, catalog, checkpoints, args.start, args.end,
+                max_workers=args.max_workers,
+            )
+        elif args.cmd == "silver":
+            result = pipeline.run_silver(spark, catalog, checkpoints)
+        elif args.cmd == "gold":
+            result = pipeline.run_gold(spark, catalog)
+        else:
+            result = pipeline.run_validate(spark, catalog, min_records=args.min_records)
+        print(json.dumps({"cmd": args.cmd, **result}, default=str))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
