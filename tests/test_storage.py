@@ -153,3 +153,26 @@ def test_clustered_write_has_disjoint_file_ranges(spark, tmp_path):
     # a range predicate must prune parquet files at planning time
     got = spark.read.parquet(path).filter("k >= 9000").count()
     assert got == 1000
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    from tickerlake_spark.storage.maintenance import compact_table, table_file_stats
+
+    path = str(tmp_path / "fragmented")
+    # simulate an append-accreted table: 8 tiny drops
+    for i in range(8):
+        spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id", "id * 2 as v"
+        ).coalesce(1).write.mode("append").parquet(path)
+    before_n, _ = table_file_stats(path)
+    assert before_n == 8
+    before = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+
+    stats = compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_before"] == 8 and stats["files_after"] == 1
+    after = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert after == before
+
+    # idempotent: already-compact tables are left alone
+    stats2 = compact_table(spark, path)
+    assert stats2["files_before"] == stats2["files_after"] == 1

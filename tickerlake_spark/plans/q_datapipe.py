@@ -867,6 +867,94 @@ def q87_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q88_zscore_normalize",
+    doc="Per-group z-score normalization (feature scaling): event values "
+    "standardized within their event_type using the sample stddev. "
+    "Group stats reduce to a tiny broadcast table; the normalization "
+    "itself is a map-side expression — the standard scalable "
+    "fit-then-transform split.",
+    oracle="""
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - s.mu) / s.sigma + 5e-9, 6) AS zscore
+FROM events e JOIN stats s USING (event_type)
+WHERE e.value IS NOT NULL AND s.sigma > 0
+""",
+)
+def q88_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return (
+        ev.join(F.broadcast(stats), F.col("event_type") == F.col("et"))
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_id",
+            "event_type",
+            stable_round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias(
+                "zscore"
+            ),
+        )
+    )
+
+
+@register(
+    "q89_column_profile",
+    doc="Data-profiling operator: per-column null count, distinct count, "
+    "and min/max (stringified) for the documents table — the A10/A11 "
+    "data-quality family generalized to a whole-table profile. One pass "
+    "per aggregate set; every stat is a plain hash-agg, so profiling cost "
+    "is one scan regardless of table width.",
+    oracle="""
+SELECT 'doc_id' AS col_name,
+       SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+       COUNT(DISTINCT doc_id) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+       CAST(MAX(doc_id) AS VARCHAR) AS max_val
+FROM documents
+UNION ALL
+SELECT 'lang',
+       SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT lang),
+       MIN(lang), MAX(lang)
+FROM documents
+UNION ALL
+SELECT 'source',
+       SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT source),
+       MIN(source), MAX(source)
+FROM documents
+UNION ALL
+SELECT 'n_chars',
+       SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT n_chars),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+FROM documents
+""",
+)
+def q89_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+
+    def profile(col: str) -> DataFrame:
+        return d.agg(
+            F.lit(col).alias("col_name"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_val"),
+            F.max(col).cast("string").alias("max_val"),
+        )
+
+    out = profile("doc_id")
+    for c in ("lang", "source", "n_chars"):
+        out = out.unionByName(profile(c))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Event analytics: funnel, cohort retention, batch sessionization
 # ---------------------------------------------------------------------------
