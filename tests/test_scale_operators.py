@@ -296,3 +296,35 @@ def test_connected_components_pointer_doubling_depth(spark):
     )
     comp = connected_components(edges, max_iter=10)
     assert comp.select("component").distinct().count() == 1
+
+
+def test_approx_stats_within_error_bounds(spark, sf_dir):
+    """q90's sketches must land within their configured error of the exact
+    answers (HLL rsd=2% -> allow 6% = 3 sigma; KLL accuracy 1/10000 on rank
+    -> compare quantile VALUES loosely via exact neighborhood)."""
+    from tickerlake_spark.plans import QUERIES
+    from tickerlake_spark.plans.catalog import _ensure_loaded, load_table
+    from pyspark.sql import functions as F
+
+    _ensure_loaded()
+    approx = {r.event_type: r for r in QUERIES["q90_approx_stats"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, array(0.5, 0.95))").alias("pcts"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and len(exact) > 0
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert abs(ap.approx_users - ex.users) <= max(2, 0.06 * ex.users), et
+        lo, hi = ev.filter(F.col("event_type") == et).agg(
+            F.min("value"), F.max("value")
+        ).first()
+        spread = (hi - lo) or 1.0
+        for got, want in zip(ap.approx_p50_p95, ex.pcts):
+            assert abs(got - want) <= 0.05 * spread, (et, got, want)

@@ -955,6 +955,27 @@ def q89_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "q90_approx_stats",
+    doc="Sketch-based statistics: HLL++ approximate distinct users and "
+    "KLL-style approximate value quantiles per event_type. These are the "
+    "single-pass, bounded-memory scale path for q08 (exact distinct) and "
+    "q71 (exact percentiles): sketch state is O(1) per group regardless of "
+    "cardinality, and sketches merge associatively across partitions — no "
+    "per-group value multiset ever materializes. No SQL oracle (sketch "
+    "estimates are engine-specific); accuracy is bounded against the exact "
+    "answers in test_scale_operators.py.",
+    oracle=None,
+)
+def q90_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10_000).alias("approx_p50_p95"),
+        F.count("*").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event analytics: funnel, cohort retention, batch sessionization
 # ---------------------------------------------------------------------------
