@@ -976,6 +976,91 @@ def q90_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q91_disjunctive_predicates",
+    doc="TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning "
+    "both join sides (brand x size x quantity bands). Catalyst extracts the "
+    "common p_partkey equi-condition so the join stays a hash join with the "
+    "disjunction as a post-join filter, and pushes the per-side conjuncts "
+    "(brand/size, quantity) down to each scan.",
+    oracle="""
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 5e-7, 4) AS revenue,
+       COUNT(*) AS n
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q91_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#33")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return joined.filter(band).agg(
+        stable_round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q92_idle_rich_customers",
+    doc="TPC-H Q22 shape: customers with above-average account balance and "
+    "no high-value order (> 450k) — a scalar aggregate (broadcast 1-row), "
+    "a filter, and a left-anti join against the filtered orders, grouped "
+    "by nation. The anti join is the decorrelated NOT EXISTS; the scalar "
+    "avg broadcast replaces the correlated subquery re-evaluation.",
+    oracle="""
+WITH avg_bal AS (
+  SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey, COUNT(*) AS n_custs,
+       ROUND(SUM(c.c_acctbal) + 5e-7, 4) AS total_bal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+GROUP BY c.c_nationkey
+""",
+)
+def q92_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            o.filter(F.col("o_totalprice") > 450000),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            stable_round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event analytics: funnel, cohort retention, batch sessionization
 # ---------------------------------------------------------------------------
