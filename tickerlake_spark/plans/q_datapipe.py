@@ -1,7 +1,10 @@
-"""Training-data-pipeline queries, batch 2: relevance scoring, sampling,
-quality filtering, PII masking, embedding compression, and three further
-classic join/agg plan shapes (decorrelated min-per-group, large-orders
-having, market-share multi-join).
+"""Training-data-pipeline queries, batch 2 (q66-q92): relevance scoring
+(TF-IDF/BM25), stratified sampling, quality filtering, PII masking, exact
+percentiles, embedding compression/centroids, dedup clustering (connected
+components -> canonical keep), nearest-centroid assignment, event analytics
+(funnel, cohorts, sessionization, rolling distinct, histogram, z-score,
+profiling, sketches), and the classic decorrelation/join plan shapes
+(argmax-per-group, Q6, Q8, Q17, Q18, Q19, Q21, Q22).
 
 All hot paths are JVM expressions (whole-stage codegen); the only floats that
 cross an aggregation boundary are rounded via ``stable_round`` on both
