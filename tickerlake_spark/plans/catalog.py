@@ -145,6 +145,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from tickerlake_spark.plans import (  # noqa: F401
+        q_classic,
         q_core,
         q_datapipe,
         q_extra,
