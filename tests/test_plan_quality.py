@@ -159,3 +159,44 @@ def test_q77_dimension_chains_broadcast(spark, sf_dir):
     broadcast hash joins, never fact shuffles on dim keys."""
     plan = _physical_plan(QUERIES["q77_market_share"].fn(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_exists_shapes_lower_to_semi_anti_joins(spark, sf_dir):
+    """EXISTS / NOT-IN must become (left-semi / left-anti) hash joins — never
+    a pair-materializing inner join + distinct, which explodes at scale."""
+    p93 = _physical_plan(QUERIES["q93_late_orders_exists"].fn(spark, sf_dir))
+    assert "LeftSemi" in p93, "Q4 EXISTS must plan as a left-semi join:\n" + p93
+    p101 = _physical_plan(QUERIES["q101_part_supplier_counts"].fn(spark, sf_dir))
+    assert "LeftAnti" in p101, "Q16 NOT IN must plan as a left-anti join:\n" + p101
+    assert "BroadcastHashJoin" in p101, "exclusion list must broadcast"
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    """q96's ORDER BY + LIMIT 20 must plan as TakeOrderedAndProject (per-
+    partition heap + driver merge), not a full global sort of the agg."""
+    plan = _physical_plan(QUERIES["q96_returned_items"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_shared_window_sort_in_rank_variants(spark, sf_dir):
+    """q103 computes 5 window functions over 2 frames on the same
+    (partition, order) — the plan must contain exactly ONE Window node,
+    ONE Sort, and ONE Exchange: frames share the sorted partition pass."""
+    plan = _physical_plan(QUERIES["q103_window_rank_variants"].fn(spark, sf_dir))
+    n_windows = sum(
+        line.strip().lstrip("+-: ").startswith("Window")
+        for line in plan.splitlines()
+    )
+    assert n_windows == 1, "window frames did not merge into one pass:\n" + plan
+    assert plan.count("Sort ") == 1, "more than one sort for a single window spec"
+    assert _exchanges(plan) == 1, "rank variants must shuffle once (by nation)"
+
+
+def test_vector_hofs_stay_jvm_side(spark, sf_dir):
+    """q104's array folds must run in the JVM (HigherOrderFunction codegen),
+    never as a Python UDF — covered generically by
+    test_no_python_eval_in_hot_paths, asserted here with the positive:
+    the optimized plan contains aggregate/transform lambda expressions."""
+    df = QUERIES["q104_vector_hof_stats"].fn(spark, sf_dir)
+    opt = _optimized_plan(df)
+    assert "aggregate(" in opt and "transform(" in opt, opt
