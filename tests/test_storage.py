@@ -176,3 +176,72 @@ def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
     # idempotent: already-compact tables are left alone
     stats2 = compact_table(spark, path)
     assert stats2["files_before"] == stats2["files_after"] == 1
+
+
+def test_upsert_creates_then_updates_and_inserts(spark, tmp_path):
+    from tickerlake_spark.storage.upsert import upsert_table
+
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "id long, name string, v double"
+    )
+    r = upsert_table(spark, path, base, keys=["id"])
+    assert r["mode"] == "create"
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 20.0), (4, "d", 4.0)], "id long, name string, v double"
+    )
+    r = upsert_table(spark, path, updates, keys=["id"])
+    assert r["mode"] == "rewrite" and r["inserted_or_updated"] == 2
+    got = {
+        row.id: (row.name, row.v)
+        for row in spark.read.parquet(path).collect()
+    }
+    assert got == {1: ("a", 1.0), 2: ("b2", 20.0), 3: ("c", 3.0), 4: ("d", 4.0)}
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    import os
+
+    from tickerlake_spark.storage.upsert import upsert_table
+
+    path = str(tmp_path / "facts")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0), (3, "2024-01-02", 30.0)],
+        "id long, date string, v double",
+    )
+    upsert_table(spark, path, base, keys=["id"], partition_by="date")
+
+    def mtimes():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("date="):
+                full = os.path.join(path, d)
+                out[d] = max(
+                    os.path.getmtime(os.path.join(full, f)) for f in os.listdir(full)
+                )
+        return out
+
+    before = mtimes()
+    updates = spark.createDataFrame(
+        [(3, "2024-01-02", 300.0), (4, "2024-01-02", 40.0)],
+        "id long, date string, v double",
+    )
+    r = upsert_table(spark, path, updates, keys=["id"], partition_by="date")
+    assert r["mode"] == "dynamic-partition" and r["touched_partitions"] == 1
+    after = mtimes()
+    assert before["date=2024-01-01"] == after["date=2024-01-01"], (
+        "untouched partition was rewritten"
+    )
+    got = {row.id: row.v for row in spark.read.parquet(path).collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 300.0, 4: 40.0}
+
+
+def test_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from tickerlake_spark.storage.upsert import upsert_table
+
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "id long, name string")
+    with _pytest.raises(ValueError, match="not unique"):
+        upsert_table(spark, str(tmp_path / "t"), dup, keys=["id"])

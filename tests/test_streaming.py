@@ -210,3 +210,44 @@ def test_stateful_session_tracker_matches_batch_islands(spark, event_drops, tmp_
     emitted = [(r.user, r.session_start_ms, r.session_end_ms, r.n_events) for r in got]
     assert len(emitted) == len(set(emitted)), "a session was emitted twice"
     assert set(emitted) == expected and len(expected) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_drops, tmp_path):
+    """attributed_purchases as a real two-stream interval join (file source,
+    append mode) must emit exactly the batch result — and both watermarks
+    must appear in the streaming plan so join state is evictable."""
+    from tickerlake_spark.streaming.joins import attributed_purchases
+    from tickerlake_spark.streaming.windows import stream_events
+
+    drop_dir, events = event_drops
+    stream = stream_events(spark, drop_dir, events.schema, max_files_per_trigger=1)
+    joined = attributed_purchases(stream, max_delay="1 hour", watermark="2 hours")
+
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        streamed = spark.sql(
+            "SELECT * FROM ssj_test ORDER BY user_id, view_id, purchase_id"
+        ).collect()
+    finally:
+        query.stop()
+
+    batch = (
+        attributed_purchases(events, max_delay="1 hour")
+        .orderBy("user_id", "view_id", "purchase_id")
+        .collect()
+    )
+    assert len(streamed) == len(batch) > 0
+    for s, b in zip(streamed, batch):
+        assert (s.user_id, s.view_id, s.purchase_id) == (
+            b.user_id,
+            b.view_id,
+            b.purchase_id,
+        )
+        assert abs(s.purchase_value - b.purchase_value) < 1e-9

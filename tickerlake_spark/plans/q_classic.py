@@ -117,7 +117,7 @@ def q94_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nc.n_name").alias("cust_nation"),
             F.col("ns.n_nationkey").alias("supp_natkey"),
             F.col("nc.n_nationkey").alias("cust_natkey"),
-            F.year("l_shipdate").alias("l_year"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
         )
         .filter(pair)
@@ -153,7 +153,7 @@ def q95_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
-        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").cast("long").alias("o_year"))
         .agg(
             stable_round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
@@ -238,7 +238,7 @@ def q97_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.select("l_orderkey", "l_shipdate")
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy(F.quarter("l_shipdate").alias("ship_quarter"))
+        .groupBy(F.quarter("l_shipdate").cast("long").alias("ship_quarter"))
         .agg(
             F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
             F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias("low_line_count"),
@@ -518,6 +518,97 @@ def q104_vector_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("long").alias(
             "n_positive"
         ),
+    )
+
+
+@register(
+    "q108_view_purchase_attribution",
+    doc="Interval self-join: each purchase matched to the views by the same "
+    "user in the preceding hour (streaming/joins.py::attributed_purchases "
+    "— the SAME function runs as a watermark-bounded stream-stream join; "
+    "this batch mode is what the oracle checks). The join shuffles both "
+    "sides once on user_id; the time bound is a stream-side residual.",
+    oracle="""
+SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events v
+JOIN events p ON p.user_id = v.user_id
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+""",
+)
+def q108_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.streaming.joins import attributed_purchases
+
+    events = load_table(spark, sf_dir, "events")
+    return attributed_purchases(events, max_delay="1 hour")
+
+
+@register(
+    "q106_advanced_stats",
+    doc="Statistical aggregates with engine-identical definitions: Pearson "
+    "correlation, sample/population covariance, sample stddev, population "
+    "variance, and interpolated median, per returnflag. All are "
+    "single-pass partial-aggregable (median uses a sort-based exact "
+    "percentile — the bounded-memory scale path is q90's KLL sketch).",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(corr(l_extendedprice, l_quantity) + 5e-9, 6) AS corr_price_qty,
+       ROUND(covar_samp(l_extendedprice, l_quantity) + 5e-9, 6) AS covar_s,
+       ROUND(covar_pop(l_extendedprice, l_quantity) + 5e-9, 6) AS covar_p,
+       ROUND(stddev_samp(l_extendedprice) + 5e-9, 6) AS sd_price,
+       ROUND(var_pop(l_quantity) + 5e-9, 6) AS var_qty,
+       ROUND(median(l_quantity) + 5e-9, 6) AS med_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q106_advanced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        stable_round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        stable_round(F.covar_samp("l_extendedprice", "l_quantity"), 6).alias("covar_s"),
+        stable_round(F.covar_pop("l_extendedprice", "l_quantity"), 6).alias("covar_p"),
+        stable_round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
+        stable_round(F.var_pop("l_quantity"), 6).alias("var_qty"),
+        stable_round(F.median("l_quantity"), 6).alias("med_qty"),
+    )
+
+
+@register(
+    "q107_string_functions",
+    doc="String-function suite over documents — regexp extraction, split "
+    "word count, edit distance, padding, translation, reversal, "
+    "case-folding, position search. All JVM expressions inside one "
+    "codegen span; zero shuffles (pure map).",
+    oracle="""
+SELECT doc_id,
+       regexp_extract(text, '([A-Z][a-z]+)', 1) AS first_cap,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+       CAST(levenshtein(lang, source) AS BIGINT) AS lang_source_dist,
+       translate(lang, 'aeiou', '12345') AS lang_coded,
+       reverse(lang) AS lang_rev,
+       upper(source) AS source_upper,
+       substr(text, 1, 20) AS head20,
+       CAST(strpos(text, 'e') AS BIGINT) AS first_e_pos
+FROM documents
+""",
+)
+def q107_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Z][a-z]+)", 1).alias("first_cap"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.levenshtein("lang", "source").cast("long").alias("lang_source_dist"),
+        F.translate("lang", "aeiou", "12345").alias("lang_coded"),
+        F.reverse("lang").alias("lang_rev"),
+        F.upper("source").alias("source_upper"),
+        F.substring("text", 1, 20).alias("head20"),
+        F.instr("text", "e").cast("long").alias("first_e_pos"),
     )
 
 

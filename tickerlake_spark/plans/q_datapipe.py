@@ -1398,7 +1398,7 @@ def q77_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation_rev",
             F.when(F.col("ns.n_name") == "NATION_7", F.col("rev")).otherwise(F.lit(0.0)),
         )
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             stable_round(F.sum("nation_rev") / F.sum("rev"), 6).alias("mkt_share"),
             stable_round(F.sum("rev"), 4).alias("total_revenue"),
