@@ -251,3 +251,38 @@ def test_stream_stream_interval_join_matches_batch(spark, event_drops, tmp_path)
             b.purchase_id,
         )
         assert abs(s.purchase_value - b.purchase_value) < 1e-9
+
+
+def test_foreach_batch_upsert_sink_is_idempotent(spark, event_drops, tmp_path):
+    """Streaming ingestion with a MERGE sink: each micro-batch upserts into
+    a keyed Parquet table via foreachBatch + upsert_table. The sink is
+    idempotent on event_id (replayed batches can't duplicate), and the final
+    table equals the batch input exactly."""
+    from tickerlake_spark.storage.upsert import upsert_table
+    from tickerlake_spark.streaming.windows import stream_events
+
+    drop_dir, events = event_drops
+    target = str(tmp_path / "silver_events")
+
+    def sink(batch_df, batch_id):
+        upsert_table(
+            batch_df.sparkSession, target, batch_df, keys=["event_id"]
+        )
+
+    stream = stream_events(spark, drop_dir, events.schema, max_files_per_trigger=1)
+    query = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "fb_ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    got = spark.read.parquet(target)
+    assert got.count() == events.count()
+    # replaying a batch (at-least-once delivery) must not duplicate rows
+    replay = events.limit(50)
+    upsert_table(spark, target, replay, keys=["event_id"])
+    assert spark.read.parquet(target).count() == events.count()

@@ -613,6 +613,37 @@ def q107_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q110_array_functions",
+    doc="Array manipulation suite over embeddings — element access, "
+    "min/max, first-occurrence position, containment, sort-then-index. "
+    "Scalar outputs only (cross-engine array-column comparison is "
+    "representation-sensitive); all JVM expressions, zero shuffles.",
+    oracle="""
+SELECT vec_id,
+       embedding[1] AS first_elem,
+       list_min(embedding) AS min_elem,
+       list_max(embedding) AS max_elem,
+       CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos,
+       list_contains(embedding, list_min(embedding)) AS has_min,
+       list_sort(embedding)[2] AS second_smallest
+FROM embeddings
+""",
+)
+def q110_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.element_at(v, 1).alias("first_elem"),
+        F.array_min(v).alias("min_elem"),
+        F.array_max(v).alias("max_elem"),
+        F.array_position(v, F.array_max(v)).cast("long").alias("argmax_pos"),
+        F.array_contains(v, F.array_min(v)).alias("has_min"),
+        F.element_at(F.array_sort(v), 2).alias("second_smallest"),
+    )
+
+
+@register(
     "q105_grouping_sets",
     doc="GROUPING SETS — the general form of q25's ROLLUP: per "
     "(returnflag, linestatus) detail, per-returnflag subtotal, and grand "

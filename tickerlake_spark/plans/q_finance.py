@@ -408,3 +408,41 @@ def q39_epoch_ms_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("d"),
         F.year("ts").cast("long").alias("yr"),
     )
+
+
+@register(
+    "q109_calendar_gap_fill",
+    doc="Calendar densification + forward fill (operators/gapfill.py): every "
+    "ticker gets a row for every trading date in its [min, max] span, "
+    "close carried forward (last non-null over a running window), volume "
+    "zero-filled, synthesized rows flagged. The calendar and per-ticker "
+    "spans are broadcast dims; bars shuffle once on ticker for both the "
+    "grid join and the fill window.",
+    oracle=f"""
+WITH {BARS_CTE},
+cal AS (SELECT DISTINCT date FROM bars),
+span AS (SELECT ticker, MIN(date) AS d0, MAX(date) AS d1 FROM bars GROUP BY ticker),
+grid AS (
+  SELECT s.ticker, c.date FROM span s JOIN cal c ON c.date BETWEEN s.d0 AND s.d1
+),
+j AS (
+  SELECT g.ticker, g.date, b.close, b.volume
+  FROM grid g LEFT JOIN bars b ON b.ticker = g.ticker AND b.date = g.date
+)
+SELECT ticker, date,
+       last_value(close IGNORE NULLS) OVER (
+         PARTITION BY ticker ORDER BY date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+       COALESCE(volume, 0) AS volume,
+       (close IS NULL) AS is_filled
+FROM j
+""",
+)
+def q109_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.gapfill import forward_fill_calendar
+
+    bars = stock_bars(spark, sf_dir).select("ticker", "date", "close", "volume")
+    return forward_fill_calendar(
+        bars, key_col="ticker", date_col="date",
+        fill_cols=("close",), zero_cols=("volume",),
+    ).select("ticker", "date", "close", "volume", "is_filled")
