@@ -217,3 +217,41 @@ def test_cli_full_chain(tmp_path):
     assert v["date_counts"]["anomalous_dates"] == 0
     c = run("clean", "--data-root", root, "--layer", "bronze")
     assert len(c["dropped"]) == 3
+
+
+def test_python_datasource_partition_per_date(spark):
+    """The market_bars Python DataSource must plan one input partition per
+    trading date (executor-parallel fetch — the Spark-native replacement for
+    the reference's driver thread pool) and yield exactly the provider's
+    rows."""
+    import datetime as dt
+
+    from tickerlake_spark.plans.catalog import ensure_executors_can_import
+    from tickerlake_spark.sources.calendar import trading_days
+    from tickerlake_spark.sources.datasource import MarketBarsDataSource
+    from tickerlake_spark.sources.demo import demo_source
+
+    ensure_executors_can_import(spark)
+    spark.dataSource.register(MarketBarsDataSource)
+    start, end = "2024-01-02", "2024-01-12"
+    df = (
+        spark.read.format("market_bars")
+        .option("provider", "tickerlake_spark.sources.demo:demo_source")
+        .option("provider_args", f'["{start}", "{end}"]')
+        .option("start", start)
+        .option("end", end)
+        .load()
+    )
+    days = trading_days(dt.date.fromisoformat(start), dt.date.fromisoformat(end))
+    assert df.rdd.getNumPartitions() == len(days)
+
+    got = df.toPandas().sort_values(["window_start", "ticker"], ignore_index=True)
+    src = demo_source(start, end)
+    expected = [
+        row for d in days for row in src.grouped_daily(d)
+    ]
+    assert len(got) == len(expected) == len(days) * 8
+    exp_close = sorted((r["ticker"], r["window_start"], r["close"]) for r in expected)
+    got_close = sorted(zip(got.ticker, got.window_start, got.close))
+    for (et, ew, ec), (gt, gw, gc) in zip(exp_close, got_close):
+        assert (et, ew) == (gt, gw) and abs(ec - gc) < 1e-9

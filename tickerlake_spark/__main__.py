@@ -27,52 +27,11 @@ import sys
 
 
 def _demo_source(start: dt.date, end: dt.date):
-    """Deterministic offline MarketSource: 8 tickers, sine-ish prices derived
-    from (ticker, date) hashes, one split — enough to drive every downstream
-    stage."""
-    import hashlib
+    """Deterministic offline MarketSource (moved to sources/demo.py so the
+    Python DataSource can rebuild it on executors)."""
+    from tickerlake_spark.sources.demo import demo_source
 
-    from tickerlake_spark.sources.calendar import trading_days
-    from tickerlake_spark.sources.market import InMemoryMarketSource
-
-    tickers = ["AAPL", "MSFT", "NVDA", "AMZN", "GOOG", "META", "TSLA", "SPY"]
-
-    def h(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-
-    bars_by_date: dict[dt.date, list[dict]] = {}
-    for d in trading_days(start, end):
-        # raw API row shape (schemas.STOCKS_RAW): window_start is epoch ms
-        ms = int(dt.datetime(d.year, d.month, d.day, tzinfo=dt.timezone.utc).timestamp() * 1000)
-        rows = []
-        for t in tickers:
-            base = 50.0 + (h(t) % 400)
-            wiggle = (h(f"{t}|{d}") % 1000) / 100.0
-            close = base + wiggle
-            rows.append(
-                {
-                    "ticker": t,
-                    "window_start": ms,
-                    "open": close - 1.0,
-                    "high": close + 2.0,
-                    "low": close - 2.5,
-                    "close": close,
-                    "volume": 1_000_000 + h(f"v|{t}|{d}") % 5_000_000,
-                    "transactions": 1000 + h(f"t|{t}|{d}") % 9000,
-                }
-            )
-        bars_by_date[d] = rows
-    ticker_rows = [
-        {"ticker": t, "name": f"{t} Inc", "type": "CS" if t != "SPY" else "ETF",
-         "primary_exchange": "XNAS", "active": True, "cik": str(1000 + i)}
-        for i, t in enumerate(tickers)
-    ]
-    mid = start + (end - start) / 2
-    split_rows = [
-        {"id": "demo-split-1", "ticker": "NVDA", "execution_date": mid,
-         "split_from": 1.0, "split_to": 4.0}
-    ]
-    return InMemoryMarketSource(bars_by_date, ticker_rows, split_rows)
+    return demo_source(start, end)
 
 
 def main(argv: list[str] | None = None) -> int:
