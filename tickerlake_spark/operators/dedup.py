@@ -378,9 +378,13 @@ def embedding_neardup_pairs(
     from pyspark import StorageLevel
 
     v = df.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("__v"))
+    # vector width probe (one-row job) so the plane coefficients become
+    # literal arrays instead of per-row md5 evaluation (similarity.py)
+    first = df.select(F.size(vec_col)).first()
+    dim = first[0] if first else None
     # self-join reads the projection pipeline twice; cache the bucketed table
     bucketed = v.withColumn(
-        "__bucket", hyperplane_bucket(F.col("__v"), n_planes)
+        "__bucket", hyperplane_bucket(F.col("__v"), n_planes, dim=dim)
     ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cos = cosine_similarity(F.col("a.__v"), F.col("b.__v"))

@@ -34,10 +34,36 @@ def _plane_coef(plane: int | Column, dim: Column) -> Column:
     return (h % MINHASH_PRIME) / F.lit(float(MINHASH_PRIME)) - 0.5
 
 
-def hyperplane_bucket(vec: Column, n_planes: int) -> Column:
+def _h60_py(s: str) -> int:
+    """Python twin of functions.text.h60 (md5 prefix as 60-bit int)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _plane_coefs_py(plane: int, dim: int) -> list[float]:
+    """Python twin of ``_plane_coef`` for dims 1..dim — BIT-IDENTICAL values
+    (same md5 string, same IEEE-754 double ops), computed once at plan build.
+
+    Why this exists: the expression form sits inside higher-order lambdas,
+    which Catalyst does not constant-fold through — so the md5 ran again for
+    EVERY (row, plane, dim) at execution (n_planes x dim md5 calls per row;
+    measured 6x end-to-end on the LSH/IVF queries at sf0.1). Precomputing
+    collapses each plane to one array<double> literal; the DuckDB oracle
+    mirrors (which compute the same md5 arithmetic in SQL) keep matching
+    because the values are exactly equal."""
+    return [
+        (_h60_py(f"plane:{plane}:{i}") % MINHASH_PRIME) / float(MINHASH_PRIME) - 0.5
+        for i in range(1, dim + 1)
+    ]
+
+
+def hyperplane_bucket(vec: Column, n_planes: int, dim: int | None = None) -> Column:
     """Sign-pattern bucket id (long) of ``vec`` against ``n_planes``
     hash-derived hyperplanes. Plane loop unrolled in Python (shift amounts
-    are literals)."""
+    are literals). Pass ``dim`` when the vector width is known so plane
+    coefficients become one literal array per plane instead of per-row md5
+    evaluation (see ``_plane_coefs_py``)."""
     # closure factory, NOT a default arg (PySpark binds lambda params to
     # lambda variables by arity — a `p=p` default would become the index arg)
     def coef_at(p: int):
@@ -45,12 +71,12 @@ def hyperplane_bucket(vec: Column, n_planes: int) -> Column:
 
     out: Column = F.lit(0).cast("long")
     for p in range(n_planes):
+        if dim is None:
+            coefs = F.transform(F.sequence(F.lit(1), F.size(vec)), coef_at(p))
+        else:
+            coefs = F.lit(_plane_coefs_py(p, dim))
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(1), F.size(vec)), coef_at(p)),
-                lambda x, c: x * c,
-            ),
+            F.zip_with(vec, coefs, lambda x, c: x * c),
             F.lit(0.0),
             lambda s, x: s + x,
         )
@@ -91,14 +117,15 @@ def lsh_ann_topk(
     from the query bucket (standard multi-probe LSH), trading k recall for
     n_planes+1 bucket lookups.
     """
+    dim = len(query_vec)
     q = F.lit(query_vec).cast("array<double>")
     bucketed = df.select(
         F.col(id_col).alias("id"),
         as_double_array(vec_col).alias("__v"),
-    ).withColumn("__bucket", hyperplane_bucket(F.col("__v"), n_planes))
+    ).withColumn("__bucket", hyperplane_bucket(F.col("__v"), n_planes, dim=dim))
 
     # same bucket expression, applied to the literal query vector
-    q_bucket = hyperplane_bucket(q, n_planes)
+    q_bucket = hyperplane_bucket(q, n_planes, dim=dim)
     probes = [q_bucket]
     if multiprobe:
         probes += [q_bucket.bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), p)) for p in range(n_planes)]
@@ -127,34 +154,48 @@ def ivf_topk(
     With the cell id materialized as a partition/cluster key at ingest,
     the probe prunes (n_cells - n_probe)/n_cells of the data before any
     distance math — the 100 TB path.
+
+    Centroids are hash-derived (``_plane_coefs_py(c*1000+7, dim)``), unit-
+    normalized ONCE at plan build, and embedded as one array<array<double>>
+    literal: the per-row assignment is then argmax over n_cells plain dot
+    products — no per-row md5, no per-row norm folds (|v| is constant
+    across cells, |c_k| is baked into the unit centroid). The query's probe
+    cells are computed driver-side in plain Python (same formula).
     """
+    import math
+
     dim = len(query_vec)
+    cents = []
+    for c in range(n_cells):
+        raw = _plane_coefs_py(c * 1000 + 7, dim)
+        norm = math.sqrt(sum(x * x for x in raw))
+        cents.append([x / norm for x in raw])
 
-    def centroid(c: int) -> Column:
-        return F.array(
-            *[_plane_coef(F.lit(c * 1000 + 7), F.lit(i + 1)) for i in range(dim)]
+    cmat = F.array(*[F.lit(u) for u in cents])  # array<array<double>> literal
+
+    def dot_fold(v: Column, u: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(v, u, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
         )
 
-    def nearest_cells(vec: Column, n: int) -> Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    (-cosine_similarity(vec, centroid(c))).alias("d"),
-                    F.lit(c).alias("c"),
-                )
-                for c in range(n_cells)
-            ]
-        )
-        return F.slice(F.array_sort(scored), 1, n)
-
+    # argmax_k dot(v, u_k): min over (-dot, k) structs = first of array_sort
+    scored = F.transform(
+        cmat,
+        lambda u, i: F.struct((-dot_fold(F.col("__v"), u)).alias("d"), i.alias("c")),
+    )
     assigned = df.select(
         F.col(id_col).alias("id"),
         as_double_array(vec_col).alias("__v"),
-    ).withColumn("__cell", nearest_cells(F.col("__v"), 1)[0]["c"])
+    ).withColumn("__cell", F.array_min(scored)["c"])
+
+    # probe cells: same argmax, driver-side over the literal query vector
+    q_scores = sorted(
+        (-sum(x * u for x, u in zip(query_vec, cu)), c) for c, cu in enumerate(cents)
+    )
+    probe_cells = [c for _, c in q_scores[:n_probe]]
 
     q = F.lit(query_vec).cast("array<double>")
-    probe_cells = F.transform(nearest_cells(q, n_probe), lambda s: s["c"])
-    cand = assigned.filter(F.array_contains(probe_cells, F.col("__cell")))
+    cand = assigned.filter(F.col("__cell").isin(probe_cells))
     return (
         cand.select("id", cosine_similarity(F.col("__v"), q).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("id").asc())
