@@ -245,3 +245,54 @@ def test_upsert_rejects_duplicate_update_keys(spark, tmp_path):
     dup = spark.createDataFrame([(1, "x"), (1, "y")], "id long, name string")
     with _pytest.raises(ValueError, match="not unique"):
         upsert_table(spark, str(tmp_path / "t"), dup, keys=["id"])
+
+
+def test_zorder_write_skips_on_both_dimensions(spark, tmp_path):
+    """Z-ordered files must cover small hyper-rectangles: per-file min/max
+    spans on BOTH cluster columns stay well under the global span (plain
+    lexicographic clustering leaves the second column spanning ~everything
+    in every file)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tickerlake_spark.storage.clustering import write_clustered, write_zordered
+
+    n = 1 << 14
+    # uniform 128x128 grid, decorrelated dims
+    df = spark.range(0, n).selectExpr(
+        "cast(id % 128 as long) as x", "cast(id div 128 as long) as y"
+    )
+
+    def file_spans(path, col_idx):
+        spans = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mns, mxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mns.append(st.min)
+                mxs.append(st.max)
+            spans.append(max(mxs) - min(mns))
+        return spans
+
+    zpath = str(tmp_path / "zordered")
+    bounds = write_zordered(df, zpath, ["x", "y"], bits=7, num_files=16)
+    assert bounds == {"x": (0.0, 127.0), "y": (0.0, 127.0)}
+
+    cpath = str(tmp_path / "lex")
+    write_clustered(df, cpath, ["x", "y"], num_files=16)
+
+    # z-order: AVERAGE file span on BOTH dims is a fraction of the globe
+    # (a couple of files straddle a high-bit flip at unaligned range
+    # boundaries — worst case is not the locality metric, the mean is)
+    zx, zy = file_spans(zpath, 0), file_spans(zpath, 1)
+    assert len(zx) >= 8
+    assert sum(zx) / len(zx) <= 64 and sum(zy) / len(zy) <= 64, (zx, zy)
+
+    # lexicographic: x is tight but y spans ~everything in most files
+    ly = file_spans(cpath, 1)
+    assert sum(ly) / len(ly) >= 100, "grid fixture no longer adversarial for lex order"
+
+    # row counts preserved
+    assert spark.read.parquet(zpath).count() == n

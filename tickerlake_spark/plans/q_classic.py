@@ -644,6 +644,30 @@ def q110_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q111_posexplode_ordinal",
+    doc="Lateral explode with ordinality (UNNEST WITH ORDINALITY): one "
+    "(doc, position, token) row per token for low-id docs. The generator "
+    "runs inside codegen after the scan filter; output volume is total "
+    "postings, never materialized text copies.",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, UNNEST(range(0, len(t))) AS pos, UNNEST(t) AS token
+FROM tok
+""",
+)
+def q111_posexplode_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+@register(
     "q105_grouping_sets",
     doc="GROUPING SETS — the general form of q25's ROLLUP: per "
     "(returnflag, linestatus) detail, per-returnflag subtotal, and grand "

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_clustered"]
+__all__ = ["write_clustered", "write_zordered", "zorder_key"]
 
 
 def write_clustered(
@@ -46,3 +46,67 @@ def write_clustered(
         else df.repartitionByRange(*cols)
     )
     ranged.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
+    """Interleaved-bit (Morton) key over numeric ``cols``.
+
+    Each column is min/max-scaled to a ``bits``-wide unsigned int (one
+    bounds aggregation over ``df``), then the bit planes are interleaved
+    so nearby (c1, c2, ...) points share key prefixes. Unlike lexicographic
+    clustering, the resulting file ranges are tight on EVERY dimension, so
+    a predicate on any single cluster column skips files — the property
+    plain ``write_clustered`` only gives the leading key.
+
+    The interleave is a flat shift/and/or expression tree (bits x n_cols
+    terms) — whole-stage codegen, no per-row Python. Returns (key Column,
+    bounds dict) so callers can persist the bounds for query-side pruning.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    b = df.agg(*aggs).first()
+    maxv = (1 << bits) - 1
+    scaled = []
+    bounds = {}
+    for c in cols:
+        mn, mx = float(b[f"__mn_{c}"]), float(b[f"__mx_{c}"])
+        bounds[c] = (mn, mx)
+        span = (mx - mn) or 1.0
+        s = F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * maxv)
+        scaled.append(F.least(F.lit(maxv).cast("long"), F.greatest(F.lit(0).cast("long"), s.cast("long"))))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, s in enumerate(scaled):
+            plane = F.shiftright(s, bit).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(plane, bit * len(cols) + j))
+    return z, bounds
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Write ``df`` Z-ordered on numeric ``cols``: range-partitioned and
+    sorted by the Morton key, so every file covers a small hyper-rectangle
+    and range predicates on ANY of the cluster columns skip files.
+    Returns the per-column bounds used for scaling."""
+    from pyspark.sql import functions as F
+
+    if len(cols) < 2:
+        raise ValueError("z-order needs >= 2 columns; use write_clustered for 1")
+    z, bounds = zorder_key(df, cols, bits=bits)
+    keyed = df.withColumn("__z", z)
+    ranged = (
+        keyed.repartitionByRange(num_files, F.col("__z"))
+        if num_files
+        else keyed.repartitionByRange(F.col("__z"))
+    )
+    ranged.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+    return bounds
