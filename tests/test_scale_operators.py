@@ -328,3 +328,62 @@ def test_approx_stats_within_error_bounds(spark, sf_dir):
         spread = (hi - lo) or 1.0
         for got, want in zip(ap.approx_p50_p95, ex.pcts):
             assert abs(got - want) <= 0.05 * spread, (et, got, want)
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark, sf_dir):
+    """Maintaining a rollup by merging per-batch partial states must equal
+    aggregating all rows at once — across sum/count/min/max and a derived
+    average, for every group."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.operators.incremental_agg import (
+        aggregate_delta,
+        merge_aggregates,
+        with_ratio,
+    )
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    keys = ["l_returnflag", "l_linestatus"]
+    measures = {
+        "total_qty": ("sum", "l_quantity"),
+        "n_rows": ("count", "l_quantity"),
+        "min_price": ("min", "l_extendedprice"),
+        "max_price": ("max", "l_extendedprice"),
+    }
+
+    # three "daily" batches by orderkey residue
+    state = None
+    for r in range(3):
+        batch = li.filter(F.col("l_orderkey") % 3 == r)
+        state = merge_aggregates(
+            state, aggregate_delta(batch, keys, measures), keys, measures
+        )
+    inc = with_ratio(state, "avg_qty", "total_qty", "n_rows")
+
+    full = with_ratio(
+        aggregate_delta(li, keys, measures), "avg_qty", "total_qty", "n_rows"
+    )
+
+    a = {tuple(r[k] for k in keys): r.asDict() for r in inc.collect()}
+    b = {tuple(r[k] for k in keys): r.asDict() for r in full.collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    for k in a:
+        assert a[k]["n_rows"] == b[k]["n_rows"]
+        assert abs(a[k]["total_qty"] - b[k]["total_qty"]) < 1e-6
+        assert a[k]["min_price"] == b[k]["min_price"]
+        assert a[k]["max_price"] == b[k]["max_price"]
+        assert abs(a[k]["avg_qty"] - b[k]["avg_qty"]) < 1e-9
+
+
+def test_incremental_agg_rejects_non_mergeable(spark, sf_dir):
+    import os
+
+    import pytest as _pytest
+
+    from tickerlake_spark.operators.incremental_agg import aggregate_delta
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    with _pytest.raises(ValueError, match="non-mergeable"):
+        aggregate_delta(li, ["l_returnflag"], {"med": ("median", "l_quantity")})

@@ -668,6 +668,37 @@ def q111_posexplode_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q112_decimal_exact_money",
+    doc="Exact decimal money arithmetic: prices cast to DECIMAL(18,4) at "
+    "the scan, summed and multiplied WITHOUT floating error — the only "
+    "aggregate family here that needs no stable_round, because both "
+    "engines produce the identical exact value regardless of sum order. "
+    "The scale path for financial ledgers where 1e-10 float drift is a "
+    "reconciliation failure. (The final cast to double is presentation "
+    "only — the aggregation itself is exact, so both engines emit the "
+    "bit-identical nearest double with no stable_round nudge.)",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS gross,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS discount_amt,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q112_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("double").alias("gross"),
+        F.sum(price * disc).cast("double").alias("discount_amt"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "q105_grouping_sets",
     doc="GROUPING SETS — the general form of q25's ROLLUP: per "
     "(returnflag, linestatus) detail, per-returnflag subtotal, and grand "
