@@ -296,3 +296,55 @@ def test_zorder_write_skips_on_both_dimensions(spark, tmp_path):
 
     # row counts preserved
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_interchange_formats_roundtrip_and_conform(spark, tmp_path):
+    """CSV / JSON / ORC round-trips preserve values under an explicit
+    schema; to_parquet_table conforms and lands a queryable Parquet table.
+    Schema-less reads are refused (inference is a scale trap)."""
+    import pytest as _pytest
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tickerlake_spark.storage.formats import (
+        read_csv_table,
+        read_json_table,
+        read_orc_table,
+        to_parquet_table,
+        write_csv_table,
+        write_json_table,
+        write_orc_table,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25), (3, "c,with,commas", 0.0)], schema
+    )
+    expected = sorted(map(tuple, df.collect()))
+
+    csv_p, json_p, orc_p = (str(tmp_path / n) for n in ("c", "j", "o"))
+    write_csv_table(df, csv_p)
+    write_json_table(df, json_p)
+    write_orc_table(df, orc_p)
+
+    assert sorted(map(tuple, read_csv_table(spark, csv_p, schema).collect())) == expected
+    assert sorted(map(tuple, read_json_table(spark, json_p, schema).collect())) == expected
+    assert sorted(map(tuple, read_orc_table(spark, orc_p).collect())) == expected
+
+    with _pytest.raises(ValueError, match="schema"):
+        read_csv_table(spark, csv_p)
+
+    pq_p = str(tmp_path / "landed")
+    to_parquet_table(read_json_table(spark, json_p, schema), pq_p, schema=schema)
+    assert sorted(map(tuple, spark.read.parquet(pq_p).collect())) == expected
