@@ -348,3 +348,29 @@ def test_interchange_formats_roundtrip_and_conform(spark, tmp_path):
     pq_p = str(tmp_path / "landed")
     to_parquet_table(read_json_table(spark, json_p, schema), pq_p, schema=schema)
     assert sorted(map(tuple, spark.read.parquet(pq_p).collect())) == expected
+
+
+def test_bloom_filter_written_for_requested_columns(spark, tmp_path):
+    """bloom_cols must actually emit per-row-group bloom filters: the
+    bloom-enabled file is measurably larger than the identical write
+    without, and values round-trip unchanged. (pyarrow here cannot expose
+    bloom offsets, so the size delta is the observable.)"""
+    import glob
+    import os
+
+    from tickerlake_spark.storage.io import write_table
+
+    df = spark.range(200_000).selectExpr(
+        "id", "cast(id % 50000 as string) as k"
+    ).coalesce(1)
+
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    write_table(df, plain)
+    write_table(df, bloomed, bloom_cols={"k": 50_000})
+
+    size = lambda p: sum(
+        os.path.getsize(f) for f in glob.glob(p + "/*.parquet")
+    )
+    # ndv=50k bloom at default fpp ~ tens of KB; zstd data ~ few hundred KB
+    assert size(bloomed) > size(plain) + 20_000, (size(plain), size(bloomed))
+    assert spark.read.parquet(bloomed).count() == 200_000
