@@ -374,3 +374,38 @@ def test_bloom_filter_written_for_requested_columns(spark, tmp_path):
     # ndv=50k bloom at default fpp ~ tens of KB; zstd data ~ few hundred KB
     assert size(bloomed) > size(plain) + 20_000, (size(plain), size(bloomed))
     assert spark.read.parquet(bloomed).count() == 200_000
+
+
+def test_json_malformed_rows_quarantined_not_dropped(spark, tmp_path):
+    """PERMISSIVE ingestion: malformed JSON lines land in _corrupt_record
+    (quarantine column) while good rows parse — no silent data loss at the
+    bronze edge."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tickerlake_spark.storage.formats import read_json_table
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "s": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "s": "also ok"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("s", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = read_json_table(
+        spark, str(p), schema, mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record"
+    ).cache()
+    assert df.count() == 3
+    assert df.filter("_corrupt_record IS NOT NULL").count() == 1
+    assert {r.id for r in df.filter("_corrupt_record IS NULL").collect()} == {1, 2}
+    df.unpersist()

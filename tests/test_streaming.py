@@ -286,3 +286,46 @@ def test_foreach_batch_upsert_sink_is_idempotent(spark, event_drops, tmp_path):
     replay = events.limit(50)
     upsert_table(spark, target, replay, keys=["event_id"])
     assert spark.read.parquet(target).count() == events.count()
+
+
+def test_streaming_restart_from_checkpoint_no_duplicates(spark, event_drops, tmp_path):
+    """Stop a streaming query, land more data, restart with the same
+    checkpoint: the second run must resume from the recorded offsets —
+    already-processed files are NOT re-read, new files are, and every input
+    row is delivered exactly once across the two runs."""
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.streaming.windows import stream_events
+
+    _, events = event_drops
+    landing = str(tmp_path / "restart_landing")
+    ckpt = str(tmp_path / "restart_ckpt")
+    out = str(tmp_path / "restart_out")
+    schema = events.schema
+
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+
+    def run_to_completion():
+        stream = stream_events(spark, landing, schema)
+        q = (
+            stream.selectExpr("event_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    first.coalesce(1).write.mode("append").parquet(landing)
+    run_to_completion()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == first.count()
+
+    second.coalesce(1).write.mode("append").parquet(landing)
+    run_to_completion()
+
+    got = spark.read.parquet(out)
+    assert got.count() == events.count(), "restart lost or duplicated rows"
+    assert got.select("event_id").distinct().count() == events.count()

@@ -699,6 +699,43 @@ def q112_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q113_map_functions",
+    doc="Map-typed aggregation state: per user, a map event_type -> count "
+    "built with map_from_entries(collect_list(struct)), then scalar "
+    "lookups (try_element_at: missing key -> null) and cardinality. Map "
+    "columns never cross the output boundary (representation-sensitive); "
+    "scalars only.",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT user_id, MAP(list(event_type), list(n)) AS mp FROM c GROUP BY user_id
+)
+SELECT user_id,
+       mp['view'][1] AS n_view,
+       mp['click'][1] AS n_click,
+       mp['purchase'][1] AS n_purchase,
+       CAST(cardinality(mp) AS BIGINT) AS n_types
+FROM m
+""",
+)
+def q113_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("mp")
+    )
+    return m.select(
+        "user_id",
+        F.try_element_at("mp", F.lit("view")).alias("n_view"),
+        F.try_element_at("mp", F.lit("click")).alias("n_click"),
+        F.try_element_at("mp", F.lit("purchase")).alias("n_purchase"),
+        F.size("mp").cast("long").alias("n_types"),
+    )
+
+
+@register(
     "q105_grouping_sets",
     doc="GROUPING SETS — the general form of q25's ROLLUP: per "
     "(returnflag, linestatus) detail, per-returnflag subtotal, and grand "
