@@ -736,6 +736,42 @@ def q113_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q114_range_frame_window",
+    doc="Time-interval (RANGE) window frames — trailing 7-day value sum and "
+    "event count per user, anchored on event time rather than row "
+    "position (the ROWS frames elsewhere count rows; a RANGE frame is "
+    "what a trailing-week metric actually means when events are "
+    "irregular). Spark expresses the interval as rangeBetween over epoch "
+    "seconds; state per task is one ordered pass per user partition.",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER w + 5e-7, 4) AS trailing_7d_value,
+       COUNT(*) OVER w AS trailing_7d_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+""",
+)
+def q114_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # microsecond epoch: boundary inclusion matches DuckDB's microsecond
+    # interval arithmetic exactly (second-truncation would misclassify
+    # events landing within 1s of the 7-day edge)
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_us)
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        stable_round(F.sum("value").over(w), 4).alias("trailing_7d_value"),
+        F.count("*").over(w).alias("trailing_7d_events"),
+    )
+
+
+@register(
     "q105_grouping_sets",
     doc="GROUPING SETS — the general form of q25's ROLLUP: per "
     "(returnflag, linestatus) detail, per-returnflag subtotal, and grand "
