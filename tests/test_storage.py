@@ -237,6 +237,71 @@ def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
     assert got == {1: 10.0, 2: 20.0, 3: 300.0, 4: 40.0}
 
 
+def test_upsert_partition_migration_removes_stale_row(spark, tmp_path):
+    """When partition_by is NOT part of the key, an update may move a key to
+    a different partition; last-write-wins requires the stale row in the
+    key's OLD partition to disappear too."""
+    from tickerlake_spark.storage.upsert import upsert_table
+
+    path = str(tmp_path / "facts")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0), (3, "2024-01-02", 30.0)],
+        "id long, date string, v double",
+    )
+    upsert_table(spark, path, base, keys=["id"], partition_by="date")
+
+    # id=2 migrates 2024-01-01 -> 2024-01-03
+    updates = spark.createDataFrame(
+        [(2, "2024-01-03", 200.0)], "id long, date string, v double"
+    )
+    upsert_table(spark, path, updates, keys=["id"], partition_by="date")
+    got = {
+        (row.id, str(row.date)): row.v
+        for row in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): 10.0,
+        (2, "2024-01-03"): 200.0,
+        (3, "2024-01-02"): 30.0,
+    }
+
+
+def test_upsert_partition_migration_drops_emptied_partition(spark, tmp_path):
+    """If migration empties a partition entirely, its directory (and stale
+    files) must be removed — dynamic overwrite alone would leave it."""
+    import os
+
+    from tickerlake_spark.storage.upsert import upsert_table
+
+    path = str(tmp_path / "facts")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0)],
+        "id long, date string, v double",
+    )
+    upsert_table(spark, path, base, keys=["id"], partition_by="date")
+
+    updates = spark.createDataFrame(
+        [(2, "2024-01-03", 200.0)], "id long, date string, v double"
+    )
+    upsert_table(spark, path, updates, keys=["id"], partition_by="date")
+    got = {
+        (row.id, str(row.date)): row.v
+        for row in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "2024-01-01"): 10.0, (2, "2024-01-03"): 200.0}
+    assert not os.path.isdir(os.path.join(path, "date=2024-01-02"))
+
+
+def test_zorder_key_raises_clearly_on_empty_or_all_null(spark):
+    import pytest as _pytest
+
+    from tickerlake_spark.storage.clustering import zorder_key
+
+    empty = spark.createDataFrame([], "x double, y double")
+    with _pytest.raises(ValueError, match="empty or the column"):
+        zorder_key(empty, ["x", "y"])
+
+
 def test_upsert_rejects_duplicate_update_keys(spark, tmp_path):
     import pytest as _pytest
 

@@ -111,7 +111,9 @@ def run_bronze(
         checkpoints.set(
             "bronze_stocks_last_date", max(fetched).isoformat()
         )
-    checkpoints.set("last_run_timestamp", dt.datetime.utcnow().isoformat())
+    checkpoints.set(
+        "last_run_timestamp", dt.datetime.now(dt.timezone.utc).isoformat()
+    )
     return {
         "dates_fetched": len(fetched),
         "rows": n_rows,

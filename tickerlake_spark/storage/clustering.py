@@ -68,6 +68,12 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
     for c in cols:
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
     b = df.agg(*aggs).first()
+    null_cols = [c for c in cols if b[f"__mn_{c}"] is None or b[f"__mx_{c}"] is None]
+    if null_cols:
+        raise ValueError(
+            "zorder_key: cannot compute min/max bounds for "
+            f"{null_cols} — input is empty or the column(s) are all null"
+        )
     maxv = (1 << bits) - 1
     scaled = []
     bounds = {}

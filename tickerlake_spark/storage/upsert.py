@@ -79,9 +79,32 @@ def upsert_table(
 
     # Partitioned: rebuild only the touched partitions, then dynamic-overwrite
     # them. The isin filter prunes the existing scan to those partitions.
-    touched = [
-        r[0] for r in updates.select(partition_by).distinct().collect()
-    ]
+    #
+    # Correctness: pruning to the update batch's partition values is only
+    # valid if no key can MIGRATE partitions (an update row carrying a
+    # different partition value than the stored row would leave the stale row
+    # alive in the key's old partition). When ``partition_by`` is one of
+    # ``keys`` migration is impossible — different partition value means
+    # different key — so the pruned scan is exact. Otherwise we locate the
+    # partitions where the updated keys currently live via a key-only
+    # semi-join over the full table (column-pruned scan: keys + partition
+    # column only) and add them to the touched set, so stale rows are
+    # rewritten away wherever they sit.
+    # Values normalized to their Hive directory string form: the partition
+    # column may surface as date/int on one side and string on the other.
+    touched = {
+        str(r[0]) for r in updates.select(partition_by).distinct().collect()
+    }
+    if partition_by not in keys:
+        touched |= {
+            str(r[0])
+            for r in existing.select(partition_by, *keys)
+            .join(updates.select(*keys), keys, "left_semi")
+            .select(partition_by)
+            .distinct()
+            .collect()
+        }
+    touched = sorted(touched)
     survivors = (
         existing.filter(F.col(partition_by).isin(touched))
         .join(updates.select(*keys), keys, "left_anti")
@@ -92,15 +115,25 @@ def upsert_table(
     # partitions — small), then dynamic-overwrite from the staged copy.
     tmp = f"{path.rstrip('/')}__upsert_{uuid.uuid4().hex[:8]}"
     merged.write.parquet(tmp)
+    staged = spark.read.parquet(tmp)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            spark.read.parquet(tmp)
-            .write.mode("overwrite")
+            staged.write.mode("overwrite")
             .partitionBy(partition_by)
             .parquet(path)
         )
+        # Dynamic overwrite only replaces partitions present in the written
+        # data: a touched partition whose every row was migrated away has no
+        # output rows and would keep its stale files — drop it explicitly.
+        written = {
+            str(r[0]) for r in staged.select(partition_by).distinct().collect()
+        }
+        for value in set(touched) - written:
+            part_dir = os.path.join(path, f"{partition_by}={value}")
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         shutil.rmtree(tmp, ignore_errors=True)

@@ -117,10 +117,10 @@ def first_seen_filter(
             for _ in pdfs:
                 pass
             return
-        first_ts = None
-        for pdf in pdfs:
-            if len(pdf) and first_ts is None:
-                first_ts = str(pdf[ts_col].min())
+        # A key's batch may arrive as multiple Arrow chunks; take the min
+        # across ALL of them, not just the first non-empty chunk.
+        chunk_mins = [pdf[ts_col].min() for pdf in pdfs if len(pdf)]
+        first_ts = str(min(chunk_mins)) if chunk_mins else None
         state.update((1,))
         yield pd.DataFrame({key_col: [str(key[0])], "first_ts": [first_ts]})
 
@@ -205,8 +205,9 @@ def session_tracker(
             state.update((kept,))
         elif state.exists:
             state.remove()
-        else:
-            state.update(([],))
+        # else: new key whose sessions all closed in its first batch — yield
+        # output WITHOUT touching state (valid in applyInPandasWithState), so
+        # no empty per-key state accumulates under NoTimeout.
         if closed:
             yield pd.DataFrame(
                 {
