@@ -138,9 +138,130 @@ def oracle_map() -> dict[str, str]:
 
 _LOADED = False
 
+# Execution order for the correctness gate: cheapest-first by measured
+# sf0.01 wall time (Spark + oracle; tools/profile_queries.py). The driver
+# runs queries in dict order under a time budget — cheap-first maximizes the
+# number of recorded correctness rows if the budget cuts the run short.
+# Names missing from this list (new queries) run last, in registration order.
+_GATE_ORDER = [
+    "q11_case_cast",
+    "q13_topk_sort",
+    "q52_token_count",
+    "q68_stratified_sample",
+    "q23_deterministic_sample",
+    "q27_topk_per_group",
+    "q39_epoch_ms_roundtrip",
+    "q75_revenue_filter_agg",
+    "q55_frame_sampling",
+    "q09_distinct",
+    "q28_date_format_parse",
+    "q15_row_math",
+    "q73_label_centroids",
+    "q25_rollup",
+    "q06_anti_join",
+    "q111_posexplode_ordinal",
+    "q40_exact_dedup",
+    "q10_quality_counts",
+    "q110_array_functions",
+    "q02_filter_project",
+    "q16_rank_windows",
+    "q70_pii_mask",
+    "q14_date_buckets",
+    "q07_semi_join",
+    "q12_union_all",
+    "q26_pivot",
+    "q53_json_props",
+    "q69_quality_filter",
+    "q20_dedup_keep_last",
+    "q88_zscore_normalize",
+    "q17_lag_delta",
+    "q60_tumbling_window",
+    "q87_value_histogram",
+    "q21_product_agg",
+    "q65_range_join",
+    "q22_scalar_stats",
+    "q08_groupby_count_distinct",
+    "q82_cohort_retention",
+    "q49_text_stats",
+    "q84_small_qty_revenue",
+    "q45_ann_bruteforce",
+    "q64_date_count_anomalies",
+    "q76_large_orders",
+    "q72_embedding_quantize",
+    "q18_rolling_mean_strict",
+    "q92_idle_rich_customers",
+    "q113_map_functions",
+    "q104_vector_hof_stats",
+    "q83_batch_sessionize",
+    "q24_asof_join",
+    "q61_sliding_window",
+    "q01_pricing_summary",
+    "q90_approx_stats",
+    "q86_trailing_active_users",
+    "q71_percentiles_exact",
+    "q62_session_window",
+    "q114_range_frame_window",
+    "q63_salted_join_skew",
+    "q105_grouping_sets",
+    "q112_decimal_exact_money",
+    "q89_column_profile",
+    "q103_window_rank_variants",
+    "q91_disjunctive_predicates",
+    "q42_simhash_fingerprint",
+    "q04_join_left_enrich",
+    "q108_view_purchase_attribution",
+    "q74_top_supplier_per_part",
+    "q03_shipping_priority",
+    "q99_promo_revenue",
+    "q56_repetition_ratio",
+    "q81_funnel_conversion",
+    "q67_bm25_rank",
+    "q19_cumulative_vwap",
+    "q29_set_ops",
+    "q98_customer_order_distribution",
+    "q50_language_id",
+    "q97_priority_line_counts",
+    "q106_advanced_stats",
+    "q66_tfidf_topterms",
+    "q80_nearest_centroid",
+    "q05_local_supplier_volume",
+    "q100_top_revenue_supplier",
+    "q77_market_share",
+    "q43_simhash_neardup",
+    "q85_late_supplier_blame",
+    "q101_part_supplier_counts",
+    "q33_resample_monthly",
+    "q30_stock_bars",
+    "q51_fingerprint",
+    "q96_returned_items",
+    "q48_ivf_ann",
+    "q32_resample_weekly",
+    "q46_embedding_neardup",
+    "q95_profit_by_nation_year",
+    "q93_late_orders_exists",
+    "q109_calendar_gap_fill",
+    "q107_string_functions",
+    "q44_ngram_jaccard",
+    "q102_excess_shipped_suppliers",
+    "q31_split_adjust",
+    "q36_hvc_events",
+    "q38_best_pattern",
+    "q37b_stairstep_down",
+    "q94_nation_pair_volume",
+    "q47_lsh_ann",
+    "q41_minhash_lsh_dedup",
+    "q37_stairstep_up",
+    "q35_vwap_signals",
+    "q34_indicators",
+    "q79_dedup_canonical",
+    "q78_connected_components",
+    "q54_media_features",
+]
+
 
 def _ensure_loaded() -> None:
-    """Import all query modules (each registers its specs)."""
+    """Import all query modules (each registers its specs), then order the
+    catalog cheapest-first for the driver's time-budgeted gate."""
     global _LOADED
     if _LOADED:
         return
@@ -155,4 +276,11 @@ def _ensure_loaded() -> None:
         q_streaming,
     )
 
+    rank = {n: i for i, n in enumerate(_GATE_ORDER)}
+    ordered = sorted(
+        QUERIES, key=lambda n: (rank.get(n, len(rank)), list(QUERIES).index(n))
+    )
+    reordered = {n: QUERIES[n] for n in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)
     _LOADED = True

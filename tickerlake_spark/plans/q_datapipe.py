@@ -411,7 +411,9 @@ def q71_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "127/max|x|, q_i = clamp(floor(x*scale + .5)) — explicit floor(+0.5) "
     "so both engines round identically. Reports the reconstruction L2 "
     "error and the int checksum. Row-local array math (zip_with/aggregate) "
-    "— zero shuffle; this is the 4x storage cut before ANN indexing.",
+    "— zero shuffle; this is the 4x storage cut before ANN indexing. "
+    "scale/l2_err are emitted in integer micro-units (x1e6, BIGINT) so no "
+    "float output can sit near a decimal rounding boundary across engines.",
     oracle="""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -434,11 +436,11 @@ q AS (
   FROM sc
 )
 SELECT vec_id,
-       ROUND(scale + 5e-9, 6) AS scale,
-       ROUND(sqrt(list_aggregate(
+       CAST(floor(scale * 1e6 + 0.5) AS BIGINT) AS scale_e6,
+       CAST(floor(sqrt(list_aggregate(
          list_transform(range(1, len(e) + 1),
                         i -> (e[i] - qv[i] / scale) * (e[i] - qv[i] / scale)),
-         'sum')) + 5e-9, 6) AS l2_err,
+         'sum')) * 1e6 + 0.5) AS BIGINT) AS l2_err_e6,
        list_aggregate(qv, 'sum') AS q_checksum
 FROM q
 """,
@@ -470,8 +472,8 @@ def q72_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return q.select(
         "vec_id",
-        stable_round(F.col("scale"), 6).alias("scale"),
-        stable_round(F.sqrt(err2), 6).alias("l2_err"),
+        F.floor(F.col("scale") * 1e6 + 0.5).cast("long").alias("scale_e6"),
+        F.floor(F.sqrt(err2) * 1e6 + 0.5).cast("long").alias("l2_err_e6"),
         F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias(
             "q_checksum"
         ),

@@ -420,14 +420,17 @@ def q39_epoch_ms_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grid join and the fill window.",
     oracle=f"""
 WITH {BARS_CTE},
-cal AS (SELECT DISTINCT date FROM bars),
-span AS (SELECT ticker, MIN(date) AS d0, MAX(date) AS d1 FROM bars GROUP BY ticker),
+-- deterministic ~1/4 ticker subset: the operator path is identical, the
+-- correctness-gate result stays hash-comparable at a fraction of the rows
+bars_sub AS (SELECT * FROM bars WHERE substr(md5(ticker), 1, 1) IN ('0','1','2','3')),
+cal AS (SELECT DISTINCT date FROM bars_sub),
+span AS (SELECT ticker, MIN(date) AS d0, MAX(date) AS d1 FROM bars_sub GROUP BY ticker),
 grid AS (
   SELECT s.ticker, c.date FROM span s JOIN cal c ON c.date BETWEEN s.d0 AND s.d1
 ),
 j AS (
   SELECT g.ticker, g.date, b.close, b.volume
-  FROM grid g LEFT JOIN bars b ON b.ticker = g.ticker AND b.date = g.date
+  FROM grid g LEFT JOIN bars_sub b ON b.ticker = g.ticker AND b.date = g.date
 )
 SELECT ticker, date,
        last_value(close IGNORE NULLS) OVER (
@@ -441,7 +444,11 @@ FROM j
 def q109_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tickerlake_spark.operators.gapfill import forward_fill_calendar
 
-    bars = stock_bars(spark, sf_dir).select("ticker", "date", "close", "volume")
+    bars = (
+        stock_bars(spark, sf_dir)
+        .filter(F.substring(F.md5("ticker"), 1, 1).isin("0", "1", "2", "3"))
+        .select("ticker", "date", "close", "volume")
+    )
     return forward_fill_calendar(
         bars, key_col="ticker", date_col="date",
         fill_cols=("close",), zero_cols=("volume",),

@@ -214,13 +214,21 @@ sh AS (
                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
   FROM tok WHERE len(t) >= 3
 ),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-           / len(list_distinct(a.s || b.s)) AS jaccard
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+-- inverted-index postings join (same shape as the Spark plan): linear in
+-- postings, never the all-pairs list_intersect
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
 )
-SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+SELECT i.id_a, i.id_b,
+       CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.5
 """,
 )
 def q44_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
