@@ -21,6 +21,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from tickerlake_spark.config import Settings
+
 __all__ = ["get_spark", "stop_spark"]
 
 
@@ -39,13 +41,12 @@ def get_spark(
     On a cluster, ``master`` comes from spark-submit; locally we default to
     ``local[$SPARK_GRAFT_CPUS]``.
     """
-    cpus = _default_parallelism()
+    settings = Settings.from_env()  # env-fresh (validated), not the singleton
+    cpus = settings.cpus
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(
-            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
-        )
+        shuffle_partitions = settings.shuffle_partitions or max(cpus, 8)
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -60,7 +61,7 @@ def get_spark(
         # Broadcast threshold: dimension tables (region/nation/tickers/splits)
         # are tiny even at 100 TB fact scale; 64m is a safe ceiling.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", settings.driver_memory)
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

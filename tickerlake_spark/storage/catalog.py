@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
+from tickerlake_spark.config import Settings
+
 __all__ = ["get_table_path", "Catalog"]
 
 LAYERS = ("bronze", "silver", "gold")
@@ -29,9 +31,7 @@ class Catalog:
     """Path catalog bound to a storage root (defaults to $TICKERLAKE_DATA
     or ./data)."""
 
-    root: str = field(
-        default_factory=lambda: os.environ.get("TICKERLAKE_DATA", "data")
-    )
+    root: str = field(default_factory=lambda: Settings.from_env().data_dir)
 
     def path(self, layer: str, table: str) -> str:
         return get_table_path(self.root, layer, table)
