@@ -1,17 +1,31 @@
-"""Exact (tolerance-free) cross-engine hash checks.
+"""Exact (tolerance-free) cross-engine hash checks for EVERY oracle query.
 
-The driver's correctness gate hashes canonicalized result values — unlike
-tests/test_oracle_parity.py there is NO float tolerance there, so a value
-that differs at the last ulp (or a float that formats differently between
-engines) fails even when an approximate compare passes. These tests
-reproduce that stricter contract for the queries that have historically sat
-closest to a rounding boundary (q72 was the only driver hash-fail in r1).
+The driver's correctness gate hashes canonicalized result values with repr —
+no float tolerance, no dtype coercion. Both historical driver failures
+(q72 r1/r2, q83 r2) were dtype bugs in the *oracle SQL*: DuckDB widens
+integer SUMs to HUGEINT, pandas renders HUGEINT as float64, and the driver's
+repr hash sees ``147.0`` vs Spark's ``147``. An earlier version of this test
+"harmonized" dtypes before hashing, which silently erased exactly that
+divergence — so it passed while the driver failed.
+
+This version is the driver's contract, reproduced faithfully:
+
+- dtypes must MATCH between the Spark result and the DuckDB oracle result
+  (dates/timestamps excepted — the driver normalizes those), and
+- the order-insensitive repr-based value hash must match, with no
+  harmonization of any kind.
+
+It runs over the FULL catalog at sf0.001, so any future oracle that leaks a
+HUGEINT (uncast SUM, list_aggregate('sum'), windowed SUM) fails here first,
+not in the driver.
 """
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -20,20 +34,56 @@ from tickerlake_spark.plans.catalog import _ensure_loaded
 
 _ensure_loaded()
 
-# Queries whose outputs must survive an exact value-hash across engines.
-STRICT = [
-    "q72_embedding_quantize",
-    "q71_percentiles_exact",
-    "q45_ann_bruteforce",
-]
+# Every query with a SQL oracle participates; rows-only queries have no
+# cross-engine hash to protect.
+STRICT = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
+
+
+def _is_datelike(series: pd.Series) -> bool:
+    if pd.api.types.is_datetime64_any_dtype(series):
+        return True
+    if series.dtype == object:
+        sample = series.dropna().head(5)
+        return len(sample) > 0 and all(
+            isinstance(v, (datetime.date, datetime.datetime, pd.Timestamp))
+            for v in sample
+        )
+    return False
+
+
+def _canon(v):
+    """Canonicalize one cell the way the driver's repr hash sees it: numpy
+    scalars unwrap to Python scalars (int stays int, float stays float — the
+    divergence we must NOT erase), dates/timestamps normalize to ISO text,
+    arrays/lists recurse."""
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float) and v != v:  # NaN (incl. NULL-in-float columns)
+        return "None"
+    if v is None or v is pd.NaT:
+        return "None"
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        # DuckDB hands DATE columns to pandas as midnight timestamps while
+        # Spark yields datetime.date — the driver normalizes these together.
+        if v.time() == datetime.time(0) and v.tzinfo is None:
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ", ".join(_canon(x) for x in v) + "]"
+    if isinstance(v, (bool, np.bool_)):
+        return repr(bool(v))
+    return repr(v)
 
 
 def _value_hash(pdf: pd.DataFrame) -> str:
-    """Canonicalize order-insensitively and hash EXACT values: columns sorted
-    by name, rows sorted by full tuple, every cell rendered with repr (full
-    precision — no rounding, no tolerance)."""
+    """Columns sorted by name, rows sorted by full canonical tuple, exact
+    reprs — full precision, no rounding, no tolerance."""
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-    rows = sorted(tuple(repr(v) for v in row) for row in pdf.itertuples(index=False))
+    rows = sorted(tuple(_canon(v) for v in row) for row in pdf.itertuples(index=False))
     h = hashlib.md5()
     for r in rows:
         h.update("\x1f".join(r).encode())
@@ -41,15 +91,41 @@ def _value_hash(pdf: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
+def _dtype_mismatches(
+    spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame
+) -> list[str]:
+    """Columns whose pandas dtype KIND diverges between engines (int vs
+    float vs bool vs object), excluding date-like columns (the driver
+    normalizes dates before hashing). Width differences (int32 vs int64)
+    repr identically after scalar unwrap and are driver-safe (q87 was
+    driver-green with exactly that split); int64 vs float64 is precisely
+    the class that broke q72/q83/q89 in the driver, so kinds are compared
+    with NO harmonization."""
+    bad = []
+    for c in spark_pdf.columns:
+        s, d = spark_pdf[c], duck_pdf[c]
+        if s.dtype.kind == d.dtype.kind:
+            continue
+        if _is_datelike(s) and _is_datelike(d):
+            continue
+        bad.append(f"{c}: spark={s.dtype} duck={d.dtype}")
+    return bad
+
+
 @pytest.mark.parametrize("name", STRICT)
 def test_exact_value_hash_matches_oracle(spark, duck, sf_dir, name):
     spec = QUERIES[name]
     spark_pdf = spec.fn(spark, sf_dir).toPandas()
     duck_pdf = duck.execute(spec.oracle).fetchdf()
-    # dtype harmonization only (int64 vs Int64 etc.), never value rounding
-    for c in spark_pdf.columns:
-        if str(duck_pdf[c].dtype) != str(spark_pdf[c].dtype):
-            duck_pdf[c] = duck_pdf[c].astype(spark_pdf[c].dtype)
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column sets diverge"
+    )
+    mismatches = _dtype_mismatches(spark_pdf, duck_pdf)
+    assert not mismatches, (
+        f"{name}: oracle/Spark dtype divergence (driver repr-hash would "
+        f"fail): {mismatches} — likely an uncast SUM/list_aggregate in the "
+        f"oracle SQL (DuckDB HUGEINT -> pandas float64)"
+    )
     assert _value_hash(spark_pdf) == _value_hash(duck_pdf), (
         f"{name}: exact value hash diverged between Spark and DuckDB"
     )

@@ -12,6 +12,7 @@ from tickerlake_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    signature_table,
     simhash_pairs,
 )
 from tickerlake_spark.operators.multimodal import (
@@ -55,6 +56,34 @@ def test_minhash_finds_near_and_exact_dups(spark, doc_corpus):
     assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
     assert (1, 2) in pairs and 0.8 < pairs[(1, 2)] < 1.0
     assert not any({a, b} == {1, 5} for a, b in pairs)
+
+
+def test_persisted_signatures_match_and_skip_reshingling(spark, doc_corpus, tmp_path):
+    """signature_table written to parquet and fed back via signatures= must
+    (a) produce identical pairs and (b) never touch the corpus text again —
+    the 100 TB repeated-dedup path reads ~40 bytes/doc, not documents."""
+    path = str(tmp_path / "sigs")
+    signature_table(doc_corpus).write.parquet(path)
+    persisted = spark.read.parquet(path)
+
+    from_text = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(doc_corpus, jaccard_threshold=0.5).collect()
+    }
+    from_sigs_df = minhash_lsh_pairs(signatures=persisted, jaccard_threshold=0.5)
+    from_sigs = {
+        (r.id_a, r.id_b): r.jaccard for r in from_sigs_df.collect()
+    }
+    assert from_sigs == from_text and (1, 3) in from_sigs
+
+    # plan gate: no tokenizer/shingler in the persisted-signature plan —
+    # shingling is split+lower (tokens()) over the text column, neither of
+    # which may appear when signatures are read from storage
+    plan = from_sigs_df._jdf.queryExecution().executedPlan().toString()
+    assert "split(" not in plan and "text#" not in plan
+
+    with pytest.raises(ValueError, match="either df"):
+        minhash_lsh_pairs()
 
 
 def test_simhash_pairs_banding_bound(spark, doc_corpus):

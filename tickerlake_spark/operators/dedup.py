@@ -21,6 +21,7 @@ __all__ = [
     "dedup_keep_last",
     "dedup_keep_first",
     "exact_dedup",
+    "signature_table",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "ngram_jaccard_pairs",
@@ -123,14 +124,44 @@ def _with_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     ).filter(F.size("__shingles") > 0)
 
 
-def minhash_lsh_pairs(
+def signature_table(
     df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """The materializable MinHash signature table: (doc_id, shingles, signature).
+
+    At 100 TB the shingle+hash+signature pipeline is the expensive half of
+    near-dup detection, and dedup runs repeatedly (per ingestion round, per
+    threshold sweep). Compute this ONCE, write it to storage, and feed it
+    back via ``minhash_lsh_pairs(signatures=...)`` — subsequent rounds read
+    ~40 bytes/doc of signature instead of re-tokenizing the corpus.
+
+        sigs = signature_table(docs)
+        write_table(sigs, path)                      # once
+        pairs = minhash_lsh_pairs(
+            signatures=read_table(spark, path))      # every round after
+    """
+    from tickerlake_spark.functions.text import minhash_signature
+
+    return _with_shingles(df, text_col, id_col, shingle_n).select(
+        "doc_id",
+        F.col("__shingles").alias("shingles"),
+        minhash_signature(F.col("__hashes"), num_hashes).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.6,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs: (id_a, id_b, jaccard).
 
@@ -144,32 +175,41 @@ def minhash_lsh_pairs(
     join output is ~linear in the number of true duplicates; AQE's skew-join
     split handles pathological buckets (e.g. boilerplate-heavy corpora).
 
-    The signature table is persisted (MEMORY_AND_DISK): the plan is a diamond
-    — band self-join (2 refs) + per-side shingle fetch for the verify (2
-    refs) — and without materialization the shingle+hash+signature pipeline
-    executes 4x (measured: 4 parquet scans, 0 reused exchanges). At 100 TB
-    this is the standard "materialize the signature table" step; callers
-    doing repeated dedup rounds should write it to storage instead.
+    Pass ``signatures`` (a ``signature_table`` result, typically read back
+    from storage) to skip the shingle/hash recompute entirely — repeated
+    dedup rounds then touch only the persisted signatures, never the corpus
+    text. ``num_hashes`` must match the value the table was built with.
+
+    When computing from ``df``, the signature table is persisted
+    (MEMORY_AND_DISK): the plan is a diamond — band self-join (2 refs) +
+    per-side shingle fetch for the verify (2 refs) — and without
+    materialization the shingle+hash+signature pipeline executes 4x
+    (measured: 4 parquet scans, 0 reused exchanges).
     """
     from pyspark import StorageLevel
 
-    from tickerlake_spark.functions.text import minhash_signature
-
     rows = num_hashes // bands
-    sig = (
-        _with_shingles(df, text_col, id_col, shingle_n)
-        # __hashes is referenced exactly once (by the signature fold), so it
-        # inlines safely; dropping it from the projection keeps it out of the
-        # cache. Banding references __sig 4x per band, but the persist itself
-        # is the physical boundary: consumers read bound attributes out of
-        # the cached relation, so no extra exchange is needed here.
-        .select(
+    if signatures is not None:
+        sig = signatures.select(
             "doc_id",
-            "__shingles",
-            minhash_signature(F.col("__hashes"), num_hashes).alias("__sig"),
+            F.col("shingles").alias("__shingles"),
+            F.col("signature").alias("__sig"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    else:
+        if df is None:
+            raise ValueError("pass either df (corpus) or signatures")
+        sig = (
+            signature_table(df, text_col, id_col, shingle_n, num_hashes)
+            .select(
+                "doc_id",
+                F.col("shingles").alias("__shingles"),
+                F.col("signature").alias("__sig"),
+            )
+            # Banding references __sig 4x per band, but the persist itself
+            # is the physical boundary: consumers read bound attributes out
+            # of the cached relation, so no extra exchange is needed here.
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     # band join on ids ONLY — exploding each doc's shingle array through the
     # 8-band self-join would shuffle every array 8x; instead the (small)
     # candidate pair set joins back to the shingle table to fetch arrays

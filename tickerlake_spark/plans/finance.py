@@ -31,6 +31,7 @@ __all__ = [
     "BARS_CTE",
     "ADJUSTED_CTE",
     "INDICATORS_CTE",
+    "resampled_indicators_cte",
 ]
 
 
@@ -158,16 +159,17 @@ adjusted AS (
 )"""
 )
 
-INDICATORS_CTE = (
-    ADJUSTED_CTE
-    + """,
+# Indicator tail, parameterized on the OHLCV source CTE name so the same
+# derivation runs over daily `adjusted` bars or a weekly/monthly resample
+# (reference metadata.json:69-188 declares HVC faces per timeframe).
+_IND_TAIL = """,
 with_tr AS (
   SELECT ticker, date, close, volume,
          CASE WHEN lag(close) OVER wt IS NULL THEN high - low
               ELSE GREATEST(high - low,
                             ABS(high - lag(close) OVER wt),
                             ABS(low  - lag(close) OVER wt)) END AS tr
-  FROM adjusted
+  FROM {src}
   WINDOW wt AS (PARTITION BY ticker ORDER BY date ASC)
 ),
 ind AS (
@@ -185,4 +187,22 @@ ind AS (
     w200 AS (PARTITION BY ticker ORDER BY date ASC ROWS BETWEEN 199 PRECEDING AND CURRENT ROW),
     w14  AS (PARTITION BY ticker ORDER BY date ASC ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
 )"""
-)
+
+INDICATORS_CTE = ADJUSTED_CTE + _IND_TAIL.format(src="adjusted")
+
+
+def resampled_indicators_cte(unit: str) -> str:
+    """ADJUSTED_CTE + a {unit}-truncated OHLCV resample + the indicator tail
+    over the resampled bars — the oracle for weekly/monthly HVC faces."""
+    resample = f""",
+res AS (
+  SELECT ticker, CAST(date_trunc('{unit}', date) AS DATE) AS date,
+         arg_min(open, date) AS open,
+         MAX(high) AS high,
+         MIN(low) AS low,
+         arg_max(close, date) AS close,
+         CAST(SUM(volume) AS BIGINT) AS volume
+  FROM adjusted
+  GROUP BY 1, 2
+)"""
+    return ADJUSTED_CTE + resample + _IND_TAIL.format(src="res")

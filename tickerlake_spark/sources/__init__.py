@@ -1,4 +1,5 @@
 from tickerlake_spark.sources.calendar import trading_days
+from tickerlake_spark.sources.http import HttpMarketSource, urllib_transport
 from tickerlake_spark.sources.market import (
     ApiLimitReached,
     InMemoryMarketSource,
@@ -10,6 +11,8 @@ __all__ = [
     "trading_days",
     "MarketSource",
     "InMemoryMarketSource",
+    "HttpMarketSource",
+    "urllib_transport",
     "ApiLimitReached",
     "classify_fetch_error",
 ]
