@@ -52,17 +52,24 @@ def main() -> None:
         timings[name] = round(min(runs), 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Reference-scale end-to-end run (~12.5M bars, the exact scale BASELINE.md
+    # quotes): silver full rewrite + gold + one-day incremental append through
+    # the real pipeline entry points — the no-extrapolation baseline
+    # comparison. ~80s on local[32]; SPARK_GRAFT_E2E=0 skips while iterating.
+    if os.environ.get("SPARK_GRAFT_E2E", "1") != "0":
+        from tools.bench_e2e import run as e2e_run
+
+        out["e2e_reference_scale"] = e2e_run()
+
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1,0 +1,24 @@
+"""The reference-scale e2e benchmark tool must stay runnable: BENCH_r{N}
+embeds its output, so a regression here silently drops the only
+no-extrapolation BASELINE.md comparison.
+
+Runs the identical code path at toy scale (50 tickers x 1 year) and checks
+the structural invariants; the timings themselves are meaningless here.
+"""
+
+from __future__ import annotations
+
+
+def test_e2e_bench_tool_runs_and_reports(tmp_path):
+    from tools.bench_e2e import run
+
+    out = run(n_tickers=50, years=1, data_dir=str(tmp_path / "e2e"))
+
+    n_days = out["bars"] // 50
+    assert n_days > 240  # a year of NYSE sessions minus the appended day
+    # full rewrite covered initial days; the append added exactly one more
+    assert out["silver_daily_rows"] == out["bars"] + 50
+    assert out["gold_vwap_rows"] == out["bars"]
+    assert out["gold_hvc_rows"] > 0  # volume spikes must trigger HVC events
+    assert out["silver_append_sec"] > 0  # append path engaged (asserted inside)
+    assert set(out["baseline"]) == {"silver_sec", "gold_sec", "silver_append_sec"}

