@@ -255,3 +255,93 @@ def test_python_datasource_partition_per_date(spark):
     got_close = sorted(zip(got.ticker, got.window_start, got.close))
     for (et, ew, ec), (gt, gw, gc) in zip(exp_close, got_close):
         assert (et, ew) == (gt, gw) and abs(ec - gc) < 1e-9
+
+
+def test_append_path_matches_full_rewrite(spark, tmp_path):
+    """The incremental append (bounded-context indicators + bucket-scoped
+    resample MERGE, operators/incremental_silver.py) must leave every silver
+    table byte-equal to a from-scratch full rewrite over the same bronze
+    data. Run the same 7 weeks twice: env A ingests all-but-two days then
+    appends the rest (split executes before the watermark, so the second
+    silver run takes the append path); env B ingests everything at once and
+    full-rewrites."""
+    from pyspark.sql import functions as F
+
+    days = trading_days(D(2024, 1, 2), D(2024, 2, 20))
+    bars = {
+        d: _bars_for(d, price=100.0 + 3 * (i % 7) - 0.5 * (i % 3))
+        for i, d in enumerate(days)
+    }
+
+    def src(dates):
+        s = _source(dates)
+        s._bars = {d: bars[d] for d in dates}
+        return s
+
+    def collect(cat, table):
+        df = read_table(spark, cat.silver(table))
+        rounded = df.select(
+            *[
+                F.round(c, 9).alias(c) if t == "double" else F.col(c)
+                for c, t in df.dtypes
+            ]
+        )
+        return sorted(map(tuple, rounded.collect()))
+
+    cat_a = Catalog(root=str(tmp_path / "a"))
+    cp_a = Checkpoints(str(tmp_path / "cp_a.json"))
+    run_bronze(spark, src(days[:-2]), cat_a, cp_a, days[0], days[-3])
+    assert run_silver(spark, cat_a, cp_a)["mode"] == "full"
+    run_bronze(spark, src(days), cat_a, cp_a, days[0], days[-1])
+    assert run_silver(spark, cat_a, cp_a)["mode"] == "append"
+
+    cat_b = Catalog(root=str(tmp_path / "b"))
+    cp_b = Checkpoints(str(tmp_path / "cp_b.json"))
+    run_bronze(spark, src(days), cat_b, cp_b, days[0], days[-1])
+    assert run_silver(spark, cat_b, cp_b)["mode"] == "full"
+
+    for table in (
+        "daily_aggregates",
+        "weekly_aggregates",
+        "monthly_aggregates",
+        "daily_indicators",
+        "weekly_indicators",
+        "monthly_indicators",
+    ):
+        assert collect(cat_a, table) == collect(cat_b, table), table
+
+
+def test_changed_old_split_forces_full_rewrite(spark, tmp_path):
+    """A split that ARRIVES (or is corrected) after the silver run but
+    executes BEFORE the watermark is invisible to the reference's
+    execution_date > watermark check (silver/incremental.py:20-66) — stored
+    history would keep the stale adjustment forever. The splits-table
+    fingerprint must force the full rewrite; an unchanged splits table must
+    keep the append path."""
+    days = trading_days(D(2024, 1, 2), D(2024, 1, 31))
+    cat = Catalog(root=str(tmp_path / "data"))
+    cp = Checkpoints(str(tmp_path / "cp.json"))
+
+    run_bronze(spark, _source(days[:-2]), cat, cp, days[0], days[-3])
+    assert run_silver(spark, cat, cp)["mode"] == "full"
+
+    # unchanged splits -> append (fingerprint path, not the date check)
+    run_bronze(spark, _source(days), cat, cp, days[0], days[-1])
+    assert should_full_rewrite(spark, cat, cp) is False
+    assert run_silver(spark, cat, cp)["mode"] == "append"
+
+    # corrected split: same id, execution date moved to BEFORE the watermark
+    src = _source(days)
+    src._splits = [
+        {"id": "s1", "ticker": "AAPL",
+         "execution_date": D(2024, 1, 10), "split_from": 1.0, "split_to": 2.0},
+    ]
+    run_bronze(spark, src, cat, cp, days[0], days[-1])
+    assert should_full_rewrite(spark, cat, cp) is True
+    assert run_silver(spark, cat, cp)["mode"] == "full"
+    # the rewrite re-adjusted history: closes before 01-10 now halved
+    daily = read_table(spark, cat.silver("daily_aggregates"))
+    early_aapl = daily.filter(
+        (daily.ticker == "AAPL") & (daily.date < D(2024, 1, 10))
+    ).select("close").first()
+    assert early_aapl is not None and abs(early_aapl["close"] - 101.0 / 2) < 1e-9

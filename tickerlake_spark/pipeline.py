@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 from tickerlake_spark import schemas
 from tickerlake_spark.functions.core import epoch_ms_to_date
 from tickerlake_spark.operators.hvc import best_patterns, hvc_events, stairstep_patterns
+from tickerlake_spark.operators.incremental_silver import (
+    affected_resample,
+    incremental_indicators,
+)
 from tickerlake_spark.operators.indicators import compute_indicators
 from tickerlake_spark.operators.resample import resample_ohlcv
 from tickerlake_spark.operators.splits import apply_splits
@@ -39,8 +43,16 @@ from tickerlake_spark.storage import (
     get_max_date,
     read_table,
     table_exists,
+    upsert_table,
     write_table,
 )
+
+
+def _bucket_start(period: str, d: dt.date) -> dt.date:
+    """Start date of the week (Monday-anchored) or calendar month holding ``d``."""
+    if period == "week":
+        return d - dt.timedelta(days=d.weekday())
+    return d.replace(day=1)
 
 __all__ = [
     "run_bronze",
@@ -121,20 +133,47 @@ def run_bronze(
     }
 
 
+def _splits_fingerprint(spark: SparkSession, catalog: Catalog) -> str | None:
+    """Order-insensitive content hash of bronze.splits (sum of per-row
+    xxhash64). ~500 rows at reference scale — metadata-cheap."""
+    path = catalog.bronze("splits")
+    if not table_exists(path):
+        return None
+    df = read_table(spark, path)
+    row = df.agg(
+        F.sum(F.xxhash64(*[F.col(c).cast("string") for c in df.columns])).alias("fp")
+    ).first()
+    return str(row["fp"])
+
+
 def should_full_rewrite(
-    spark: SparkSession, catalog: Catalog
+    spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints | None = None
 ) -> bool:
-    """True iff first run or any split executed after the silver watermark
-    (reference: silver/incremental.py:20-66)."""
+    """True iff first run or the splits table changed since the last silver
+    run.
+
+    The reference checks only ``execution_date > watermark``
+    (reference: silver/incremental.py:20-66), which is blind to late-ARRIVING
+    or corrected splits whose execution date is already behind the watermark
+    — those require readjusting stored history just the same. When
+    ``checkpoints`` is provided, any change to the splits-table fingerprint
+    (recorded by ``run_silver``) forces the full rewrite; the reference's
+    date check remains as the fallback when no fingerprint was recorded.
+    """
     daily_path = catalog.silver("daily_aggregates")
     if not table_exists(daily_path):
         return True
     max_silver = get_max_date(spark, daily_path)
-    splits_path = catalog.bronze("splits")
-    if max_silver is None or not table_exists(splits_path):
-        return max_silver is None
+    if max_silver is None:
+        return True
+    if not table_exists(catalog.bronze("splits")):
+        return False
+    if checkpoints is not None:
+        recorded = checkpoints.get("silver_splits_fingerprint")
+        if recorded is not None:
+            return _splits_fingerprint(spark, catalog) != recorded
     n_new = (
-        read_table(spark, splits_path)
+        read_table(spark, catalog.bronze("splits"))
         .filter(F.col("execution_date") > F.lit(max_silver).cast("date"))
         .count()
     )
@@ -164,7 +203,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
         )
         write_table(meta, catalog.silver("ticker_metadata"))
 
-    full = should_full_rewrite(spark, catalog)
+    full = should_full_rewrite(spark, catalog, checkpoints)
     mode = "overwrite"
     if not full:
         watermark = get_max_date(spark, catalog.silver("daily_aggregates"))
@@ -179,28 +218,73 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
     daily = schemas.conform(adjusted, schemas.AGGREGATES)
     write_table(daily, catalog.silver("daily_aggregates"), mode=mode)
 
-    # weekly/monthly + indicators always recompute from the full daily table:
-    # resample buckets and rolling windows straddle the watermark, so an
-    # append-only recompute would be wrong (documented divergence from the
-    # reference, whose "append" writer silently overwrote anyway - SURVEY §4.3.7)
     full_daily = read_table(spark, catalog.silver("daily_aggregates"))
-    for period, table in (("week", "weekly_aggregates"), ("month", "monthly_aggregates")):
-        write_table(
-            schemas.conform(resample_ohlcv(full_daily, period), schemas.AGGREGATES),
-            catalog.silver(table),
-        )
-    for src_table, out_table in (
-        ("daily_aggregates", "daily_indicators"),
-        ("weekly_aggregates", "weekly_indicators"),
-        ("monthly_aggregates", "monthly_indicators"),
-    ):
-        ind = compute_indicators(read_table(spark, catalog.silver(src_table)))
-        write_table(
-            schemas.conform(ind, schemas.INDICATORS), catalog.silver(out_table)
-        )
     if full:
+        # full rewrite: every downstream table recomputes from all history
+        for period, table in (
+            ("week", "weekly_aggregates"),
+            ("month", "monthly_aggregates"),
+        ):
+            write_table(
+                schemas.conform(resample_ohlcv(full_daily, period), schemas.AGGREGATES),
+                catalog.silver(table),
+            )
+        for src_table, out_table in (
+            ("daily_aggregates", "daily_indicators"),
+            ("weekly_aggregates", "weekly_indicators"),
+            ("monthly_aggregates", "monthly_indicators"),
+        ):
+            ind = compute_indicators(read_table(spark, catalog.silver(src_table)))
+            write_table(
+                schemas.conform(ind, schemas.INDICATORS), catalog.silver(out_table)
+            )
         checkpoints.set("silver_last_full_rewrite", dt.date.today().isoformat())
-    return {"mode": "full" if full else "append"}
+        checkpoints.set(
+            "silver_splits_fingerprint", _splits_fingerprint(spark, catalog)
+        )
+        return {"mode": "full"}
+
+    # append path: touch only what one new batch of bars can change.
+    # Rolling windows and resample buckets straddle the watermark, but the
+    # straddle is FINITE (200 rows / one bucket) — recompute exactly that
+    # slice and MERGE it, never the whole table (operators/incremental_silver;
+    # the reference's "append" recomputes all indicator/resample tables from
+    # full history every run, silver/main.py:133-233).
+    wm = dt.date.fromisoformat(watermark)  # get_max_date returns ISO text
+    since = wm + dt.timedelta(days=1)
+    new_ind = incremental_indicators(full_daily, since, horizon_days=600)
+    write_table(
+        schemas.conform(new_ind, schemas.INDICATORS),
+        catalog.silver("daily_indicators"),
+        mode="append",
+    )
+    for period, agg_table, ind_table in (
+        ("week", "weekly_aggregates", "weekly_indicators"),
+        ("month", "monthly_aggregates", "monthly_indicators"),
+    ):
+        delta = schemas.conform(
+            affected_resample(full_daily, period, wm), schemas.AGGREGATES
+        )
+        upsert_table(
+            spark,
+            catalog.silver(agg_table),
+            delta,
+            keys=["ticker", "date"],
+            validate_unique=False,  # (ticker, bucket) unique by construction
+        )
+        bucket_since = _bucket_start(period, wm)
+        ind_delta = incremental_indicators(
+            read_table(spark, catalog.silver(agg_table)), bucket_since
+        )
+        upsert_table(
+            spark,
+            catalog.silver(ind_table),
+            schemas.conform(ind_delta, schemas.INDICATORS),
+            keys=["ticker", "date"],
+            validate_unique=False,
+        )
+    checkpoints.set("silver_splits_fingerprint", _splits_fingerprint(spark, catalog))
+    return {"mode": "append"}
 
 
 def run_gold(

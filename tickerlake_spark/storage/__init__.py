@@ -9,6 +9,7 @@ from tickerlake_spark.storage.io import (
     table_exists,
     write_table,
 )
+from tickerlake_spark.storage.upsert import upsert_table
 
 __all__ = [
     "Catalog",
@@ -22,4 +23,5 @@ __all__ = [
     "get_max_date",
     "write_bucketed",
     "attach_bucketed",
+    "upsert_table",
 ]
