@@ -16,9 +16,13 @@ def test_e2e_bench_tool_runs_and_reports(tmp_path):
 
     n_days = out["bars"] // 50
     assert n_days > 240  # a year of NYSE sessions minus the appended day
-    # full rewrite covered initial days; the append added exactly one more
+    # full rewrite covered initial days; the append added exactly one more,
+    # and the incremental gold run caught vwap_signals up to it
     assert out["silver_daily_rows"] == out["bars"] + 50
-    assert out["gold_vwap_rows"] == out["bars"]
+    assert out["gold_vwap_rows"] == out["bars"] + 50
     assert out["gold_hvc_rows"] > 0  # volume spikes must trigger HVC events
     assert out["silver_append_sec"] > 0  # append path engaged (asserted inside)
-    assert set(out["baseline"]) == {"silver_sec", "gold_sec", "silver_append_sec"}
+    assert out["gold_incremental_sec"] > 0  # incremental gold engaged
+    assert set(out["baseline"]) == {
+        "silver_sec", "gold_sec", "silver_append_sec", "gold_incremental_sec"
+    }

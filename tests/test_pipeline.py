@@ -258,28 +258,41 @@ def test_python_datasource_partition_per_date(spark):
 
 
 def test_append_path_matches_full_rewrite(spark, tmp_path):
-    """The incremental append (bounded-context indicators + bucket-scoped
-    resample MERGE, operators/incremental_silver.py) must leave every silver
-    table byte-equal to a from-scratch full rewrite over the same bronze
-    data. Run the same 7 weeks twice: env A ingests all-but-two days then
-    appends the rest (split executes before the watermark, so the second
-    silver run takes the append path); env B ingests everything at once and
-    full-rewrites."""
+    """The incremental silver append (bounded-context indicators +
+    bucket-scoped resample MERGE) and the incremental gold run
+    (year-sliced VWAP append, event append, per-ticker pattern replacement)
+    must leave every silver AND gold table equal to a from-scratch full
+    rewrite over the same bronze data.
+
+    Env A ingests all-but-two days, runs silver full + gold full, then
+    appends the last two days (silver append + gold incremental); env B
+    ingests everything at once and rebuilds. Volume spikes are planted at
+    indices 25-27 and on BOTH appended days with monotonically rising
+    closes, so the appended HVC events EXTEND an existing 3-step stair-step
+    island into a 5-step one — the incremental gold run must delete the
+    stale 3-step pattern row, not just append."""
     from pyspark.sql import functions as F
 
     days = trading_days(D(2024, 1, 2), D(2024, 2, 20))
-    bars = {
-        d: _bars_for(d, price=100.0 + 3 * (i % 7) - 0.5 * (i % 3))
-        for i, d in enumerate(days)
-    }
+    n = len(days)
+    spikes = {25, 26, 27, n - 2, n - 1}
+    bars = {}
+    for i, d in enumerate(days):
+        if i in spikes:
+            rows = _bars_for(d, price=150.0 + 2.0 * i)
+            for r in rows:
+                r["volume"] *= 12
+        else:
+            rows = _bars_for(d, price=100.0 + 3 * (i % 7) - 0.5 * (i % 3))
+        bars[d] = rows
 
     def src(dates):
         s = _source(dates)
         s._bars = {d: bars[d] for d in dates}
         return s
 
-    def collect(cat, table):
-        df = read_table(spark, cat.silver(table))
+    def collect(cat, table, layer="silver"):
+        df = read_table(spark, cat.path(layer, table))
         rounded = df.select(
             *[
                 F.round(c, 9).alias(c) if t == "double" else F.col(c)
@@ -288,17 +301,28 @@ def test_append_path_matches_full_rewrite(spark, tmp_path):
         )
         return sorted(map(tuple, rounded.collect()))
 
+    stamp = dt.datetime(2024, 3, 1, 12, 0, 0)
+
     cat_a = Catalog(root=str(tmp_path / "a"))
     cp_a = Checkpoints(str(tmp_path / "cp_a.json"))
     run_bronze(spark, src(days[:-2]), cat_a, cp_a, days[0], days[-3])
     assert run_silver(spark, cat_a, cp_a)["mode"] == "full"
+    g1 = run_gold(spark, cat_a, calculated_at=stamp, checkpoints=cp_a)
+    assert g1["mode"] == "full"
+    # the planted spikes made a 3-step pattern that the append must extend
+    pats1 = read_table(spark, cat_a.gold("stairstep_up"))
+    assert pats1.filter(F.col("hvc_count") == 3).count() >= 2  # both tickers
+
     run_bronze(spark, src(days), cat_a, cp_a, days[0], days[-1])
     assert run_silver(spark, cat_a, cp_a)["mode"] == "append"
+    g2 = run_gold(spark, cat_a, calculated_at=stamp, checkpoints=cp_a)
+    assert g2["mode"] == "incremental"
 
     cat_b = Catalog(root=str(tmp_path / "b"))
     cp_b = Checkpoints(str(tmp_path / "cp_b.json"))
     run_bronze(spark, src(days), cat_b, cp_b, days[0], days[-1])
     assert run_silver(spark, cat_b, cp_b)["mode"] == "full"
+    assert run_gold(spark, cat_b, calculated_at=stamp, checkpoints=cp_b)["mode"] == "full"
 
     for table in (
         "daily_aggregates",
@@ -309,6 +333,20 @@ def test_append_path_matches_full_rewrite(spark, tmp_path):
         "monthly_indicators",
     ):
         assert collect(cat_a, table) == collect(cat_b, table), table
+    for table in (
+        "vwap_signals",
+        "hvc_daily",
+        "stairstep_up",
+        "stairstep_down",
+        "best_patterns",
+    ):
+        assert collect(cat_a, table, "gold") == collect(cat_b, table, "gold"), table
+
+    # non-vacuous: the island actually merged (3 -> 5) and the stale 3-step
+    # rows are gone from the incrementally-maintained table
+    pats2 = read_table(spark, cat_a.gold("stairstep_up"))
+    assert pats2.filter(F.col("hvc_count") == 5).count() >= 2
+    assert pats2.filter(F.col("hvc_count") == 3).count() == 0
 
 
 def test_changed_old_split_forces_full_rewrite(spark, tmp_path):

@@ -329,3 +329,98 @@ def test_streaming_restart_from_checkpoint_no_duplicates(spark, event_drops, tmp
     got = spark.read.parquet(out)
     assert got.count() == events.count(), "restart lost or duplicated rows"
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_bronze_to_silver_stream_matches_batch(spark, tmp_path):
+    """The streaming medallion path (streaming/medallion.py) must leave every
+    silver table equal to a batch recompute over the same bronze data, across
+    multiple micro-batches (maxFilesPerTrigger=2 forces several), a split
+    adjustment, a restart with newly-landed files, and a no-new-data replay
+    (idempotency)."""
+    import datetime as dt
+
+    from tickerlake_spark import schemas
+    from tickerlake_spark.operators.indicators import compute_indicators
+    from tickerlake_spark.operators.resample import resample_ohlcv
+    from tickerlake_spark.operators.splits import apply_splits
+    from tickerlake_spark.sources.calendar import trading_days
+    from tickerlake_spark.storage import Catalog, read_table, write_table
+    from tickerlake_spark.streaming.medallion import stream_bronze_to_silver
+
+    days = trading_days(dt.date(2024, 1, 2), dt.date(2024, 2, 20))
+    rows = [
+        (t, 1000 + 40 * (i % 9), 99.0, 100.0 + (i * 7 % 13) + k, 103.0, 97.0,
+         d, 10)
+        for k, t in enumerate(["AAA", "BBB"])
+        for i, d in enumerate(days)
+    ]
+    schema = (
+        "ticker string, volume long, open float, close float, high float, "
+        "low float, date date, transactions long"
+    )
+    all_bars = spark.createDataFrame(rows, schema)
+
+    cat = Catalog(root=str(tmp_path / "sdata"))
+    splits = spark.createDataFrame(
+        [("s1", days[12], 1.0, 2.0, "AAA")],
+        "id string, execution_date date, split_from float, split_to float, ticker string",
+    )
+    write_table(schemas.conform(splits, schemas.SPLITS), cat.bronze("splits"))
+
+    ckpt = str(tmp_path / "ckpt")
+    cutoff = days[24]
+    phase1 = all_bars.filter(F.col("date") <= F.lit(cutoff))
+    write_table(
+        schemas.conform(phase1, schemas.STOCKS).repartition("date"),
+        cat.bronze("stocks"),
+        partition_by="date",
+    )
+    q = stream_bronze_to_silver(spark, cat, ckpt, max_files_per_trigger=2)
+    q.awaitTermination()
+
+    # restart with five more days landed
+    phase2 = all_bars.filter(F.col("date") > F.lit(cutoff))
+    write_table(
+        schemas.conform(phase2, schemas.STOCKS).repartition("date"),
+        cat.bronze("stocks"),
+        mode="append",
+        partition_by="date",
+    )
+    q = stream_bronze_to_silver(spark, cat, ckpt, max_files_per_trigger=2)
+    q.awaitTermination()
+    # replay with nothing new: must be a no-op
+    q = stream_bronze_to_silver(spark, cat, ckpt)
+    q.awaitTermination()
+
+    def rows_of(df):
+        rounded = df.select(
+            *[
+                F.round(c, 9).alias(c) if t == "double" else F.col(c)
+                for c, t in df.dtypes
+            ]
+        )
+        return sorted(map(tuple, rounded.collect()))
+
+    expected_daily = schemas.conform(
+        apply_splits(schemas.conform(all_bars, schemas.AGGREGATES), splits),
+        schemas.AGGREGATES,
+    )
+    assert rows_of(read_table(spark, cat.silver("daily_aggregates"))) == rows_of(
+        expected_daily
+    )
+    assert rows_of(read_table(spark, cat.silver("daily_indicators"))) == rows_of(
+        schemas.conform(compute_indicators(expected_daily), schemas.INDICATORS)
+    )
+    for period, agg_table, ind_table in (
+        ("week", "weekly_aggregates", "weekly_indicators"),
+        ("month", "monthly_aggregates", "monthly_indicators"),
+    ):
+        expected_agg = schemas.conform(
+            resample_ohlcv(expected_daily, period), schemas.AGGREGATES
+        )
+        assert rows_of(read_table(spark, cat.silver(agg_table))) == rows_of(
+            expected_agg
+        ), agg_table
+        assert rows_of(read_table(spark, cat.silver(ind_table))) == rows_of(
+            schemas.conform(compute_indicators(expected_agg), schemas.INDICATORS)
+        ), ind_table

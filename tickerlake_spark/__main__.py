@@ -100,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "silver":
             result = pipeline.run_silver(spark, catalog, checkpoints)
         elif args.cmd == "gold":
-            result = pipeline.run_gold(spark, catalog)
+            result = pipeline.run_gold(spark, catalog, checkpoints=checkpoints)
         else:
             result = pipeline.run_validate(spark, catalog, min_records=args.min_records)
         print(json.dumps({"cmd": args.cmd, **result}, default=str))

@@ -42,6 +42,7 @@ from tickerlake_spark.storage import (
     Checkpoints,
     get_max_date,
     read_table,
+    replace_keys,
     table_exists,
     upsert_table,
     write_table,
@@ -140,8 +141,16 @@ def _splits_fingerprint(spark: SparkSession, catalog: Catalog) -> str | None:
     if not table_exists(path):
         return None
     df = read_table(spark, path)
+    # per-row hashes bounded to 2^31 before the sum: SUM(xxhash64) over a few
+    # hundred full-range longs overflows under ANSI mode; pmod keeps the
+    # order-insensitive multiset property without the overflow
     row = df.agg(
-        F.sum(F.xxhash64(*[F.col(c).cast("string") for c in df.columns])).alias("fp")
+        F.sum(
+            F.pmod(
+                F.xxhash64(*[F.col(c).cast("string") for c in df.columns]),
+                F.lit(2_147_483_647),
+            )
+        ).alias("fp")
     ).first()
     return str(row["fp"])
 
@@ -242,6 +251,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
         checkpoints.set(
             "silver_splits_fingerprint", _splits_fingerprint(spark, catalog)
         )
+        checkpoints.set("silver_last_mode", "full")
         return {"mode": "full"}
 
     # append path: touch only what one new batch of bars can change.
@@ -284,6 +294,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
             validate_unique=False,
         )
     checkpoints.set("silver_splits_fingerprint", _splits_fingerprint(spark, catalog))
+    checkpoints.set("silver_last_mode", "append")
     return {"mode": "append"}
 
 
@@ -293,27 +304,108 @@ def run_gold(
     hvc_threshold: float = 3.0,
     min_steps: int = 3,
     calculated_at: dt.datetime | None = None,
+    checkpoints: Checkpoints | None = None,
 ) -> dict:
-    """silver -> gold: VWAP signals + HVC events + stair-step patterns."""
+    """silver -> gold: VWAP signals + HVC events + stair-step patterns.
+
+    When ``checkpoints`` is provided and the last silver run was an append
+    (history untouched), gold runs incrementally:
+
+    - vwap_signals: cumulative YTD/QTD sums reset at year boundaries, so new
+      rows depend only on the current calendar year — compute over that
+      slice, append rows past the gold watermark. Appended rows carry this
+      run's ``calculated_at``; older rows keep the stamp of the run that
+      computed them (the reference restamps the whole table each rebuild,
+      gold/models.py:35).
+    - hvc_daily: events are pointwise in (indicator row, daily row) — append
+      the new dates' events.
+    - stairstep patterns: new events can extend or merge a ticker's islands,
+      so every ticker WITH a new event has its full pattern set recomputed
+      and group-replaced (``storage.replace_keys`` — a merged island below
+      min_steps must delete, not just upsert). Tickers without new events
+      are untouched. HVC events are rare (~2% of ticker-days), so the
+      affected set is small.
+    - best_patterns: recomputed from the (tiny) patterns table.
+
+    After a silver full rewrite, history changed and gold rebuilds fully.
+    """
     daily = read_table(spark, catalog.silver("daily_aggregates"))
-    signals = vwap_signals(daily, calculated_at=calculated_at)
-    write_table(
-        schemas.conform(signals, schemas.VWAP_SIGNALS), catalog.gold("vwap_signals")
+    gold_exists = all(
+        table_exists(catalog.gold(t))
+        for t in ("vwap_signals", "hvc_daily", "stairstep_up", "stairstep_down")
+    )
+    watermark = (
+        get_max_date(spark, catalog.gold("vwap_signals")) if gold_exists else None
+    )
+    incremental = (
+        checkpoints is not None
+        and checkpoints.get("silver_last_mode") == "append"
+        and watermark is not None
     )
 
-    ind = read_table(spark, catalog.silver("daily_indicators"))
-    events = hvc_events(ind, daily, threshold=hvc_threshold)
-    write_table(schemas.conform(events, schemas.HVC_EVENTS), catalog.gold("hvc_daily"))
-
-    closes = daily.select("ticker", "date", "close")
-    for direction, table in (("up", "stairstep_up"), ("down", "stairstep_down")):
-        pats = stairstep_patterns(
-            events.select("ticker", "date"), closes, min_steps=min_steps,
-            direction=direction,
+    if incremental:
+        wm = dt.date.fromisoformat(watermark)
+        year_start = dt.date(wm.year + 1 if wm.month == 12 and wm.day == 31 else wm.year, 1, 1)
+        new_signals = vwap_signals(
+            daily.filter(F.col("date") >= F.lit(year_start)),
+            calculated_at=calculated_at,
+        ).filter(F.col("date") > F.lit(wm))
+        write_table(
+            schemas.conform(new_signals, schemas.VWAP_SIGNALS),
+            catalog.gold("vwap_signals"),
+            mode="append",
+        )
+        new_events = hvc_events(
+            read_table(spark, catalog.silver("daily_indicators")).filter(
+                F.col("date") > F.lit(wm)
+            ),
+            daily.filter(F.col("date") > F.lit(wm)),
+            threshold=hvc_threshold,
         )
         write_table(
-            schemas.conform(pats, schemas.STAIRSTEP_PATTERNS), catalog.gold(table)
+            schemas.conform(new_events, schemas.HVC_EVENTS),
+            catalog.gold("hvc_daily"),
+            mode="append",
         )
+        affected = new_events.select("ticker").distinct()
+        all_events = read_table(spark, catalog.gold("hvc_daily"))
+        aff_events = all_events.join(affected, "ticker", "left_semi")
+        aff_closes = (
+            daily.select("ticker", "date", "close")
+            .join(affected, "ticker", "left_semi")
+        )
+        for direction, table in (("up", "stairstep_up"), ("down", "stairstep_down")):
+            pats = stairstep_patterns(
+                aff_events.select("ticker", "date"), aff_closes,
+                min_steps=min_steps, direction=direction,
+            )
+            replace_keys(
+                spark,
+                catalog.gold(table),
+                affected,
+                schemas.conform(pats, schemas.STAIRSTEP_PATTERNS),
+                keys=["ticker"],
+            )
+    else:
+        signals = vwap_signals(daily, calculated_at=calculated_at)
+        write_table(
+            schemas.conform(signals, schemas.VWAP_SIGNALS), catalog.gold("vwap_signals")
+        )
+        ind = read_table(spark, catalog.silver("daily_indicators"))
+        events = hvc_events(ind, daily, threshold=hvc_threshold)
+        write_table(
+            schemas.conform(events, schemas.HVC_EVENTS), catalog.gold("hvc_daily")
+        )
+        closes = daily.select("ticker", "date", "close")
+        for direction, table in (("up", "stairstep_up"), ("down", "stairstep_down")):
+            pats = stairstep_patterns(
+                events.select("ticker", "date"), closes, min_steps=min_steps,
+                direction=direction,
+            )
+            write_table(
+                schemas.conform(pats, schemas.STAIRSTEP_PATTERNS), catalog.gold(table)
+            )
+
     best = best_patterns(
         read_table(spark, catalog.gold("stairstep_up"))
     )
@@ -321,6 +413,7 @@ def run_gold(
         schemas.conform(best, schemas.STAIRSTEP_PATTERNS), catalog.gold("best_patterns")
     )
     return {
+        "mode": "incremental" if incremental else "full",
         "vwap_rows": read_table(spark, catalog.gold("vwap_signals")).count(),
         "hvc_rows": read_table(spark, catalog.gold("hvc_daily")).count(),
     }

@@ -9,7 +9,7 @@ from tickerlake_spark.storage.io import (
     table_exists,
     write_table,
 )
-from tickerlake_spark.storage.upsert import upsert_table
+from tickerlake_spark.storage.upsert import replace_keys, upsert_table
 
 __all__ = [
     "Catalog",
@@ -24,4 +24,5 @@ __all__ = [
     "write_bucketed",
     "attach_bucketed",
     "upsert_table",
+    "replace_keys",
 ]

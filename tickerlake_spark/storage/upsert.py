@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from tickerlake_spark.storage.io import table_exists, write_table
 
-__all__ = ["upsert_table"]
+__all__ = ["upsert_table", "replace_keys"]
 
 
 def upsert_table(
@@ -142,3 +142,37 @@ def upsert_table(
         "mode": "dynamic-partition",
         "touched_partitions": len(touched),
     }
+
+
+def replace_keys(
+    spark: SparkSession,
+    path: str,
+    key_values: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+) -> dict:
+    """Replace the full row-set of every key in ``key_values``: delete all
+    stored rows matching those keys, then insert ``updates``.
+
+    Differs from ``upsert_table`` in that deletion is driven by the
+    ``key_values`` set, not by the update rows — a key whose recomputed
+    row-set is EMPTY (e.g. a ticker whose stair-step islands merged below
+    the min-step threshold) still has its stale rows removed. The group
+    replacement primitive for derived tables whose rows have no stable
+    identity.
+    """
+    key_values = key_values.select(*keys).distinct()
+    if not table_exists(path):
+        write_table(updates, path)
+        return {"inserted": updates.count(), "mode": "create"}
+    existing = spark.read.parquet(path)
+    merged = existing.join(key_values, keys, "left_anti").unionByName(
+        updates.select(*existing.columns)
+    )
+    tmp = f"{path.rstrip('/')}__replace_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {"inserted": updates.count(), "mode": "rewrite"}

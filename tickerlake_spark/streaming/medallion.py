@@ -1,0 +1,137 @@
+"""Streaming face of the medallion pipeline: bronze files -> silver tables.
+
+The reference ingests on a daily cron (reference: .github/workflows/main.yml:6-8
+— batch only). This module runs the SAME silver maintenance continuously:
+a Structured Streaming file source watches the bronze ``stocks`` layout, and
+every micro-batch of newly-landed bar files is split-adjusted and MERGEd
+into the silver tables via ``foreachBatch``, reusing the bounded incremental
+recompute from ``operators/incremental_silver`` — indicator rows from the
+batch's earliest date onward (last-200-rows context), resample buckets from
+that date's bucket onward.
+
+Delivery semantics: every write is a keyed upsert on (ticker, date), so a
+replayed micro-batch (crash between sink and checkpoint commit) recomputes
+byte-identical rows — effectively-once without a transactional sink, the
+standard foreachBatch idempotency contract.
+
+Scale posture: the per-batch work is O(batch + bounded context), never
+O(history); the file source's ``maxFilesPerTrigger`` bounds batch size, and
+checkpointing tracks processed files so restarts resume exactly where the
+stream stopped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tickerlake_spark import schemas
+from tickerlake_spark.operators.incremental_silver import (
+    affected_resample,
+    incremental_indicators,
+)
+from tickerlake_spark.operators.splits import apply_splits
+from tickerlake_spark.storage import Catalog, read_table, table_exists, upsert_table
+
+__all__ = ["silver_maintenance_batch", "stream_bronze_to_silver"]
+
+
+def silver_maintenance_batch(
+    spark: SparkSession, catalog: Catalog, batch: DataFrame
+) -> None:
+    """Apply one micro-batch of raw bronze bars to every silver table.
+
+    Idempotent: all writes are (ticker, date)-keyed upserts of
+    deterministically-recomputed slices. Callable directly (batch backfill)
+    or from the streaming sink.
+    """
+    if batch.isEmpty():
+        return
+    splits = (
+        read_table(spark, catalog.bronze("splits"))
+        if table_exists(catalog.bronze("splits"))
+        else spark.createDataFrame([], schemas.SPLITS)
+    )
+    adjusted = schemas.conform(
+        apply_splits(schemas.conform(batch, schemas.AGGREGATES), splits),
+        schemas.AGGREGATES,
+    )
+    upsert_table(
+        spark,
+        catalog.silver("daily_aggregates"),
+        adjusted,
+        keys=["ticker", "date"],
+        validate_unique=False,  # (ticker, date) unique per bronze contract
+    )
+
+    since = batch.agg(F.min("date")).first()[0]
+    full_daily = read_table(spark, catalog.silver("daily_aggregates"))
+    ind = incremental_indicators(full_daily, since, horizon_days=600)
+    upsert_table(
+        spark,
+        catalog.silver("daily_indicators"),
+        schemas.conform(ind, schemas.INDICATORS),
+        keys=["ticker", "date"],
+        validate_unique=False,
+    )
+    from tickerlake_spark.pipeline import _bucket_start
+
+    for period, agg_table, ind_table in (
+        ("week", "weekly_aggregates", "weekly_indicators"),
+        ("month", "monthly_aggregates", "monthly_indicators"),
+    ):
+        delta = schemas.conform(
+            affected_resample(full_daily, period, since), schemas.AGGREGATES
+        )
+        upsert_table(
+            spark,
+            catalog.silver(agg_table),
+            delta,
+            keys=["ticker", "date"],
+            validate_unique=False,
+        )
+        ind_delta = incremental_indicators(
+            read_table(spark, catalog.silver(agg_table)),
+            _bucket_start(period, since),
+        )
+        upsert_table(
+            spark,
+            catalog.silver(ind_table),
+            schemas.conform(ind_delta, schemas.INDICATORS),
+            keys=["ticker", "date"],
+            validate_unique=False,
+        )
+
+
+def stream_bronze_to_silver(
+    spark: SparkSession,
+    catalog: Catalog,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Start the bronze->silver maintenance stream; returns the query.
+
+    ``available_now=True`` drains everything currently unprocessed and stops
+    (the batch-backfill/test mode); ``False`` runs continuously, picking up
+    bronze files as the ingest job lands them.
+    """
+    reader = (
+        spark.readStream.schema(schemas.STOCKS)
+        .option("basePath", catalog.bronze("stocks"))
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(catalog.bronze("stocks"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        silver_maintenance_batch(batch_df.sparkSession, catalog, batch_df)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

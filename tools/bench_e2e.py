@@ -150,12 +150,13 @@ def run(n_tickers: int = 10_000, years: int = 5, data_dir: str | None = None) ->
         t_silver = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        gold_summary = run_gold(spark, catalog)
+        gold_summary = run_gold(spark, catalog, checkpoints=checkpoints)
         t_gold = time.perf_counter() - t0
 
         # incremental path: one new trading day lands in bronze, no new
         # splits -> silver appends bars newer than the watermark only
-        # (baseline: 2-5 min, silver/main.py:242)
+        # (baseline: 2-5 min, silver/main.py:242), then gold maintains its
+        # tables incrementally (baseline rebuilds gold fully every run)
         write_table(
             _make_bars(spark, n_tickers, days[-1:]),
             catalog.bronze("stocks"),
@@ -167,6 +168,11 @@ def run(n_tickers: int = 10_000, years: int = 5, data_dir: str | None = None) ->
         t_silver_append = time.perf_counter() - t0
         assert append_summary["mode"] == "append", append_summary
 
+        t0 = time.perf_counter()
+        gold_incr = run_gold(spark, catalog, checkpoints=checkpoints)
+        t_gold_incr = time.perf_counter() - t0
+        assert gold_incr["mode"] == "incremental", gold_incr
+
         daily_rows = read_table(spark, catalog.silver("daily_aggregates")).count()
         return {
             "metric": "e2e_bronze_silver_gold",
@@ -177,14 +183,16 @@ def run(n_tickers: int = 10_000, years: int = 5, data_dir: str | None = None) ->
             "silver_sec": round(t_silver, 2),
             "gold_sec": round(t_gold, 2),
             "silver_append_sec": round(t_silver_append, 2),
+            "gold_incremental_sec": round(t_gold_incr, 2),
             "value": round(t_silver + t_gold, 2),
             "silver_daily_rows": daily_rows,
-            "gold_vwap_rows": gold_summary["vwap_rows"],
-            "gold_hvc_rows": gold_summary["hvc_rows"],
+            "gold_vwap_rows": gold_incr["vwap_rows"],
+            "gold_hvc_rows": gold_incr["hvc_rows"],
             "baseline": {
                 "silver_sec": [900, 1800],
                 "gold_sec": [120, 300],
                 "silver_append_sec": [120, 300],
+                "gold_incremental_sec": [120, 300],
             },
         }
     finally:
