@@ -336,9 +336,12 @@ def test_append_path_matches_full_rewrite(spark, tmp_path):
     for table in (
         "vwap_signals",
         "hvc_daily",
+        "hvc_weekly",
+        "hvc_monthly",
         "stairstep_up",
         "stairstep_down",
         "best_patterns",
+        "best_patterns_down",
     ):
         assert collect(cat_a, table, "gold") == collect(cat_b, table, "gold"), table
 
@@ -383,3 +386,71 @@ def test_changed_old_split_forces_full_rewrite(spark, tmp_path):
         (daily.ticker == "AAPL") & (daily.date < D(2024, 1, 10))
     ).select("close").first()
     assert early_aapl is not None and abs(early_aapl["close"] - 101.0 / 2) < 1e-9
+
+
+def test_reference_gold_views_split_stocks_and_etfs(spark, tmp_path):
+    """The reference publishes 12 type-split gold tables (metadata.json
+    databases.hvcs.tables). register_reference_gold_views must expose all 12
+    names over this engine's gold tables with the stocks/ETFs split driven by
+    silver.ticker_metadata."""
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.sources.market import InMemoryMarketSource
+    from tickerlake_spark.sql import register_reference_gold_views
+
+    days = trading_days(D(2024, 1, 2), D(2024, 2, 20))
+    n = len(days)
+
+    def bars_for(d, i):
+        vol = 1000 if i not in (25, 26, 27, 28) else 15000  # HVC spikes
+        close = 100.0 + i  # rising closes -> a stair-step pattern
+        return [
+            {"ticker": t, "volume": vol, "open": close - 1, "close": close + k,
+             "high": close + 2, "low": close - 2,
+             "window_start": int(dt.datetime(d.year, d.month, d.day).timestamp() * 1000),
+             "transactions": 5}
+            for k, t in enumerate(["AAPL", "SPYX"])
+        ]
+
+    src = InMemoryMarketSource(
+        bars_by_date={d: bars_for(d, i) for i, d in enumerate(days)},
+        ticker_rows=[
+            {"ticker": "AAPL", "name": "Apple", "type": "CS", "active": True,
+             "market": "stocks", "locale": "us", "primary_exchange": "XNAS",
+             "currency_name": "usd", "cik": "1"},
+            {"ticker": "SPYX", "name": "Spyx ETF", "type": "ETF", "active": True,
+             "market": "stocks", "locale": "us", "primary_exchange": "XNAS",
+             "currency_name": "usd", "cik": "2"},
+        ],
+        split_rows=[],
+    )
+    cat = Catalog(root=str(tmp_path / "data"))
+    cp = Checkpoints(str(tmp_path / "cp.json"))
+    run_bronze(spark, src, cat, cp, days[0], days[-1])
+    run_silver(spark, cat, cp)
+    run_gold(spark, cat, checkpoints=cp)
+
+    names = register_reference_gold_views(spark, cat)
+    assert len(names) == 12 and len(set(names)) == 12
+    for base in (
+        "daily_high_volume_closes", "weekly_high_volume_closes",
+        "monthly_high_volume_closes", "stairstepping_hvcs",
+        "stairstepping_summary", "falling_down_stairs_summary",
+    ):
+        assert f"{base}_stocks" in names and f"{base}_etfs" in names
+
+    stocks = spark.sql("SELECT DISTINCT ticker FROM daily_high_volume_closes_stocks")
+    etfs = spark.sql("SELECT DISTINCT ticker FROM daily_high_volume_closes_etfs")
+    assert {r.ticker for r in stocks.collect()} == {"AAPL"}
+    assert {r.ticker for r in etfs.collect()} == {"SPYX"}
+    # the split is a partition: stocks + etfs == unsplit gold table
+    total = read_table(spark, cat.gold("hvc_daily")).count()
+    assert (
+        spark.sql("SELECT COUNT(*) AS n FROM daily_high_volume_closes_stocks").first()["n"]
+        + spark.sql("SELECT COUNT(*) AS n FROM daily_high_volume_closes_etfs").first()["n"]
+        == total > 0
+    )
+    assert {
+        r.ticker
+        for r in spark.sql("SELECT ticker FROM stairstepping_summary_stocks").collect()
+    } == {"AAPL"}

@@ -120,3 +120,95 @@ def test_incremental_agg_invariant_under_batching(spark, rows):
         assert math.isclose(s, sum(vals), abs_tol=1e-9)
         assert c == len(vals)
         assert mn == min(vals) and mx == max(vals)
+
+
+@st.composite
+def day_batches(draw):
+    """A random ordered partition of 30 trading days into 1-4 ingestion
+    batches (bronze arrival order = calendar order, as the file source
+    delivers), plus a per-day volume profile with occasional spikes."""
+    import datetime as dt
+
+    from tickerlake_spark.sources.calendar import trading_days
+
+    days = trading_days(dt.date(2024, 1, 2), dt.date(2024, 2, 13))
+    n_batches = draw(st.integers(min_value=1, max_value=4))
+    if n_batches == 1:
+        cuts = []
+    else:
+        cuts = sorted(
+            draw(
+                st.lists(
+                    st.integers(min_value=1, max_value=len(days) - 1),
+                    min_size=n_batches - 1,
+                    max_size=n_batches - 1,
+                    unique=True,
+                )
+            )
+        )
+    bounds = [0, *cuts, len(days)]
+    batches = [days[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    spikes = draw(st.sets(st.integers(min_value=0, max_value=len(days) - 1)))
+    return days, batches, spikes
+
+
+@given(case=day_batches())
+@settings(**SETTINGS)
+def test_silver_maintenance_batches_equal_full_recompute(spark, tmp_path_factory, case):
+    """ANY partition of the bar history into sequential micro-batches pushed
+    through streaming/medallion.silver_maintenance_batch must leave daily +
+    weekly aggregates and daily indicators equal to one full recompute —
+    the invariant the streaming medallion and the silver append path both
+    rest on."""
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark import schemas
+    from tickerlake_spark.operators.indicators import compute_indicators
+    from tickerlake_spark.operators.resample import resample_ohlcv
+    from tickerlake_spark.storage import Catalog, read_table, write_table
+    from tickerlake_spark.streaming.medallion import silver_maintenance_batch
+
+    days, batches, spikes = case
+    tmp = tmp_path_factory.mktemp("prop_silver")
+    cat = Catalog(root=str(tmp / "data"))
+
+    def bars(day_list):
+        rows = [
+            ("AAA", (12000 if i in spikes else 1000) + i, 99.0,
+             100.0 + (i * 7 % 13), 103.0, 97.0, d, 5)
+            for i, d in enumerate(days) if d in set(day_list)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "ticker string, volume long, open float, close float, high float, "
+            "low float, date date, transactions long",
+        )
+
+    splits = spark.createDataFrame(
+        [("s1", days[10], 1.0, 2.0, "AAA")],
+        "id string, execution_date date, split_from float, split_to float, ticker string",
+    )
+    write_table(schemas.conform(splits, schemas.SPLITS), cat.bronze("splits"))
+
+    for b in batches:
+        silver_maintenance_batch(spark, cat, bars(b))
+
+    def rows_of(df):
+        rounded = df.select(
+            *[F.round(c, 9).alias(c) if t == "double" else F.col(c) for c, t in df.dtypes]
+        )
+        return sorted(map(tuple, rounded.collect()))
+
+    from tickerlake_spark.operators.splits import apply_splits
+
+    expected_daily = schemas.conform(
+        apply_splits(schemas.conform(bars(days), schemas.AGGREGATES), splits),
+        schemas.AGGREGATES,
+    )
+    assert rows_of(read_table(spark, cat.silver("daily_aggregates"))) == rows_of(expected_daily)
+    assert rows_of(read_table(spark, cat.silver("weekly_aggregates"))) == rows_of(
+        schemas.conform(resample_ohlcv(expected_daily, "week"), schemas.AGGREGATES)
+    )
+    assert rows_of(read_table(spark, cat.silver("daily_indicators"))) == rows_of(
+        schemas.conform(compute_indicators(expected_daily), schemas.INDICATORS)
+    )

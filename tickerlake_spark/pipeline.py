@@ -332,7 +332,14 @@ def run_gold(
     daily = read_table(spark, catalog.silver("daily_aggregates"))
     gold_exists = all(
         table_exists(catalog.gold(t))
-        for t in ("vwap_signals", "hvc_daily", "stairstep_up", "stairstep_down")
+        for t in (
+            "vwap_signals",
+            "hvc_daily",
+            "hvc_weekly",
+            "hvc_monthly",
+            "stairstep_up",
+            "stairstep_down",
+        )
     )
     watermark = (
         get_max_date(spark, catalog.gold("vwap_signals")) if gold_exists else None
@@ -367,6 +374,29 @@ def run_gold(
             catalog.gold("hvc_daily"),
             mode="append",
         )
+        # weekly/monthly HVC: silver upserted every bucket from the
+        # watermark's bucket onward, and a bucket's ratio can drop BELOW the
+        # threshold as the open bucket fills — replace that date range, do
+        # not append (an event present yesterday may not exist today)
+        for period, ind_table, agg_table, out in (
+            ("week", "weekly_indicators", "weekly_aggregates", "hvc_weekly"),
+            ("month", "monthly_indicators", "monthly_aggregates", "hvc_monthly"),
+        ):
+            bs = _bucket_start(period, wm)
+            ind_slice = read_table(spark, catalog.silver(ind_table)).filter(
+                F.col("date") >= F.lit(bs)
+            )
+            agg_slice = read_table(spark, catalog.silver(agg_table)).filter(
+                F.col("date") >= F.lit(bs)
+            )
+            ev = hvc_events(ind_slice, agg_slice, threshold=hvc_threshold)
+            replace_keys(
+                spark,
+                catalog.gold(out),
+                ind_slice.select("date").distinct(),
+                schemas.conform(ev, schemas.HVC_EVENTS),
+                keys=["date"],
+            )
         affected = new_events.select("ticker").distinct()
         all_events = read_table(spark, catalog.gold("hvc_daily"))
         aff_events = all_events.join(affected, "ticker", "left_semi")
@@ -396,6 +426,18 @@ def run_gold(
         write_table(
             schemas.conform(events, schemas.HVC_EVENTS), catalog.gold("hvc_daily")
         )
+        # weekly/monthly HVC faces (reference: metadata.json weekly/monthly
+        # high_volume_closes tables — 3x+ the 20-week / 20-month average)
+        for ind_table, agg_table, out in (
+            ("weekly_indicators", "weekly_aggregates", "hvc_weekly"),
+            ("monthly_indicators", "monthly_aggregates", "hvc_monthly"),
+        ):
+            ev = hvc_events(
+                read_table(spark, catalog.silver(ind_table)),
+                read_table(spark, catalog.silver(agg_table)),
+                threshold=hvc_threshold,
+            )
+            write_table(schemas.conform(ev, schemas.HVC_EVENTS), catalog.gold(out))
         closes = daily.select("ticker", "date", "close")
         for direction, table in (("up", "stairstep_up"), ("down", "stairstep_down")):
             pats = stairstep_patterns(
@@ -406,12 +448,17 @@ def run_gold(
                 schemas.conform(pats, schemas.STAIRSTEP_PATTERNS), catalog.gold(table)
             )
 
-    best = best_patterns(
-        read_table(spark, catalog.gold("stairstep_up"))
-    )
-    write_table(
-        schemas.conform(best, schemas.STAIRSTEP_PATTERNS), catalog.gold("best_patterns")
-    )
+    # per-ticker summaries, recomputed from the (tiny) pattern tables:
+    # best_patterns = stairstepping_summary, best_patterns_down =
+    # falling_down_stairs_summary (reference: metadata.json)
+    for src, out in (
+        ("stairstep_up", "best_patterns"),
+        ("stairstep_down", "best_patterns_down"),
+    ):
+        best = best_patterns(read_table(spark, catalog.gold(src)))
+        write_table(
+            schemas.conform(best, schemas.STAIRSTEP_PATTERNS), catalog.gold(out)
+        )
     return {
         "mode": "incremental" if incremental else "full",
         "vwap_rows": read_table(spark, catalog.gold("vwap_signals")).count(),

@@ -31,7 +31,11 @@ from pyspark.sql import SparkSession
 from tickerlake_spark.plans.catalog import TABLES, load_table
 from tickerlake_spark.storage import Catalog, table_exists
 
-__all__ = ["register_testdata_views", "register_catalog_views"]
+__all__ = [
+    "register_testdata_views",
+    "register_catalog_views",
+    "register_reference_gold_views",
+]
 
 
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> list[str]:
@@ -68,9 +72,12 @@ def register_catalog_views(
             "gold": [
                 "vwap_signals",
                 "hvc_daily",
+                "hvc_weekly",
+                "hvc_monthly",
                 "stairstep_up",
                 "stairstep_down",
                 "best_patterns",
+                "best_patterns_down",
             ],
         }
     registered = []
@@ -80,4 +87,45 @@ def register_catalog_views(
             if table_exists(path):
                 spark.read.parquet(path).createOrReplaceTempView(f"{layer}_{name}")
                 registered.append(f"{layer}_{name}")
+    return registered
+
+
+# The reference publishes its gold analytics as 12 type-split tables
+# (reference: metadata.json "databases.hvcs.tables": {daily,weekly,monthly}
+# high_volume_closes x {stocks,etfs}, stairstepping_hvcs, stairstepping_summary
+# and falling_down_stairs_summary x {stocks,etfs}). This engine stores the
+# type-agnostic tables once and exposes the reference's names as views — the
+# split is a broadcast semi-join against silver.ticker_metadata, so each view
+# costs one dimension filter at query time instead of doubling gold storage.
+_REFERENCE_GOLD_VIEWS = {
+    "daily_high_volume_closes": "hvc_daily",
+    "weekly_high_volume_closes": "hvc_weekly",
+    "monthly_high_volume_closes": "hvc_monthly",
+    "stairstepping_hvcs": "stairstep_up",
+    "stairstepping_summary": "best_patterns",
+    "falling_down_stairs_summary": "best_patterns_down",
+}
+_TYPE_SUFFIX = {"stocks": "CS", "etfs": "ETF"}
+
+
+def register_reference_gold_views(spark: SparkSession, catalog: Catalog) -> list[str]:
+    """Register the reference's 12 published gold table names as temp views
+    over this engine's gold tables, split stocks/ETFs via ticker_metadata.
+    Missing source tables are skipped; returns the registered names.
+    """
+    meta_path = catalog.silver("ticker_metadata")
+    if not table_exists(meta_path):
+        return []
+    meta = spark.read.parquet(meta_path)
+    registered = []
+    for ref_name, table in _REFERENCE_GOLD_VIEWS.items():
+        path = catalog.gold(table)
+        if not table_exists(path):
+            continue
+        df = spark.read.parquet(path)
+        for suffix, ticker_type in _TYPE_SUFFIX.items():
+            tickers = meta.filter(meta["type"] == ticker_type).select("ticker")
+            view = f"{ref_name}_{suffix}"
+            df.join(tickers, "ticker", "left_semi").createOrReplaceTempView(view)
+            registered.append(view)
     return registered
