@@ -9,7 +9,7 @@ Each query is executed to completion (foreachPartition no-op sink — forces
 full materialization without driver collect); timing includes plan + execute.
 Every query gets one untimed warmup pass (JVM + whole-stage-codegen
 compilation is per-plan, and the HOF-heavy hash pipelines pay multi-second
-first-run codegen costs), then the reported time is the best of 2 timed
+first-run codegen costs), then the reported time is the best of 3 timed
 runs — steady-state throughput, the quantity that scales to a long-lived
 cluster.
 """
@@ -45,7 +45,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, spec in bench_queries.items():
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).foreachPartition(lambda it: None)
             runs.append(time.perf_counter() - t0)

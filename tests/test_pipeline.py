@@ -454,3 +454,39 @@ def test_reference_gold_views_split_stocks_and_etfs(spark, tmp_path):
         r.ticker
         for r in spark.sql("SELECT ticker FROM stairstepping_summary_stocks").collect()
     } == {"AAPL"}
+
+
+def test_validate_detects_indicator_drift(spark, env):
+    """run_validate's third check recomputes sampled tickers' indicators
+    from scratch and diffs stored rows — clean data passes, a tampered
+    stored row is flagged."""
+    from pyspark.sql import functions as F
+
+    cat, cp = env
+    days = trading_days(D(2024, 1, 2), D(2024, 2, 20))
+    run_bronze(spark, _source(days), cat, cp, days[0], days[-1])
+    run_silver(spark, cat, cp)
+
+    v = run_validate(spark, cat)
+    assert v["indicator_drift"]["ok"] is True
+    assert v["indicator_drift"]["checked"] > 0
+    assert v["indicator_drift"]["drifted"] == 0
+
+    # tamper with one stored sma_20 value and re-validate
+    path = cat.silver("daily_indicators")
+    pdf = read_table(spark, path).toPandas()
+    mask = pdf["sma_20"].notna()
+    idx = pdf[mask].index[0]
+    pdf.loc[idx, "sma_20"] += 1.0
+    from tickerlake_spark import schemas
+    from tickerlake_spark.storage import write_table
+
+    tampered = schemas.conform(spark.createDataFrame(pdf), schemas.INDICATORS)
+    import shutil
+
+    shutil.rmtree(path)
+    write_table(tampered, path)
+
+    v2 = run_validate(spark, cat)
+    assert v2["indicator_drift"]["ok"] is False
+    assert v2["indicator_drift"]["drifted"] == 1

@@ -481,9 +481,13 @@ def run_validate(
        Polygon adjusted API; ours cross-validates two formulations).
     2. Per-date record-count anomaly classification over bronze.stocks
        (reference: utils/validation.py:16-139, bronze/main.py:322-340).
+    3. Incremental-maintenance drift guard (beyond-reference): sampled
+       tickers' stored indicator rows vs a full recompute — catches any
+       divergence the incremental silver append could accumulate.
     """
     from tickerlake_spark.validation import (
         classify_date_counts,
+        validate_incremental_indicators,
         validate_split_adjustment,
     )
 
@@ -517,4 +521,16 @@ def run_validate(
             .count()
         )
         result["date_counts"] = {"anomalous_dates": anomalies}
+    ind_path = catalog.silver("daily_indicators")
+    if table_exists(daily_path) and table_exists(ind_path):
+        report = validate_incremental_indicators(
+            read_table(spark, daily_path), read_table(spark, ind_path)
+        )
+        checked = report.count()
+        drifted = report.filter(~F.col("ok")).count()
+        result["indicator_drift"] = {
+            "checked": checked,
+            "drifted": drifted,
+            "ok": drifted == 0,
+        }
     return result

@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["classify_date_counts", "validate_split_adjustment"]
+__all__ = [
+    "classify_date_counts",
+    "validate_split_adjustment",
+    "validate_incremental_indicators",
+]
 
 
 def classify_date_counts(
@@ -136,3 +140,54 @@ def validate_split_adjustment(
         .withColumn("ok", F.col("abs_diff") <= F.lit(tolerance))
         .select("ticker", "date", "expected_close", "actual_close", "abs_diff", "ok")
     )
+
+
+def validate_incremental_indicators(
+    daily: DataFrame,
+    stored_indicators: DataFrame,
+    sample_tickers: int = 25,
+    tolerance: float = 1e-9,
+) -> DataFrame:
+    """Spot-check stored indicator rows against a from-scratch recompute.
+
+    The silver append path maintains indicators incrementally (bounded
+    window context, operators/incremental_silver.py); this is the
+    production-time guard against any drift that maintenance could
+    accumulate: sample ``sample_tickers`` tickers deterministically, rerun
+    ``compute_indicators`` on their full daily history, and diff every
+    indicator column against what is stored.
+
+    Returns one row per sampled (ticker, date) with ``ok`` false where any
+    column differs beyond ``tolerance`` (nulls must match exactly). The
+    recompute touches only the sampled tickers' rows — a broadcast semi-join
+    prunes the scan, so the check stays cheap at any table size.
+    """
+    from tickerlake_spark.operators.indicators import compute_indicators
+
+    sampled = (
+        daily.select("ticker")
+        .distinct()
+        .orderBy(F.xxhash64("ticker"))
+        .limit(sample_tickers)
+    )
+    sub_daily = daily.join(F.broadcast(sampled), "ticker", "left_semi")
+    expected = compute_indicators(sub_daily)
+    stored = stored_indicators.join(F.broadcast(sampled), "ticker", "left_semi")
+
+    cols = ["sma_20", "sma_50", "sma_200", "atr_14", "volume_ma_20", "volume_ratio"]
+    e = expected.select(
+        "ticker", "date", *[F.col(c).alias(f"__e_{c}") for c in cols]
+    )
+    joined = stored.join(e, ["ticker", "date"], "full_outer")
+    checks = [
+        (
+            (F.col(c).isNull() & F.col(f"__e_{c}").isNull())
+            | (F.abs(F.col(c) - F.col(f"__e_{c}")) <= tolerance)
+        ).alias(f"__ok_{c}")
+        for c in cols
+    ]
+    out = joined.select("ticker", "date", *checks)
+    ok = F.lit(True)
+    for c in cols:
+        ok = ok & F.coalesce(F.col(f"__ok_{c}"), F.lit(False))
+    return out.select("ticker", "date", ok.alias("ok"))
