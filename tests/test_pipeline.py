@@ -490,3 +490,58 @@ def test_validate_detects_indicator_drift(spark, env):
     v2 = run_validate(spark, cat)
     assert v2["indicator_drift"]["ok"] is False
     assert v2["indicator_drift"]["drifted"] == 1
+
+
+def test_incremental_gold_across_year_boundary(spark, tmp_path):
+    """An append that crosses Dec 31 resets the YTD/QTD windows: the
+    incremental gold run computes new vwap rows from a year-bounded slice,
+    and rows in the new year must start their cumulative sums from zero —
+    exactly matching a full rebuild."""
+    from pyspark.sql import functions as F
+
+    days = trading_days(D(2023, 11, 1), D(2024, 1, 12))
+    bars = {
+        d: _bars_for(d, price=100.0 + 2 * (i % 11))
+        for i, d in enumerate(days)
+    }
+    cut = max(i for i, d in enumerate(days) if d.year == 2023)  # last 2023 day
+
+    def src(dates):
+        s = _source(dates)
+        s._bars = {d: bars[d] for d in dates}
+        s._splits = []  # no splits: keep the append path
+        return s
+
+    stamp = dt.datetime(2024, 2, 1)
+
+    cat_a = Catalog(root=str(tmp_path / "a"))
+    cp_a = Checkpoints(str(tmp_path / "cp_a.json"))
+    run_bronze(spark, src(days[: cut + 1]), cat_a, cp_a, days[0], days[cut])
+    assert run_silver(spark, cat_a, cp_a)["mode"] == "full"
+    run_gold(spark, cat_a, calculated_at=stamp, checkpoints=cp_a)
+    run_bronze(spark, src(days), cat_a, cp_a, days[0], days[-1])
+    assert run_silver(spark, cat_a, cp_a)["mode"] == "append"
+    assert run_gold(spark, cat_a, calculated_at=stamp, checkpoints=cp_a)["mode"] == "incremental"
+
+    cat_b = Catalog(root=str(tmp_path / "b"))
+    cp_b = Checkpoints(str(tmp_path / "cp_b.json"))
+    run_bronze(spark, src(days), cat_b, cp_b, days[0], days[-1])
+    run_silver(spark, cat_b, cp_b)
+    run_gold(spark, cat_b, calculated_at=stamp, checkpoints=cp_b)
+
+    def rows_of(cat):
+        df = read_table(spark, cat.gold("vwap_signals"))
+        rounded = df.select(
+            *[F.round(c, 9).alias(c) if t == "double" else F.col(c) for c, t in df.dtypes]
+        )
+        return sorted(map(tuple, rounded.collect()))
+
+    assert rows_of(cat_a) == rows_of(cat_b)
+    # sanity: first 2024 row's ytd_vwap equals its own day's vwap (sum reset)
+    first_2024 = (
+        read_table(spark, cat_a.gold("vwap_signals"))
+        .filter((F.col("ticker") == "AAPL") & (F.col("date") == days[cut + 1]))
+        .first()
+    )
+    assert first_2024 is not None
+    assert abs(first_2024["ytd_vwap"] - first_2024["close"]) < 1e-9

@@ -212,3 +212,82 @@ def test_silver_maintenance_batches_equal_full_recompute(spark, tmp_path_factory
     assert rows_of(read_table(spark, cat.silver("daily_indicators"))) == rows_of(
         schemas.conform(compute_indicators(expected_daily), schemas.INDICATORS)
     )
+
+
+@st.composite
+def gold_append_case(draw):
+    """Random cut point + random HVC spike days for an incremental-gold
+    parity run (threshold lowered so tiny fixtures produce events)."""
+    import datetime as dt
+
+    from tickerlake_spark.sources.calendar import trading_days
+
+    days = trading_days(dt.date(2024, 1, 2), dt.date(2024, 2, 20))
+    cut = draw(st.integers(min_value=22, max_value=len(days) - 2))
+    spikes = draw(
+        st.sets(st.integers(min_value=21, max_value=len(days) - 1), max_size=8)
+    )
+    return days, cut, spikes
+
+
+@given(case=gold_append_case())
+@settings(max_examples=3, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_incremental_gold_equals_full_for_random_appends(
+    spark, tmp_path_factory, case
+):
+    """For ANY cut point and ANY spike pattern, silver append + incremental
+    gold must equal the from-scratch rebuild on every gold table."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.pipeline import run_bronze, run_gold, run_silver
+    from tickerlake_spark.sources.market import InMemoryMarketSource
+    from tickerlake_spark.storage import Catalog, Checkpoints, read_table
+
+    days, cut, spikes = case
+    tmp = tmp_path_factory.mktemp("prop_gold")
+
+    def bars(d, i):
+        vol = 9000 if i in spikes else 1000
+        close = 100.0 + (i * 7 % 13)
+        ms = int(dt.datetime(d.year, d.month, d.day).timestamp() * 1000)
+        return [
+            {"ticker": "AAA", "volume": vol, "open": close - 1.0,
+             "close": close, "high": close + 2.0, "low": close - 2.0,
+             "window_start": ms, "transactions": 5}
+        ]
+
+    def src(upto):
+        return InMemoryMarketSource(
+            bars_by_date={d: bars(d, i) for i, d in enumerate(days) if i < upto},
+            ticker_rows=[{"ticker": "AAA", "name": "A", "type": "CS",
+                          "active": True, "market": "stocks", "locale": "us",
+                          "primary_exchange": "X", "currency_name": "usd",
+                          "cik": "1"}],
+            split_rows=[],
+        )
+
+    stamp = dt.datetime(2024, 3, 1)
+    envs = {}
+    for label, steps in (("a", [cut, len(days)]), ("b", [len(days)])):
+        cat = Catalog(root=str(tmp / label))
+        cp = Checkpoints(str(tmp / f"cp_{label}.json"))
+        for upto in steps:
+            run_bronze(spark, src(upto), cat, cp, days[0], days[upto - 1])
+            run_silver(spark, cat, cp)
+            run_gold(spark, cat, hvc_threshold=1.5, min_steps=2,
+                     calculated_at=stamp, checkpoints=cp)
+        envs[label] = cat
+
+    def rows_of(cat, table):
+        df = read_table(spark, cat.gold(table))
+        rounded = df.select(
+            *[F.round(c, 9).alias(c) if t == "double" else F.col(c) for c, t in df.dtypes]
+        )
+        return sorted(map(tuple, rounded.collect()))
+
+    for table in ("vwap_signals", "hvc_daily", "hvc_weekly", "hvc_monthly",
+                  "stairstep_up", "stairstep_down", "best_patterns",
+                  "best_patterns_down"):
+        assert rows_of(envs["a"], table) == rows_of(envs["b"], table), table
