@@ -1,0 +1,146 @@
+"""k-means / SemDeDup / trained-IVF: NumPy-reference parity + plan gates.
+
+The SQL-oracle parity for q115-q117 lives in test_oracle_parity /
+test_driver_hash (parametrized over the catalog). These tests pin the
+ALGORITHM against an independent NumPy re-implementation and the plan
+shape against the 100 TB contract (no vector shuffle in the E-step,
+equi-join-only pairwise verify).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tickerlake_spark.operators.clustering import (
+    assign_cells,
+    kmeans_fit,
+    semantic_dedup_flags,
+)
+from tickerlake_spark.plans.catalog import load_table
+
+
+def _round_half_up(x: np.ndarray, n: int) -> np.ndarray:
+    """stable_round's twin: round(x + 5*10^-(n+3), n) with HALF_UP via
+    floor(v*10^n + 0.5) — valid for the non-negative-or-far-from-boundary
+    values the nudge guarantees."""
+    shifted = (x + 5.0 * 10 ** -(n + 3)) * 10**n
+    return np.floor(shifted + 0.5) / 10**n
+
+
+def _numpy_kmeans(vecs: np.ndarray, ids: np.ndarray, k: int, iters: int):
+    """Independent Lloyd's implementation with the same determinism contract:
+    init = k lowest ids, argmin squared-L2 w/ index tie-break, 6dp-rounded
+    means, empty cells keep previous centroid."""
+    order = np.argsort(ids, kind="stable")
+    cents = vecs[order[:k]].astype(np.float64).copy()
+    assign = None
+    for _ in range(iters):
+        d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes first (lowest cell) on ties
+        for c in range(k):
+            members = vecs[assign == c]
+            if len(members):
+                cents[c] = _round_half_up(members.mean(axis=0), 6)
+    return cents, assign
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([r["v"] for r in rows])
+    return ids, vecs
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_dir, emb_np):
+    ids, vecs = emb_np
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, update = kmeans_fit(emb, k=8, iters=3, vec_col="embedding")
+    np_cents, np_assign = _numpy_kmeans(vecs, ids, k=8, iters=3)
+
+    got = np.array(centroids)
+    # cells emptied in the final assignment keep the previous centroid on
+    # the Spark side; the NumPy twin does the same — exact equality expected
+    # (identical rounding grid; per-coordinate means differ only below 6dp)
+    assert got.shape == np_cents.shape
+    np.testing.assert_allclose(got, np_cents, rtol=0, atol=1e-12)
+
+    # final assignment parity through the public assign_cells
+    assigned = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(
+            emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+            centroids,
+        ).collect()
+    }
+    # NumPy assignment is against the PRE-update centroids of the last
+    # iteration; recompute against final centroids for a like-for-like check
+    d2 = ((vecs[:, None, :] - got[None, :, :]) ** 2).sum(axis=2)
+    want = d2.argmin(axis=1)
+    got_assign = np.array([assigned[i] for i in ids])
+    assert (got_assign == want).mean() > 0.99  # float-boundary flips only
+    # and the update plan's cells are exactly the assignment's cells
+    cells_in_update = {r["cell"] for r in update.select("cell").distinct().collect()}
+    assert cells_in_update <= set(range(8))
+
+
+def test_semantic_dedup_flags_injected_neardups(spark, sf_dir):
+    """Every injected near-identical copy that lands in its source's cell is
+    flagged; originals with no lower-id neighbor are kept."""
+    from tickerlake_spark.plans.q_llm import _mutated_embeddings
+
+    emb = _mutated_embeddings(spark, sf_dir)
+    centroids, _ = kmeans_fit(emb, k=8, iters=2, vec_col="v")
+    flags = semantic_dedup_flags(emb, centroids, threshold=0.98, vec_col="v")
+    rows = {r["id"]: (r["cell"], r["is_dup"]) for r in flags.collect()}
+
+    cells = {
+        r["id"]: r["cell"]
+        for r in assign_cells(
+            emb.withColumnRenamed("vec_id", "id"), centroids, vec_col="v"
+        ).collect()
+    }
+    mutated = [i for i in rows if i >= 100000]
+    assert len(mutated) == 25
+    co_located = [i for i in mutated if cells[i] == cells[i - 100000]]
+    assert co_located, "at least some perturbed copies share their source cell"
+    for i in co_located:
+        assert rows[i][1], f"co-located near-dup {i} not flagged"
+    # a dup flag requires a lower-id witness: originals 26+ are clean copies
+    clean = [i for i in rows if 25 <= i < 100000]
+    assert sum(rows[i][1] for i in clean) == 0
+
+
+def test_estep_plan_has_no_vector_shuffle(spark, sf_dir):
+    """The assignment (E-step) must be map-side: centroid literals, no join,
+    no exchange of the vector table before the argmin projection."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = [[0.01 * (i + 1)] * 64 for i in range(8)]
+    plan = assign_cells(emb, cents).sample(1.0)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_semantic_dedup_pairwise_is_equi_join(spark, sf_dir):
+    """The within-cell verify must reach the join as a hash-partitioned
+    equi-join on cell (plus the id inequality as a post-condition) — never a
+    cartesian/broadcast-nested-loop over the corpus."""
+    from tickerlake_spark.plans.q_llm import _mutated_embeddings
+
+    emb = _mutated_embeddings(spark, sf_dir)
+    cents = [[0.01 * (i + 1)] * 64 for i in range(8)]
+    plan = (
+        semantic_dedup_flags(emb, cents, threshold=0.98, vec_col="v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,162 @@
+"""Distributed Lloyd's k-means over embedding columns.
+
+The reference has no clustering, but a training-data pipeline at 100 TB needs
+it twice: to TRAIN the coarse quantizer an IVF index probes (the hash-derived
+centroids in ``operators/similarity.py`` are the untrained fallback), and for
+SemDeDup-style semantic dedup (cluster, then pairwise-verify only within a
+cluster — Abbas et al. 2023, arXiv:2303.09540).
+
+Execution shape (the scalable one, identical to MLlib's KMeans loop):
+
+- centroids live on the DRIVER as k x dim doubles (bounded, tiny) and enter
+  each assignment as one ``array<array<double>>`` literal — broadcast by the
+  plan, no join, no shuffle of the vector table;
+- the assignment is a map-side argmin over k sequential-order dot folds
+  (whole-stage codegen, no Python);
+- the update is ``posexplode -> groupBy(cell, pos) -> avg``: the shuffle
+  carries only k x dim x n_partitions partial sums (map-side combine), never
+  vectors;
+- per-iteration driver traffic is the k x dim rounded means — the same
+  bounded-collect pattern as any iterative ML algorithm.
+
+Cross-engine determinism (the oracle contract): every iteration's centroids
+are rounded to ``decimals`` via ``stable_round`` on BOTH engines, so
+assignment distances are computed from bit-identical inputs; distance folds
+run in index order on both engines; argmin ties break on cell asc; an empty
+cell keeps its previous centroid. Init is the embeddings of the k lowest ids
+(pure data movement, no arithmetic — exactly replicable in SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tickerlake_spark.functions.core import stable_round
+
+__all__ = ["kmeans_fit", "assign_cells", "semantic_dedup_flags"]
+
+
+def _argmin_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid by squared L2; ties -> lowest index.
+
+    ``array_min`` over (d2, cell) structs compares d2 first, then cell —
+    the same total order as ``ORDER BY d2 ASC, cell ASC``.
+    """
+    cmat = F.array(*[F.lit(c).cast("array<double>") for c in centroids])
+    scored = F.transform(
+        cmat,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("d2"),
+            i.alias("cell"),
+        ),
+    )
+    return F.array_min(scored)["cell"]
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "v",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Map-side nearest-centroid assignment (one k-means E-step)."""
+    return df.withColumn(cell_col, _argmin_cell(F.col(vec_col), centroids))
+
+
+def _update_means(assigned: DataFrame, decimals: int) -> DataFrame:
+    """M-step as a DataFrame: (cell, pos, val) per-coordinate rounded means.
+
+    posexplode turns each vector into dim rows; the groupBy shuffle is
+    k x dim keys with map-side partial aggregation — vector payloads never
+    cross the wire.
+    """
+    ev = assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+    return ev.groupBy("cell", "pos").agg(
+        stable_round(F.avg("val"), decimals).alias("val")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    decimals: int = 6,
+) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd's k-means; returns (final centroids, final (cell,pos,val) plan).
+
+    The returned DataFrame is the LAST iteration's M-step still as a lazy
+    plan (cells that lost all members in the final assignment are absent,
+    mirroring the SQL oracle). ``centroids`` is the same data collected and
+    list-assembled for downstream literal use (IVF probing, SemDeDup
+    assignment).
+    """
+    base = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    init_rows = (
+        base.orderBy(F.col(id_col).asc()).limit(k).select(id_col, "v").collect()
+    )
+    centroids = [list(r["v"]) for r in sorted(init_rows, key=lambda r: r[id_col])]
+
+    update: DataFrame | None = None
+    for _ in range(iters):
+        assigned = assign_cells(base, centroids, vec_col="v")
+        update = _update_means(assigned, decimals)
+        rows = update.collect()  # bounded: k x dim rounded doubles
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["val"]
+        centroids = [
+            [by_cell[c][p] for p in sorted(by_cell[c])] if c in by_cell else prev
+            for c, prev in enumerate(centroids)
+        ]
+    assert update is not None
+    return centroids, update
+
+
+def semantic_dedup_flags(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup: flag rows that have a LOWER-id near-duplicate
+    (cosine >= threshold) in the SAME k-means cell.
+
+    Returns (id, cell, is_dup). The pairwise verify is an equi-join on the
+    cell key — per-cell work is |cell|^2, bounded by choosing k so cells stay
+    small (at 100 TB: k grows with corpus size; the join stays an equi-join
+    and never goes all-pairs). Cross-cell near-dups are missed by design —
+    that is the SemDeDup recall trade.
+    """
+    from tickerlake_spark.functions.vector import cosine_similarity
+
+    assigned = assign_cells(
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v")),
+        centroids,
+        vec_col="v",
+    ).select(F.col(id_col).alias("id"), "v", "cell")
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("b.id") < F.col("a.id")),
+        )
+        .filter(
+            cosine_similarity(F.col("a.v"), F.col("b.v")) >= F.lit(threshold)
+        )
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return assigned.join(
+        dup_ids.withColumn("__dup", F.lit(True)), "id", "left"
+    ).select(
+        "id", "cell", F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup")
+    )

@@ -190,6 +190,9 @@ _GATE_ORDER = [
     "q91_disjunctive_predicates",
     "q72_embedding_quantize",
     "q83_batch_sessionize",
+    "q115_kmeans_centroids",
+    "q116_semantic_dedup",
+    "q117_ivf_trained",
     "q11_case_cast",
     "q13_topk_sort",
     "q52_token_count",
@@ -274,6 +277,7 @@ def _ensure_loaded() -> None:
         return
     from tickerlake_spark.plans import (  # noqa: F401
         q_classic,
+        q_cluster,
         q_core,
         q_datapipe,
         q_extra,
