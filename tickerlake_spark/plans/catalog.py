@@ -193,6 +193,8 @@ _GATE_ORDER = [
     "q115_kmeans_centroids",
     "q116_semantic_dedup",
     "q117_ivf_trained",
+    "q118_doc_chunking",
+    "q119_sequence_packing",
     "q11_case_cast",
     "q13_topk_sort",
     "q52_token_count",

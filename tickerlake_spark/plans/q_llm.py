@@ -15,7 +15,7 @@ Correctness design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tickerlake_spark.functions.core import stable_round
@@ -543,4 +543,99 @@ def q56_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("rep_2gram"), 6).alias("rep_2gram"),
         stable_round(F.col("rep_3gram"), 6).alias("rep_3gram"),
         "is_repetitious",
+    )
+
+
+@register(
+    "q118_doc_chunking",
+    doc="Sliding-window document chunking (100 chars, stride 80 = 20 "
+    "overlap) — the context-window splitter every RAG/training pipeline "
+    "runs before embedding. posexplode(sequence(...)) fans each doc into "
+    "its chunk index range map-side (no shuffle, no UDF); chunk text via "
+    "substring arithmetic. Integer+string outputs only — hash-exact.",
+    oracle="""
+SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+       substr(text, CAST(1 + k * 80 AS BIGINT), 100) AS chunk_text,
+       CAST(length(substr(text, CAST(1 + k * 80 AS BIGINT), 100)) AS BIGINT)
+         AS chunk_len
+FROM documents
+CROSS JOIN unnest(range(0, (length(text) - 1) // 80 + 1)) AS t(k)
+WHERE length(text) > 0
+""",
+)
+def q118_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ln = F.length("text")
+    k = F.posexplode(
+        F.sequence(F.lit(0).cast("long"), F.floor((ln - 1) / 80))
+    )
+    return (
+        d.filter(ln > 0)
+        .select("doc_id", "text", k.alias("__pos", "k"))
+        .select(
+            "doc_id",
+            F.col("k").cast("int").alias("chunk_id"),
+            F.substring("text", (F.lit(1) + F.col("k") * 80).cast("int"), 100).alias(
+                "chunk_text"
+            ),
+            F.length(
+                F.substring("text", (F.lit(1) + F.col("k") * 80).cast("int"), 100)
+            )
+            .cast("long")
+            .alias("chunk_len"),
+        )
+    )
+
+
+@register(
+    "q119_sequence_packing",
+    doc="Training-sequence packing: concatenate documents in id order and "
+    "cut every 256 tokens (documents may straddle cuts — the GPT-style "
+    "pack-then-chunk layout). Packing is PER SHARD (doc_id % 8): a global "
+    "token prefix-sum would serialize on one partition at 100 TB, but "
+    "training shards are independent output files anyway, so the window "
+    "partitions by shard and the prefix-sum parallelizes shard-wise. "
+    "All-integer output — no float hash risk by construction.",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       cum_before // 256 AS seq_id,
+       cum_before % 256 AS seq_offset
+FROM c
+""",
+)
+def q119_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(F.col("cum_before") / 256).alias("seq_id"),
+        (F.col("cum_before") % 256).alias("seq_offset"),
     )
