@@ -195,6 +195,7 @@ _GATE_ORDER = [
     "q117_ivf_trained",
     "q118_doc_chunking",
     "q119_sequence_packing",
+    "q120_benchmark_decontamination",
     "q11_case_cast",
     "q13_topk_sort",
     "q52_token_count",

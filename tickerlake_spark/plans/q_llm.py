@@ -639,3 +639,71 @@ def q119_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("cum_before") / 256).alias("seq_id"),
         (F.col("cum_before") % 256).alias("seq_offset"),
     )
+
+
+@register(
+    "q120_benchmark_decontamination",
+    doc="Benchmark decontamination (the GPT-3/Pile 13-gram method, here "
+    "5-grams for the synthetic corpus): flag training documents sharing "
+    "any word n-gram with a held-out benchmark set (docs 0-19). The "
+    "benchmark's distinct grams are a small relation -> broadcast hash "
+    "join against the exploded corpus grams; per-doc distinct-hit count, "
+    "zero-filled via left join. At 100 TB the corpus side streams "
+    "map-side against the broadcast gram set — no corpus shuffle until "
+    "the per-doc count, which carries only (doc_id, gram) hits.",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 3),
+                i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS g
+  FROM toks WHERE len(t) >= 5
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+hits AS (
+  SELECT d.doc_id, CAST(COUNT(DISTINCT d.g) AS BIGINT) AS n_hit
+  FROM grams d JOIN bench b ON d.g = b.g
+  WHERE d.doc_id >= 20 GROUP BY d.doc_id
+)
+SELECT doc.doc_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       (h.doc_id IS NOT NULL) AS is_contaminated
+FROM documents doc LEFT JOIN hits h ON doc.doc_id = h.doc_id
+WHERE doc.doc_id >= 20
+""",
+)
+def q120_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower("text")), r"\s+")
+    toks = d.select("doc_id", t.alias("t"))
+    grams = (
+        toks.filter(F.size("t") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 4),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, 5)),
+                )
+            ).alias("g"),
+        )
+    )
+    bench = grams.filter(F.col("doc_id") < 20).select("g").distinct()
+    hits = (
+        grams.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").cast("long").alias("n_hit"))
+    )
+    return (
+        d.filter(F.col("doc_id") >= 20)
+        .select("doc_id")
+        .join(hits.withColumnRenamed("doc_id", "__h"), F.col("doc_id") == F.col("__h"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.col("__h").isNotNull().alias("is_contaminated"),
+        )
+    )
