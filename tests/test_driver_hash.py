@@ -1,23 +1,19 @@
-"""Exact (tolerance-free) cross-engine hash checks for EVERY oracle query.
+"""The driver's exact (tolerance-free) repr-hash contract, as reusable code.
 
 The driver's correctness gate hashes canonicalized result values with repr —
 no float tolerance, no dtype coercion. Both historical driver failures
 (q72 r1/r2, q83 r2) were dtype bugs in the *oracle SQL*: DuckDB widens
 integer SUMs to HUGEINT, pandas renders HUGEINT as float64, and the driver's
-repr hash sees ``147.0`` vs Spark's ``147``. An earlier version of this test
+repr hash sees ``147.0`` vs Spark's ``147``. An earlier sweep here
 "harmonized" dtypes before hashing, which silently erased exactly that
 divergence — so it passed while the driver failed.
 
-This version is the driver's contract, reproduced faithfully:
-
-- dtypes must MATCH between the Spark result and the DuckDB oracle result
-  (dates/timestamps excepted — the driver normalizes those), and
-- the order-insensitive repr-based value hash must match, with no
-  harmonization of any kind.
-
-It runs over the FULL catalog at sf0.001, so any future oracle that leaks a
-HUGEINT (uncast SUM, list_aggregate('sum'), windowed SUM) fails here first,
-not in the driver.
+The full-catalog sweep enforcing this contract lives in
+``test_oracle_parity.py`` (ONE Spark+DuckDB execution per query, strict
+hash + dtype-kind equality, tolerant diff only as the failure diagnostic —
+a second independent sweep would double the suite's Spark work for zero
+extra signal). This module keeps the canonicalization/hash helpers it and
+``tools/check_new_queries.py`` share, plus the q72 integer-domain pin.
 """
 
 from __future__ import annotations
@@ -27,16 +23,11 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-import pytest
 
 from tickerlake_spark.plans import QUERIES
 from tickerlake_spark.plans.catalog import _ensure_loaded
 
 _ensure_loaded()
-
-# Every query with a SQL oracle participates; rows-only queries have no
-# cross-engine hash to protect.
-STRICT = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
 
 
 def _is_datelike(series: pd.Series) -> bool:
@@ -110,25 +101,6 @@ def _dtype_mismatches(
             continue
         bad.append(f"{c}: spark={s.dtype} duck={d.dtype}")
     return bad
-
-
-@pytest.mark.parametrize("name", STRICT)
-def test_exact_value_hash_matches_oracle(spark, duck, sf_dir, name):
-    spec = QUERIES[name]
-    spark_pdf = spec.fn(spark, sf_dir).toPandas()
-    duck_pdf = duck.execute(spec.oracle).fetchdf()
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
-        f"{name}: column sets diverge"
-    )
-    mismatches = _dtype_mismatches(spark_pdf, duck_pdf)
-    assert not mismatches, (
-        f"{name}: oracle/Spark dtype divergence (driver repr-hash would "
-        f"fail): {mismatches} — likely an uncast SUM/list_aggregate in the "
-        f"oracle SQL (DuckDB HUGEINT -> pandas float64)"
-    )
-    assert _value_hash(spark_pdf) == _value_hash(duck_pdf), (
-        f"{name}: exact value hash diverged between Spark and DuckDB"
-    )
 
 
 def test_q72_outputs_are_integer_domain(spark, sf_dir):

@@ -12,14 +12,14 @@ from __future__ import annotations
 def test_e2e_bench_tool_runs_and_reports(tmp_path):
     from tools.bench_e2e import run
 
-    out = run(n_tickers=50, years=1, data_dir=str(tmp_path / "e2e"))
+    out = run(n_tickers=25, years=1, data_dir=str(tmp_path / "e2e"))
 
-    n_days = out["bars"] // 50
+    n_days = out["bars"] // 25
     assert n_days > 240  # a year of NYSE sessions minus the appended day
     # full rewrite covered initial days; the append added exactly one more,
     # and the incremental gold run caught vwap_signals up to it
-    assert out["silver_daily_rows"] == out["bars"] + 50
-    assert out["gold_vwap_rows"] == out["bars"] + 50
+    assert out["silver_daily_rows"] == out["bars"] + 25
+    assert out["gold_vwap_rows"] == out["bars"] + 25
     assert out["gold_hvc_rows"] > 0  # volume spikes must trigger HVC events
     assert out["silver_append_sec"] > 0  # append path engaged (asserted inside)
     assert out["gold_incremental_sec"] > 0  # incremental gold engaged

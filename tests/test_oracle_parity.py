@@ -1,7 +1,21 @@
 """Run every cataloged query in Spark AND DuckDB and compare results.
 
-This mirrors the driver's correctness gate (row count + columns + values,
-order-insensitive) so oracle breakage is caught locally before a round ends.
+This is the driver's correctness gate reproduced faithfully — ONE execution
+per query, checked at the driver's strictness:
+
+- column sets must match,
+- pandas dtype KINDS must match (int vs float vs bool vs object; the class
+  of oracle bug that broke q72/q83 in the driver — DuckDB HUGEINT lands in
+  pandas as float64 while Spark emits int64, and the driver's repr hash
+  sees ``147.0`` vs ``147``),
+- the order-insensitive repr-based value hash must match exactly — no float
+  tolerance, no dtype harmonization.
+
+When the strict hash diverges, the tolerance-based frame diff runs as a
+DIAGNOSTIC so the failure names the first offending column/row instead of
+just "hash mismatch". (Running the tolerant compare on every green query as
+a separate sweep would double the suite's Spark work for zero extra signal:
+exact equality implies tolerant equality.)
 """
 
 from __future__ import annotations
@@ -10,6 +24,8 @@ import math
 
 import pandas as pd
 import pytest
+
+from test_driver_hash import _dtype_mismatches, _value_hash
 
 from tickerlake_spark.plans import QUERIES
 from tickerlake_spark.plans.catalog import _ensure_loaded
@@ -29,6 +45,8 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    """Tolerant (1e-9) value comparison with a first-mismatch error message —
+    the diagnostic layer under the strict hash."""
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
     )
@@ -64,7 +82,25 @@ def test_oracle_parity(spark, duck, sf_dir, name):
     spec = QUERIES[name]
     spark_pdf = spec.fn(spark, sf_dir).toPandas()
     duck_pdf = duck.execute(spec.oracle).fetchdf()
-    assert_frames_match(spark_pdf, duck_pdf, name)
+
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column sets diverge: "
+        f"{sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    mismatches = _dtype_mismatches(spark_pdf, duck_pdf)
+    assert not mismatches, (
+        f"{name}: oracle/Spark dtype divergence (driver repr-hash would "
+        f"fail): {mismatches} — likely an uncast SUM/list_aggregate in the "
+        f"oracle SQL (DuckDB HUGEINT -> pandas float64)"
+    )
+    if _value_hash(spark_pdf) != _value_hash(duck_pdf):
+        # strict hash diverged — run the tolerant diff for a named culprit
+        assert_frames_match(spark_pdf, duck_pdf, name)
+        raise AssertionError(
+            f"{name}: exact value hash diverged but values are within 1e-9 "
+            f"— a rounding-boundary or repr-precision issue; see "
+            f"functions.core.stable_round"
+        )
     # every query must return something at this sf, else it tests nothing
     assert len(spark_pdf) > 0, f"{name}: empty result — widen the predicate"
 

@@ -206,7 +206,7 @@ def test_cli_full_chain(tmp_path):
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     b = run("bronze", "--data-root", root, "--demo",
-            "--start", "2024-01-01", "--end", "2024-02-01")
+            "--start", "2024-01-01", "--end", "2024-01-16")
     assert b["rows"] > 0 and not b["limit_reached"]
     s = run("silver", "--data-root", root)
     assert s["mode"] == "full"

@@ -153,7 +153,7 @@ def day_batches(draw):
 
 
 @given(case=day_batches())
-@settings(**SETTINGS)
+@settings(max_examples=3, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_silver_maintenance_batches_equal_full_recompute(spark, tmp_path_factory, case):
     """ANY partition of the bar history into sequential micro-batches pushed
     through streaming/medallion.silver_maintenance_batch must leave daily +
@@ -231,7 +231,7 @@ def gold_append_case(draw):
 
 
 @given(case=gold_append_case())
-@settings(max_examples=3, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=2, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_incremental_gold_equals_full_for_random_appends(
     spark, tmp_path_factory, case
 ):

@@ -347,7 +347,7 @@ def test_bronze_to_silver_stream_matches_batch(spark, tmp_path):
     from tickerlake_spark.storage import Catalog, read_table, write_table
     from tickerlake_spark.streaming.medallion import stream_bronze_to_silver
 
-    days = trading_days(dt.date(2024, 1, 2), dt.date(2024, 2, 20))
+    days = trading_days(dt.date(2024, 1, 2), dt.date(2024, 2, 7))
     rows = [
         (t, 1000 + 40 * (i % 9), 99.0, 100.0 + (i * 7 % 13) + k, 103.0, 97.0,
          d, 10)
@@ -368,14 +368,14 @@ def test_bronze_to_silver_stream_matches_batch(spark, tmp_path):
     write_table(schemas.conform(splits, schemas.SPLITS), cat.bronze("splits"))
 
     ckpt = str(tmp_path / "ckpt")
-    cutoff = days[24]
+    cutoff = days[17]
     phase1 = all_bars.filter(F.col("date") <= F.lit(cutoff))
     write_table(
         schemas.conform(phase1, schemas.STOCKS).repartition("date"),
         cat.bronze("stocks"),
         partition_by="date",
     )
-    q = stream_bronze_to_silver(spark, cat, ckpt, max_files_per_trigger=2)
+    q = stream_bronze_to_silver(spark, cat, ckpt, max_files_per_trigger=3)
     q.awaitTermination()
 
     # restart with five more days landed
@@ -386,7 +386,7 @@ def test_bronze_to_silver_stream_matches_batch(spark, tmp_path):
         mode="append",
         partition_by="date",
     )
-    q = stream_bronze_to_silver(spark, cat, ckpt, max_files_per_trigger=2)
+    q = stream_bronze_to_silver(spark, cat, ckpt, max_files_per_trigger=3)
     q.awaitTermination()
     # replay with nothing new: must be a no-op
     q = stream_bronze_to_silver(spark, cat, ckpt)
