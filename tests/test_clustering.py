@@ -144,3 +144,56 @@ def test_semantic_dedup_pairwise_is_equi_join(spark, sf_dir):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_index_write_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The materialized IVF index must (a) return the same top-k as probing
+    the same cells in memory, and (b) carry the cell probe as a PARTITION
+    filter — directory-level pruning, not a post-scan filter."""
+    from tickerlake_spark.operators.clustering import (
+        ivf_index_topk,
+        kmeans_fit,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, _ = kmeans_fit(emb, k=8, iters=2, vec_col="embedding")
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, centroids, path, vec_col="embedding")
+
+    # one directory per non-empty cell
+    import os
+
+    cells = sorted(d for d in os.listdir(path) if d.startswith("cell="))
+    assert 1 < len(cells) <= 8
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    got = ivf_index_topk(spark, path, centroids, qvec, k=5, n_probe=2)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0], "cell probe must prune at the partition level"
+
+    # parity vs assigning + filtering in memory (same centroids, same cells)
+    from tickerlake_spark.functions.vector import cosine_similarity
+    from tickerlake_spark.operators.clustering import assign_cells
+
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    assigned = assign_cells(base, centroids, vec_col="v")
+    probed_cells = {r["cell"] for r in got.select("cell").distinct().collect()}
+    q = F.lit(qvec).cast("array<double>")
+    want = (
+        assigned.filter(F.col("cell").isin(list(probed_cells)))
+        .select(
+            F.col("vec_id").alias("id"),
+            cosine_similarity(F.col("v"), q).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(5)
+        .collect()
+    )
+    got_rows = got.select("id", "cosine").collect()
+    assert [(r["id"], round(r["cosine"], 9)) for r in got_rows] == [
+        (r["id"], round(r["cosine"], 9)) for r in want
+    ]

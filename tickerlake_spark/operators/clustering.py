@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 
 from tickerlake_spark.functions.core import stable_round
 
-__all__ = ["kmeans_fit", "assign_cells", "semantic_dedup_flags"]
+__all__ = [
+    "kmeans_fit",
+    "assign_cells",
+    "semantic_dedup_flags",
+    "write_ivf_index",
+    "ivf_index_topk",
+]
 
 
 def _argmin_cell(vec: Column, centroids: list[list[float]]) -> Column:
@@ -98,25 +104,35 @@ def kmeans_fit(
     assignment).
     """
     base = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-    init_rows = (
-        base.orderBy(F.col(id_col).asc()).limit(k).select(id_col, "v").collect()
-    )
-    centroids = [list(r["v"]) for r in sorted(init_rows, key=lambda r: r[id_col])]
+    # iterative algorithm: pay the scan/decode once, not once per iteration
+    # (MEMORY_AND_DISK so oversized partitions spill instead of OOM at scale)
+    from pyspark import StorageLevel
 
-    update: DataFrame | None = None
-    for _ in range(iters):
-        assigned = assign_cells(base, centroids, vec_col="v")
-        update = _update_means(assigned, decimals)
-        rows = update.collect()  # bounded: k x dim rounded doubles
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["val"]
-        centroids = [
-            [by_cell[c][p] for p in sorted(by_cell[c])] if c in by_cell else prev
-            for c, prev in enumerate(centroids)
-        ]
-    assert update is not None
-    return centroids, update
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        init_rows = (
+            base.orderBy(F.col(id_col).asc()).limit(k).select(id_col, "v").collect()
+        )
+        centroids = [list(r["v"]) for r in sorted(init_rows, key=lambda r: r[id_col])]
+
+        update: DataFrame | None = None
+        for _ in range(iters):
+            assigned = assign_cells(base, centroids, vec_col="v")
+            update = _update_means(assigned, decimals)
+            rows = update.collect()  # bounded: k x dim rounded doubles
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_cell.setdefault(r["cell"], {})[r["pos"]] = r["val"]
+            centroids = [
+                [by_cell[c][p] for p in sorted(by_cell[c])] if c in by_cell else prev
+                for c, prev in enumerate(centroids)
+            ]
+        assert update is not None
+        return centroids, update
+    finally:
+        # lazily released; the returned plan recomputes from the scan if
+        # evaluated after eviction — correctness is unaffected
+        base.unpersist(blocking=False)
 
 
 def semantic_dedup_flags(
@@ -159,4 +175,64 @@ def semantic_dedup_flags(
         dup_ids.withColumn("__dup", F.lit(True)), "id", "left"
     ).select(
         "id", "cell", F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup")
+    )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize an IVF index: vectors written Hive-partitioned by their
+    nearest-centroid cell (``cell=<k>/`` directories).
+
+    This is the difference between "IVF as a filter" and "IVF as an index":
+    a probe that filters on ``cell`` prunes whole directories at PLANNING
+    time, so at 100 TB a search reads n_probe/k of the files and zero bytes
+    of the rest. Cell cardinality equals k (bounded), so the partition count
+    stays sane; within a cell, files are plain parquet with the vector
+    column intact for the exact re-rank.
+    """
+    from tickerlake_spark.storage.io import write_table
+
+    base = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    write_table(assign_cells(base, centroids, vec_col="v"), path, partition_by="cell")
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Probe a written IVF index: nearest ``n_probe`` cells to the query are
+    computed driver-side against the SAME centroids the index was built
+    with, the scan carries the cell filter as a partition predicate, and the
+    exact cosine top-k re-ranks only the probed cells' rows.
+    """
+    from tickerlake_spark.functions.vector import cosine_similarity
+    from tickerlake_spark.storage.io import read_table
+
+    def d2(c: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(query_vec, c):
+            s += (x - y) * (x - y)
+        return s
+
+    probes = [c for _, c in sorted((d2(c), i) for i, c in enumerate(centroids))[:n_probe]]
+
+    q = F.lit(query_vec).cast("array<double>")
+    scanned = read_table(spark, path).filter(F.col("cell").isin(probes))
+    return (
+        scanned.select(
+            F.col("vec_id").alias("id"),
+            F.col("cell").cast("int").alias("cell"),
+            cosine_similarity(F.col("v"), q).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
     )
