@@ -45,9 +45,14 @@ def vwap_signals(daily: DataFrame, calculated_at: dt.datetime | None = None) -> 
             (F.col("close") * F.col("volume")).alias("__pv"),
         )
     )
+    # YTD orders by (quarter, date): within a year that IS date order
+    # (quarter is monotone in date), but it makes the YTD window's sort
+    # (ticker, year, quarter, date) — exactly the QTD window's requirement —
+    # so Spark plans ONE sort for both windows instead of re-sorting
+    # between them. Same rows, same accumulation order, same values.
     w_ytd = (
         Window.partitionBy("ticker", "__year")
-        .orderBy("date")
+        .orderBy("__quarter", "date")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_qtd = (
