@@ -197,3 +197,38 @@ def test_ivf_index_write_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert [(r["id"], round(r["cosine"], 9)) for r in got_rows] == [
         (r["id"], round(r["cosine"], 9)) for r in want
     ]
+
+
+def test_arrow_assignment_matches_literal_path(spark, sf_dir):
+    """The large-k Arrow kernel must produce the same assignments as the
+    unrolled-literal argmin (ties are measure-zero on real embeddings), and
+    its plan must stay shuffle-free (mapInPandas adds no Exchange)."""
+    from tickerlake_spark.operators.clustering import assign_cells_arrow
+    from tickerlake_spark.plans.catalog import ensure_executors_can_import
+
+    ensure_executors_can_import(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # 128 cells — past the point where the literal expression tree is sane
+    cents = [
+        [0.01 * ((i * 7 + j * 3) % 97 - 48) for j in range(64)] for i in range(128)
+    ]
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells_arrow(emb, cents).select("vec_id", "cell").collect()
+    }
+
+    import numpy as np
+
+    rows = emb.collect()
+    vecs = np.array([r["v"] for r in rows])
+    cmat = np.array(cents)
+    d2 = ((vecs[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+    want = d2.argmin(axis=1)
+    assert [got[r["vec_id"]] for r in rows] == list(want)
+
+    plan = (
+        assign_cells_arrow(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -37,6 +37,7 @@ from tickerlake_spark.functions.core import stable_round
 __all__ = [
     "kmeans_fit",
     "assign_cells",
+    "assign_cells_arrow",
     "semantic_dedup_flags",
     "write_ivf_index",
     "ivf_index_topk",
@@ -70,8 +71,58 @@ def assign_cells(
     vec_col: str = "v",
     cell_col: str = "cell",
 ) -> DataFrame:
-    """Map-side nearest-centroid assignment (one k-means E-step)."""
+    """Map-side nearest-centroid assignment (one k-means E-step).
+
+    The unrolled-literal argmin is the oracle-exact path (sequential-order
+    folds, bit-comparable against SQL engines) and is right for the small k
+    of the cataloged queries. Its expression tree grows O(k x dim), so past
+    ~64 cells codegen cost explodes — use ``assign_cells_arrow`` for
+    IVF-scale k (hundreds to tens of thousands of cells).
+    """
     return df.withColumn(cell_col, _argmin_cell(F.col(vec_col), centroids))
+
+
+def assign_cells_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "v",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid assignment as a vectorized Arrow kernel — the
+    large-k path.
+
+    Still map-side (mapInPandas adds no shuffle); each Arrow batch computes
+    all pairwise squared-L2 distances with one BLAS-backed matmul
+    (|v|^2 - 2 v.C^T + |c|^2), so per-row cost is a k x dim GEMM row instead
+    of an O(k x dim) interpreted expression tree. numpy's pairwise float
+    summation can differ from the sequential fold at ~1e-16, so argmin may
+    flip ONLY on exact centroid-distance ties — use the literal path when
+    bit-parity with a SQL oracle matters (small k); this path when k is
+    IVF-sized.
+    """
+    import numpy as np
+
+    other = [f.name for f in df.schema.fields]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{cell_col} int"]
+    )
+    cmat = np.asarray(centroids, dtype=np.float64)  # k x dim
+    c_norms = (cmat * cmat).sum(axis=1)  # |c|^2, length k
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # n x dim
+            # argmin_k |v - c_k|^2 == argmin_k (|c_k|^2 - 2 v.c_k); |v|^2
+            # is constant per row. Ties break to the lowest cell (np argmin).
+            scores = c_norms[None, :] - 2.0 * (v @ cmat.T)
+            pdf = pdf[other].copy()
+            pdf[cell_col] = scores.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
 
 
 def _update_means(assigned: DataFrame, decimals: int) -> DataFrame:
