@@ -232,3 +232,39 @@ def test_arrow_assignment_matches_literal_path(spark, sf_dir):
         assign_cells_arrow(emb, cents)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_oversized_cell_guard_splits_hot_cell_keeps_recall(spark, sf_dir):
+    """When one cell swamps the corpus (here: a centroid at the data mean
+    captures ~everything), the oversized-fraction guard must append an LSH
+    subkey that splits the hot cell's pairwise work while keeping every
+    injected near-dup joinable with its source."""
+    from tickerlake_spark.operators.similarity import hyperplane_bucket
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mut = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(F.array(F.element_at("v", 1) + 0.001), F.slice("v", 2, 10000)).alias("v"),
+    )
+    corpus = e.unionByName(mut)
+    cents = [[0.0] * 64, [10.0] * 64]  # cell 0 captures the whole corpus
+
+    flags = semantic_dedup_flags(
+        corpus, cents, threshold=0.98, oversized_fraction=0.3, dim=64
+    )
+    dups = sorted(r["id"] for r in flags.collect() if r["is_dup"])
+    assert dups == [100000 + i for i in range(25)], (
+        "every near-identical copy must share its source's LSH bucket"
+    )
+
+    # the hot cell's verify key cardinality: without the guard one group of
+    # |corpus|; with it, bucketed groups bounded far below quadratic blowup
+    sub = assign_cells(corpus, cents).withColumn(
+        "b", hyperplane_bucket(F.col("v"), 8, dim=64)
+    )
+    max_group = (
+        sub.groupBy("cell", "b").count().agg(F.max("count")).first()[0]
+    )
+    assert max_group <= 25, f"hot-cell bucket groups stay small, got {max_group}"

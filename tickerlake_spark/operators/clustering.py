@@ -192,6 +192,9 @@ def semantic_dedup_flags(
     threshold: float,
     vec_col: str = "v",
     id_col: str = "vec_id",
+    oversized_fraction: float | None = None,
+    n_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup: flag rows that have a LOWER-id near-duplicate
     (cosine >= threshold) in the SAME k-means cell.
@@ -201,6 +204,16 @@ def semantic_dedup_flags(
     small (at 100 TB: k grows with corpus size; the join stays an equi-join
     and never goes all-pairs). Cross-cell near-dups are missed by design —
     that is the SemDeDup recall trade.
+
+    ``oversized_fraction``: the quadratic guard. A corpus topic that swamps
+    one cell (say 30% of all rows) makes that cell's verify O((0.3n)^2) no
+    matter how k was chosen. Cells holding more than this fraction of the
+    corpus get a secondary hyperplane-LSH bucket appended to the join key:
+    merely-similar mass splits across 2^n_planes buckets while near-dup
+    pairs (cosine >= 0.98-ish) almost surely share every hyperplane sign
+    and stay joinable. EXACT duplicates always share a bucket — run
+    ``dedup.exact_dedup`` first so identical boilerplate never reaches this
+    stage; that pre-pass, not bucketing, is what bounds identical-copy mass.
     """
     from tickerlake_spark.functions.vector import cosine_similarity
 
@@ -210,11 +223,34 @@ def semantic_dedup_flags(
         vec_col="v",
     ).select(F.col(id_col).alias("id"), "v", "cell")
 
+    if oversized_fraction is not None:
+        from tickerlake_spark.operators.similarity import hyperplane_bucket
+
+        sizes = assigned.groupBy("cell").count()
+        rows = sizes.collect()  # bounded: k rows
+        total = sum(r["count"] for r in rows)
+        hot = [
+            r["cell"] for r in rows if r["count"] > total * oversized_fraction
+        ]
+        sub = (
+            F.when(
+                F.col("cell").isin(hot),
+                hyperplane_bucket(F.col("v"), n_planes, dim=dim),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        assigned = assigned.withColumn("subkey", sub)
+    else:
+        assigned = assigned.withColumn("subkey", F.lit(0).cast("long"))
+
     a, b = assigned.alias("a"), assigned.alias("b")
     dup_ids = (
         a.join(
             b,
-            (F.col("a.cell") == F.col("b.cell")) & (F.col("b.id") < F.col("a.id")),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.subkey") == F.col("b.subkey"))
+            & (F.col("b.id") < F.col("a.id")),
         )
         .filter(
             cosine_similarity(F.col("a.v"), F.col("b.v")) >= F.lit(threshold)
