@@ -138,6 +138,35 @@ class TestIndicators:
         assert out[19].volume_ma_20 == 19
         assert out[19].volume_ratio == pytest.approx((10 + 19) / 19)
 
+    def test_null_in_window_yields_null_mean_default_path(self, spark):
+        """A null close inside a window must null the rolling mean (Polars
+        min_samples counts NON-NULL values) on the default path; the
+        assume_non_null fast path is explicitly allowed to diverge here and
+        both paths must agree wherever no null is in frame."""
+        rows = [
+            ("T", D(2024, 1, 1) + dt.timedelta(days=i), 1.0, 2.0 + i, 1.0,
+             None if i == 5 else 1.0 + i, 10 + i, 1)
+            for i in range(46)
+        ]
+        safe = {
+            r.date: r.sma_20
+            for r in compute_indicators(bars(spark, rows)).collect()
+        }
+        fast = {
+            r.date: r.sma_20
+            for r in compute_indicators(
+                bars(spark, rows), assume_non_null=True
+            ).collect()
+        }
+        dates = sorted(safe)
+        # rows 19..24 have the null row in frame -> null on the safe path
+        for d in dates[19:25]:
+            assert safe[d] is None, d
+            assert fast[d] is not None  # the documented divergence
+        # from row 25 the null has left every 20-row frame: paths agree
+        for d in dates[25:]:
+            assert safe[d] == fast[d] != None  # noqa: E711
+
     def test_atr_first_row_fallback(self, spark):
         rows = [
             ("T", D(2024, 1, 1) + dt.timedelta(days=i), 1.0, 10.0, 2.0, 5.0, 10, 1)

@@ -378,7 +378,7 @@ def test_bronze_to_silver_stream_matches_batch(spark, tmp_path):
     q = stream_bronze_to_silver(spark, cat, ckpt, max_files_per_trigger=3)
     q.awaitTermination()
 
-    # restart with five more days landed
+    # restart with eight more trading days landed
     phase2 = all_bars.filter(F.col("date") > F.lit(cutoff))
     write_table(
         schemas.conform(phase2, schemas.STOCKS).repartition("date"),

@@ -205,6 +205,11 @@ def semantic_dedup_flags(
     and never goes all-pairs). Cross-cell near-dups are missed by design —
     that is the SemDeDup recall trade.
 
+    The returned plan reads a persisted (MEMORY_AND_DISK) assignment — the
+    E-step result feeds four consumers; without the persist it would be
+    recomputed per consumer. Spark evicts it LRU; it is released with the
+    session.
+
     ``oversized_fraction``: the quadratic guard. A corpus topic that swamps
     one cell (say 30% of all rows) makes that cell's verify O((0.3n)^2) no
     matter how k was chosen. Cells holding more than this fraction of the
@@ -217,11 +222,19 @@ def semantic_dedup_flags(
     """
     from tickerlake_spark.functions.vector import cosine_similarity
 
-    assigned = assign_cells(
-        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v")),
-        centroids,
-        vec_col="v",
-    ).select(F.col(id_col).alias("id"), "v", "cell")
+    from pyspark import StorageLevel
+
+    assigned = (
+        assign_cells(
+            df.select(id_col, F.col(vec_col).cast("array<double>").alias("v")),
+            centroids,
+            vec_col="v",
+        )
+        .select(F.col(id_col).alias("id"), "v", "cell")
+        # the E-step (O(k x dim) argmin per row) feeds the size probe, both
+        # self-join sides, and the final left join — pay it once
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     if oversized_fraction is not None:
         from tickerlake_spark.operators.similarity import hyperplane_bucket
@@ -265,6 +278,23 @@ def semantic_dedup_flags(
     )
 
 
+def nearest_cells(
+    centroids: list[list[float]], query_vec: list[float], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` nearest centroid indices to ``query_vec`` by squared
+    L2, ties to the lowest index — driver-side, in the SAME sequential-fold
+    float arithmetic as the Spark/SQL assignment expressions (the fold order
+    is load-bearing for oracle parity; keep this the single copy)."""
+
+    def d2(c: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(query_vec, c):
+            s += (x - y) * (x - y)
+        return s
+
+    return [c for _, c in sorted((d2(c), i) for i, c in enumerate(centroids))[:n_probe]]
+
+
 def write_ivf_index(
     df: DataFrame,
     centroids: list[list[float]],
@@ -304,13 +334,7 @@ def ivf_index_topk(
     from tickerlake_spark.functions.vector import cosine_similarity
     from tickerlake_spark.storage.io import read_table
 
-    def d2(c: list[float]) -> float:
-        s = 0.0
-        for x, y in zip(query_vec, c):
-            s += (x - y) * (x - y)
-        return s
-
-    probes = [c for _, c in sorted((d2(c), i) for i, c in enumerate(centroids))[:n_probe]]
+    probes = nearest_cells(centroids, query_vec, n_probe)
 
     q = F.lit(query_vec).cast("array<double>")
     scanned = read_table(spark, path).filter(F.col("cell").isin(probes))

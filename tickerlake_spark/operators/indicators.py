@@ -15,12 +15,16 @@ Pinned semantics (SURVEY §4.3):
 - ATR's true range falls back to high-low on each ticker's first row.
 
 Plan shape: all five sliding frames and the lag share ONE ticker-hash
-exchange and ONE sort. The full-window mask uses a single ``row_number``
-ordinal shared across frames instead of a per-frame ``count`` accumulator —
-valid because OHLCV bar columns are non-null by construction (count over
-the frame == min(ordinal, n)), and ~15% faster at any scale since each
-sliding pass maintains half the aggregation state. For nullable inputs use
-``functions.core.rolling_mean_strict`` (count-masked, Polars-exact).
+exchange and ONE sort. With ``assume_non_null=True`` the full-window mask
+uses a single ``row_number`` ordinal shared across frames instead of a
+per-frame ``count`` accumulator (count over the frame == min(ordinal, n)
+when inputs are non-null), ~15% faster since each sliding pass maintains
+half the aggregation state. The DEFAULT is the count mask: a null close or
+volume (permissive ``schemas.conform`` can produce one from a malformed
+source row) must yield null means Polars-style (min_samples counts
+non-null values), and the ordinal mask would silently average the fewer
+valid rows instead. Only enable the fast path where non-null inputs are
+provable — e.g. bars derived from lineitem prices in the query catalog.
 """
 
 from __future__ import annotations
@@ -28,16 +32,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tickerlake_spark.functions.core import rolling_window, true_range
+from tickerlake_spark.functions.core import (
+    rolling_mean_strict,
+    rolling_window,
+    true_range,
+)
 
 __all__ = ["compute_indicators"]
 
 
-def compute_indicators(daily: DataFrame) -> DataFrame:
+def compute_indicators(daily: DataFrame, assume_non_null: bool = False) -> DataFrame:
     """ticker, date, sma_20, sma_50, sma_200, atr_14, volume_ma_20,
     volume_ratio — from daily bars (ticker, date, high, low, close, volume).
 
-    Requires non-null high/low/close/volume (true for OHLCV aggregates).
+    ``assume_non_null=True`` switches the full-window mask from per-frame
+    counts to one shared ordinal — faster, but ONLY correct when
+    high/low/close/volume are non-null (see module docstring).
     """
     part, order = ["ticker"], ["date"]
     w1 = Window.partitionBy(*part).orderBy(*order)
@@ -47,9 +57,9 @@ def compute_indicators(daily: DataFrame) -> DataFrame:
     tr = true_range(F.col("high"), F.col("low"), prev_close)
 
     def mean_full(col: str, n: int):
-        # null until the frame holds n rows; ordinal mask == count mask
-        # for non-null inputs (see module docstring)
-        return F.when(rn >= n, F.avg(col).over(rolling_window(part, order, n)))
+        if assume_non_null:
+            return F.when(rn >= n, F.avg(col).over(rolling_window(part, order, n)))
+        return rolling_mean_strict(col, n, part, order)
 
     vol_ma = F.floor(mean_full("volume", 20)).cast("long")
 

@@ -184,7 +184,7 @@ LIMIT 10""",
 )
 def q117_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tickerlake_spark.functions.vector import cosine_similarity
-    from tickerlake_spark.operators.clustering import assign_cells, kmeans_fit
+    from tickerlake_spark.operators.clustering import assign_cells, nearest_cells
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids, _ = _fit_plain(spark, sf_dir)
@@ -197,15 +197,7 @@ def q117_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in base.filter(F.col("id") == 0).select("v").first()[0]
     ]
-    # probe cells: argsort of squared-L2(query, centroid), driver-side in the
-    # same float arithmetic as the Spark/SQL folds (sequential index order)
-    def d2(c: list[float]) -> float:
-        s = 0.0
-        for x, y in zip(qvec, c):
-            s += (x - y) * (x - y)
-        return s
-
-    probe_cells = [c for _, c in sorted((d2(c), i) for i, c in enumerate(centroids))[:2]]
+    probe_cells = nearest_cells(centroids, qvec, 2)
 
     assigned = assign_cells(base, centroids, vec_col="v")
     q = F.lit(qvec).cast("array<double>")

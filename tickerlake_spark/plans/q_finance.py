@@ -166,7 +166,9 @@ FROM ind
 """,
 )
 def q34_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ind = compute_indicators(_adjusted(spark, sf_dir))
+    # assume_non_null: bars here derive from lineitem price/qty (never null),
+    # so the shared-ordinal window mask is provably equivalent and faster
+    ind = compute_indicators(_adjusted(spark, sf_dir), assume_non_null=True)
     return ind.select(
         "ticker",
         "date",
@@ -240,7 +242,7 @@ WHERE volume_ma_20 IS NOT NULL
 )
 def q36_hvc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = _adjusted(spark, sf_dir)
-    ind = compute_indicators(adj)
+    ind = compute_indicators(adj, assume_non_null=True)
     ev = hvc_events(ind, adj, threshold=HVC_THRESHOLD)
     return ev.select(
         "date",
@@ -257,7 +259,7 @@ def _hvc_resampled(spark: SparkSession, sf_dir: str, unit: str, threshold: float
     (metadata.json:69-188); same operators, coarser bars."""
     adj = _adjusted(spark, sf_dir)
     res = resample_ohlcv(adj, unit)
-    ind = compute_indicators(res)
+    ind = compute_indicators(res, assume_non_null=True)
     ev = hvc_events(ind, res, threshold=threshold)
     return ev.select(
         "date",
@@ -365,7 +367,7 @@ FROM patterns
 )
 def q37_stairstep_up(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = _adjusted(spark, sf_dir)
-    ind = compute_indicators(adj)
+    ind = compute_indicators(adj, assume_non_null=True)
     ev = hvc_events(ind, adj, threshold=HVC_THRESHOLD)
     pat = stairstep_patterns(
         ev, adj.select("ticker", "date", "close"),
@@ -401,7 +403,7 @@ FROM patterns
 )
 def q37b_stairstep_down(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = _adjusted(spark, sf_dir)
-    ind = compute_indicators(adj)
+    ind = compute_indicators(adj, assume_non_null=True)
     ev = hvc_events(ind, adj, threshold=HVC_THRESHOLD)
     pat = stairstep_patterns(
         ev, adj.select("ticker", "date", "close"),
@@ -438,7 +440,7 @@ FROM ranked_p WHERE rn = 1
 )
 def q38_best_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = _adjusted(spark, sf_dir)
-    ind = compute_indicators(adj)
+    ind = compute_indicators(adj, assume_non_null=True)
     ev = hvc_events(ind, adj, threshold=HVC_THRESHOLD)
     pat = stairstep_patterns(
         ev, adj.select("ticker", "date", "close"),

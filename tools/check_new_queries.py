@@ -22,7 +22,12 @@ from tickerlake_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    # honor the suite's env var too so the tool checks the same parquet as
+    # pytest when either is exported; SPARK_GRAFT_SF_DIR wins (driver scale)
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR",
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"),
+    )
     _ensure_loaded()
     names = sys.argv[1:] or sorted(QUERIES)
     spark = get_spark(app_name="check-new-queries")
