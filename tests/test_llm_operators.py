@@ -234,3 +234,86 @@ def test_salted_band_join_equals_plain_on_boilerplate_corpus(spark):
     assert sorted(map(tuple, plain_pairs.collect())) == sorted(
         map(tuple, salted_pairs.collect())
     )
+
+
+def test_line_dedup_strips_exactly_the_boilerplate(spark, sf_dir):
+    """q121: every 7th doc gets the 8-word boilerplate header injected; the
+    operator must always strip that chunk (the synthetic corpus also
+    repeats some 8-grams >= 3x template-style, so those go too), and
+    reassembly must preserve word order."""
+    from tickerlake_spark.plans import QUERIES
+    from tickerlake_spark.plans.catalog import _ensure_loaded, load_table
+
+    _ensure_loaded()
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["q121_line_dedup"].fn(spark, sf_dir).collect()
+    }
+    orig = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    boiler_docs = [d for d in orig if d % 7 == 0]
+    assert boiler_docs
+    for d in boiler_docs:
+        # the boilerplate chunk itself must always be gone (its words are
+        # outside the corpus vocabulary, so substring check is unambiguous)
+        assert out[d]["n_removed"] >= 1
+        assert "subscribe" not in out[d]["kept_text"]
+    # removal never reorders: every doc's kept words are an in-order
+    # subsequence of its (possibly boilerplate-prefixed) corpus text
+    for d, r in out.items():
+        corpus_words = (
+            ("subscribe now to our daily newsletter for updates " + orig[d])
+            if d % 7 == 0
+            else orig[d]
+        ).split(" ")
+        kept = r["kept_text"].split(" ") if r["kept_text"] else []
+        it = iter(corpus_words)
+        assert all(w in it for w in kept), f"doc {d} reordered"
+
+
+def test_shard_assignment_packs_contiguously(spark, sf_dir):
+    """q124: shard ids must start at 0, be contiguous, and every shard
+    except the last must END because adding its last doc crossed the
+    budget boundary (i.e., token ranges tile [0, total) in 2000-token
+    strips)."""
+    from tickerlake_spark.plans import QUERIES
+    from tickerlake_spark.plans.catalog import _ensure_loaded
+    from tickerlake_spark.plans.q_curation import _SHARD_BUDGET
+
+    _ensure_loaded()
+    rows = QUERIES["q124_shard_assignment"].fn(spark, sf_dir).collect()
+    shards = sorted({r["shard_id"] for r in rows})
+    assert shards == list(range(len(shards)))
+    for r in rows:
+        start = r["tokens_through"] - r["n_tok"]
+        assert r["shard_id"] == start // _SHARD_BUDGET
+
+
+def test_domain_mixture_rates_monotone_in_temperature(spark, sf_dir):
+    """q122: sqrt-temperature flattening means smaller sources are
+    upsampled — sample_rate must be non-increasing in source token mass,
+    and every rate in (0, 1]."""
+    from tickerlake_spark.plans import QUERIES
+    from tickerlake_spark.plans.catalog import _ensure_loaded, load_table
+    from pyspark.sql import functions as F
+
+    _ensure_loaded()
+    rates = {
+        r["source"]: r["sample_rate"]
+        for r in QUERIES["q122_domain_mixture_sample"].fn(spark, sf_dir).collect()
+    }
+    mass = {
+        r["source"]: r["tok"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("tok"))
+        .collect()
+    }
+    assert all(0 < v <= 1.0 for v in rates.values())
+    ordered = sorted(rates, key=lambda s: mass[s])
+    for small, big in zip(ordered, ordered[1:]):
+        assert rates[small] >= rates[big] - 1e-12

@@ -200,3 +200,51 @@ def test_vector_hofs_stay_jvm_side(spark, sf_dir):
     df = QUERIES["q104_vector_hof_stats"].fn(spark, sf_dir)
     opt = _optimized_plan(df)
     assert "aggregate(" in opt and "transform(" in opt, opt
+
+
+def test_line_dedup_text_never_shuffles(spark, sf_dir):
+    """q121's frequency shuffle must carry only (doc_id, pos, md5) — the
+    document text reaches a shuffle nowhere in the plan; the bad-position
+    table and chunk-frequency table broadcast back to the doc-partitioned
+    corpus."""
+    plan = _physical_plan(QUERIES["q121_line_dedup"].fn(spark, sf_dir))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line and "chunk#" not in line, (
+                "document text entered a shuffle:\n" + line
+            )
+
+
+def test_shard_assignment_no_global_fact_sort(spark, sf_dir):
+    """q124's running token total must be a two-level prefix-sum: the fact
+    shuffles ONCE (on the bucket key) and the only SinglePartition exchange
+    feeds the 64-row bucket-offset window, never the fact table."""
+    plan = _physical_plan(QUERIES["q124_shard_assignment"].fn(spark, sf_dir))
+    lines = plan.splitlines()
+    single = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert len(single) == 1, plan
+    # the SinglePartition exchange must sit above a bucket aggregate
+    # (64 rows), not above a parquet scan of the fact
+    below = "\n".join(lines[single[0] : single[0] + 3])
+    assert "HashAggregate" in below or "hashpartitioning(bucket" in below, plan
+    # bucket offsets join back by broadcast
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_mixture_sample_rate_table_broadcasts(spark, sf_dir):
+    """q122's per-source rate table is a tiny aggregate — it must reach the
+    fact via BroadcastHashJoin, and the fact itself must see no shuffle
+    before the final per-source aggregate."""
+    plan = _physical_plan(QUERIES["q122_domain_mixture_sample"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_quality_classifier_is_map_only(spark, sf_dir):
+    """q123 is a pure per-row scoring pass: zero exchanges, one scan, the
+    scoring arithmetic inside whole-stage codegen (rendered as `*(n)` in
+    the plan string; the higher-order-function feature projection is the
+    one non-codegen JVM stage, as Spark HOFs always are)."""
+    plan = _physical_plan(QUERIES["q123_quality_classifier"].fn(spark, sf_dir))
+    assert _exchanges(plan) == 0, plan
+    assert "*(" in plan, plan

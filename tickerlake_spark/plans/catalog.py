@@ -196,6 +196,10 @@ _GATE_ORDER = [
     "q118_doc_chunking",
     "q119_sequence_packing",
     "q120_benchmark_decontamination",
+    "q121_line_dedup",
+    "q122_domain_mixture_sample",
+    "q123_quality_classifier",
+    "q124_shard_assignment",
     "q11_case_cast",
     "q13_topk_sort",
     "q52_token_count",
@@ -282,6 +286,7 @@ def _ensure_loaded() -> None:
         q_classic,
         q_cluster,
         q_core,
+        q_curation,
         q_datapipe,
         q_extra,
         q_finance,
