@@ -22,6 +22,7 @@ __all__ = [
     "dedup_keep_first",
     "exact_dedup",
     "signature_table",
+    "band_keys",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "ngram_jaccard_pairs",
@@ -153,6 +154,38 @@ def signature_table(
     )
 
 
+def band_keys(
+    signatures: DataFrame, bands: int = 8, num_hashes: int = 32
+) -> DataFrame:
+    """LSH band keys from a signature table: (doc_id, band, key).
+
+    Each doc's ``num_hashes``-element MinHash signature is cut into
+    ``bands`` slices; each slice joined to a string key. Docs sharing ANY
+    (band, key) are near-dup candidates. One slice per band, joined to a
+    string — identical value to concat_ws over per-row element_at, with a
+    rows-times smaller expression tree.
+    """
+    rows = num_hashes // bands
+    return signatures.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("signature"), b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                        "-",
+                    ).alias("key"),
+                ),
+            )
+        ).alias("__bk"),
+    ).select("doc_id", "__bk.band", "__bk.key")
+
+
 def _band_self_join(banded: DataFrame, band_salt: int) -> DataFrame:
     """All candidate pairs (id_a < id_b) sharing a (band, key) bucket.
 
@@ -237,7 +270,6 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
-    rows = num_hashes // bands
     if signatures is not None:
         sig = signatures.select(
             "doc_id",
@@ -262,27 +294,9 @@ def minhash_lsh_pairs(
     # band join on ids ONLY — exploding each doc's shingle array through the
     # 8-band self-join would shuffle every array 8x; instead the (small)
     # candidate pair set joins back to the shingle table to fetch arrays
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    # one slice per band, joined to a string key — identical
-                    # value to concat_ws over per-row element_at, with a
-                    # `rows`-times smaller expression tree
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("__sig"), b * rows + 1, rows),
-                            lambda x: x.cast("string"),
-                        ),
-                        "-",
-                    ).alias("key"),
-                ),
-            )
-        ).alias("__bk"),
-    ).select("doc_id", "__bk.band", "__bk.key")
+    banded = band_keys(
+        sig.select("doc_id", F.col("__sig").alias("signature")), bands, num_hashes
+    )
 
     cand = _band_self_join(banded, band_salt).dropDuplicates(["id_a", "id_b"])
     shingle_sets = sig.select("doc_id", "__shingles")
