@@ -265,6 +265,95 @@ def _mutated_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.unionByName(mut)
 
 
+def _lsh_ann_oracle(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
+    """DuckDB mirror of lsh_ann_topk: the SAME hash-derived plane
+    coefficients (``_plane_coefs_py`` — bit-identical doubles) inlined as
+    list literals, the same sign-pattern bucket, the same Hamming-1
+    multiprobe set, the same rounded-cosine/id ordering. The testdata
+    embedding dim is fixed at 64 across all SFs."""
+    from tickerlake_spark.operators.similarity import _plane_coefs_py
+
+    rows = ",\n    ".join(
+        f"({p}, {_plane_coefs_py(p, dim)!r}::DOUBLE[])" for p in range(n_planes)
+    )
+    bucket = (
+        "CAST(SUM(CASE WHEN list_sum(list_transform(range(1, {n}), "
+        "i -> {v}[i] * pl.coefs[i])) > 0 THEN 1 << pl.p ELSE 0 END) AS BIGINT)"
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+planes(p, coefs) AS (VALUES
+    {rows}),
+buck AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+         {bucket.format(n=dim + 1, v="(e.embedding::DOUBLE[])")} AS bucket
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, e.embedding
+),
+qbuck AS (
+  SELECT {bucket.format(n=dim + 1, v="q.qv")} AS qb
+  FROM q CROSS JOIN planes pl
+),
+probes AS (
+  SELECT qb AS bucket FROM qbuck
+  UNION
+  SELECT xor(qb, 1 << CAST(pp AS INTEGER))
+  FROM qbuck, unnest(range(0, {n_planes})) AS u(pp)
+)
+SELECT b.id, ROUND(list_cosine_similarity(b.v, q.qv) + 5e-9, 6) AS cosine
+FROM buck b JOIN probes pr ON b.bucket = pr.bucket CROSS JOIN q
+ORDER BY cosine DESC, id ASC
+LIMIT {k}
+"""
+
+
+def _ivf_ann_oracle(
+    n_cells: int = 16, n_probe: int = 4, dim: int = 64, k: int = 10
+) -> str:
+    """DuckDB mirror of ivf_topk: the same hash-derived UNIT centroids
+    inlined as literals, nearest-cell assignment as row_number over
+    (dot DESC, cell ASC) — exactly the array_min(struct(-dot, c)) tie-break
+    Spark uses — and the same probe-cells / rounded re-rank."""
+    import math
+
+    from tickerlake_spark.operators.similarity import _plane_coefs_py
+
+    cents = []
+    for c in range(n_cells):
+        raw = _plane_coefs_py(c * 1000 + 7, dim)
+        norm = math.sqrt(sum(x * x for x in raw))
+        cents.append([x / norm for x in raw])
+    rows = ",\n    ".join(f"({c}, {u!r}::DOUBLE[])" for c, u in enumerate(cents))
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cents(c, u) AS (VALUES
+    {rows}),
+dots AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v, ct.c,
+         list_sum(list_transform(range(1, {dim + 1}),
+                  i -> (e.embedding::DOUBLE[])[i] * ct.u[i])) AS d
+  FROM embeddings e CROSS JOIN cents ct
+),
+assigned AS (
+  SELECT id, v, c AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d DESC, c ASC) AS rn
+    FROM dots)
+  WHERE rn = 1
+),
+qd AS (
+  SELECT ct.c, list_sum(list_transform(range(1, {dim + 1}),
+               i -> q.qv[i] * ct.u[i])) AS d
+  FROM q CROSS JOIN cents ct
+),
+probes AS (SELECT c FROM qd ORDER BY d DESC, c ASC LIMIT {n_probe})
+SELECT a.id, ROUND(list_cosine_similarity(a.v, q.qv) + 5e-9, 6) AS cosine
+FROM assigned a JOIN probes p ON a.cell = p.c CROSS JOIN q
+ORDER BY cosine DESC, id ASC
+LIMIT {k}
+"""
+
+
+
 @register(
     "q45_ann_bruteforce",
     doc="Exact cosine top-20 against a query vector (the ANN ground-truth "
@@ -337,9 +426,12 @@ def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q47_lsh_ann",
     doc="Hyperplane-LSH approximate top-10 with multiprobe (Hamming-1 "
-    "buckets) + exact re-rank. Approximate by design -> rows-only check; "
-    "the bucket arithmetic itself is oracled by q46.",
-    oracle=None,
+    "buckets) + exact re-rank. 'Approximate' means approximate vs brute "
+    "force (recall gated in pytest), NOT nondeterministic: the plane "
+    "coefficients are hash-derived literals, so the oracle mirrors the "
+    "bucket arithmetic with the SAME coefficient values inlined and the "
+    "result is fully value-hashable.",
+    oracle=_lsh_ann_oracle(),
 )
 def q47_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tickerlake_spark.operators.similarity import lsh_ann_topk
@@ -349,14 +441,17 @@ def q47_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
-    return lsh_ann_topk(e, qvec, k=10, n_planes=8)
+    res = lsh_ann_topk(e, qvec, k=10, n_planes=8)
+    return res.select("id", stable_round(F.col("cosine"), 6).alias("cosine"))
 
 
 @register(
     "q48_ivf_ann",
     doc="IVF-style ANN: 16 hash-derived coarse cells, probe nearest 4, "
-    "exact re-rank inside. Approximate -> rows-only check.",
-    oracle=None,
+    "exact re-rank inside. Deterministic end-to-end (hash-derived unit "
+    "centroids inlined as literals on both engines), so it gets a full "
+    "value-hash oracle; recall vs brute force is gated in pytest.",
+    oracle=_ivf_ann_oracle(),
 )
 def q48_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tickerlake_spark.operators.similarity import ivf_topk
@@ -366,7 +461,8 @@ def q48_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
-    return ivf_topk(e, qvec, k=10, n_cells=16, n_probe=4)
+    res = ivf_topk(e, qvec, k=10, n_cells=16, n_probe=4)
+    return res.select("id", stable_round(F.col("cosine"), 6).alias("cosine"))
 
 
 # ---------------------------------------------------------------------------
