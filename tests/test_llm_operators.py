@@ -317,3 +317,53 @@ def test_domain_mixture_rates_monotone_in_temperature(spark, sf_dir):
     ordered = sorted(rates, key=lambda s: mass[s])
     for small, big in zip(ordered, ordered[1:]):
         assert rates[small] >= rates[big] - 1e-12
+
+
+def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """run_curation over a corpus with injected exact + near duplicates:
+    stage counts are monotone non-increasing, the exact stage removes the
+    exact copies, the near-dup stage removes the mutated copies, and the
+    shard layout tiles the surviving tokens in budget-sized strips."""
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.curation_pipeline import run_curation
+    from tickerlake_spark.plans.catalog import load_table
+    from tickerlake_spark.storage.io import read_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    exact = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "source"
+    )
+    near = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 50)).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat("text", F.lit(" qq"), F.col("doc_id")).alias("text"),
+        "source",
+    )
+    corpus = docs.unionByName(exact).unionByName(near)
+
+    root = str(tmp_path / "curated")
+    stats = run_curation(spark, corpus, root, shard_budget=1000)
+
+    order = ["input", "exact_dedup", "near_dedup", "stripped", "quality", "sampled"]
+    for a, b in zip(order, order[1:]):
+        assert stats[b] <= stats[a], stats
+    # all 30 exact copies die in stage 1 (keep-min-id keeps the originals)
+    assert stats["input"] - stats["exact_dedup"] == 30, stats
+    # the 20 one-token mutations die in stage 2 (canonical = min id)
+    assert stats["near_dedup"] <= stats["exact_dedup"] - 15, stats
+    kept_ids = {
+        r["doc_id"] for r in read_table(spark, root + "/near_dedup").collect()
+    }
+    assert not any(i >= 10000 for i in kept_ids), "an injected dup survived"
+    # shard layout: Hive-partitioned by shard_id, contiguous from 0
+    shard_ids = sorted(
+        r["shard_id"]
+        for r in read_table(spark, root + "/shards")
+        .select("shard_id")
+        .distinct()
+        .collect()
+    )
+    assert shard_ids == list(range(len(shard_ids)))
+    assert stats["shards"] == stats["sampled"]

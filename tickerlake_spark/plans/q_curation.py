@@ -31,7 +31,7 @@ Determinism across engines:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tickerlake_spark.functions.core import stable_round
@@ -93,39 +93,10 @@ GROUP BY s.doc_id
 """,
 )
 def q121_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _boiler_corpus(spark, sf_dir)
-    chunked = corpus.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(0, int(ceil(size(split(text, ' ')) / 8.0)) - 1),"
-            " i -> array_join(slice(split(text, ' '), 8*i + 1, 8), ' '))"
-        ).alias("chunks"),
-    )
-    # Only (doc_id, pos, md5) moves through the frequency shuffle.
-    spans = chunked.select(
-        "doc_id", F.posexplode("chunks").alias("pos", "chunk")
-    ).select("doc_id", "pos", F.md5("chunk").alias("chunk_md5"))
-    freq = spans.groupBy("chunk_md5").agg(F.count("*").alias("cnt"))
-    bad = (
-        spans.join(freq.filter(F.col("cnt") >= 3), "chunk_md5")
-        .groupBy("doc_id")
-        .agg(F.collect_set("pos").alias("bad_pos"))
-    )
-    # Reconstruction: tiny bad-position table joins back to the
-    # doc-partitioned corpus; document text itself never re-shuffles.
-    return chunked.join(bad, "doc_id", "left").select(
-        "doc_id",
-        F.size("chunks").cast("long").alias("n_chunks"),
-        F.coalesce(F.size("bad_pos"), F.lit(0)).cast("long").alias("n_removed"),
-        F.array_join(
-            F.filter(
-                "chunks",
-                lambda c, i: ~F.coalesce(
-                    F.array_contains("bad_pos", i), F.lit(False)
-                ),
-            ),
-            " ",
-        ).alias("kept_text"),
+    from tickerlake_spark.operators.curation import strip_repeated_spans
+
+    return strip_repeated_spans(
+        _boiler_corpus(spark, sf_dir), span_words=8, min_freq=3
     )
 
 
@@ -174,33 +145,16 @@ GROUP BY source
 """,
 )
 def q122_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = load_table(spark, sf_dir, "documents").select(
+    from tickerlake_spark.operators.curation import mixture_rates, selector_u
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
         "doc_id",
         "source",
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     )
-    src = tok.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
-    tot = src.agg(
-        F.sum("src_tokens").alias("total_tokens"),
-        F.sum(F.sqrt(F.col("src_tokens").cast("double"))).alias("denom"),
-    )
-    rate = src.crossJoin(F.broadcast(tot)).select(
-        "source",
-        F.least(
-            F.lit(1.0),
-            F.lit(0.3)
-            * F.col("total_tokens")
-            * F.sqrt(F.col("src_tokens").cast("double"))
-            / F.col("denom")
-            / F.col("src_tokens"),
-        ).alias("r"),
-    )
-    sel = tok.join(F.broadcast(rate), "source").withColumn(
-        "u",
-        (F.col("doc_id").cast("long") * F.lit(2654435761).cast("long"))
-        % F.lit(4294967296).cast("long")
-        / F.lit(4294967296.0),
-    )
+    rate = mixture_rates(docs, alpha=0.5, budget_frac=0.3)
+    sel = tok.join(F.broadcast(rate), "source").withColumn("u", selector_u())
     return sel.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.when(F.col("u") < F.col("r"), 1).otherwise(0)).alias("n_selected"),
@@ -211,7 +165,9 @@ def q122_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "for"]
+# single source of truth for the classifier's lexicon: the operator's list,
+# so the oracle SQL below can never drift from the Spark-side weights
+from tickerlake_spark.operators.curation import STOPWORDS_QUALITY as _STOPWORDS
 
 
 @register(
@@ -246,31 +202,14 @@ FROM scored
 """,
 )
 def q123_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    words = F.split("text", " ")
-    stop_lit = F.array(*[F.lit(w) for w in _STOPWORDS])
-    feats = load_table(spark, sf_dir, "documents").select(
+    from tickerlake_spark.operators.curation import quality_score
+
+    scored = quality_score(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return scored.select(
         "doc_id",
-        F.size(words).cast("long").alias("n_tok"),
-        F.size(F.filter(words, lambda w: F.array_contains(stop_lit, w)))
-        .cast("long")
-        .alias("n_stop"),
-        F.size(F.array_distinct(words)).cast("long").alias("n_uniq"),
-        F.length("text").cast("long").alias("n_char"),
-    )
-    z = (
-        F.lit(-2.0)
-        + F.lit(0.9) * F.log(F.lit(1) + F.col("n_tok"))
-        + F.lit(1.5) * (F.col("n_stop").cast("double") / F.col("n_tok"))
-        + F.lit(2.0) * (F.col("n_uniq").cast("double") / F.col("n_tok"))
-        - F.lit(0.1)
-        * ((F.col("n_char") - F.col("n_tok") + 1).cast("double") / F.col("n_tok"))
-    )
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return feats.select(
-        "doc_id",
-        "n_tok",
-        stable_round(score, 6).alias("quality_score"),
-        (score >= 0.5).alias("keep"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        stable_round(F.col("quality_z"), 6).alias("quality_score"),
+        "keep",
     )
 
 
@@ -308,50 +247,10 @@ FROM runtot
 """,
 )
 def q124_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        (
-            (F.col("doc_id").cast("long") * F.lit(2654435761).cast("long"))
-            % F.lit(4294967296).cast("long")
-        ).alias("h"),
-        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
-    )
-    bucketed = tok.withColumn("bucket", F.shiftright("h", _N_BUCKETS_SHIFT))
-    local = bucketed.withColumn(
-        "local_cum",
-        F.sum("n_tok").over(
-            Window.partitionBy("bucket")
-            .orderBy("h", "doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    # 64-row bucket summary: exclusive prefix sum of bucket totals. The
-    # single-partition window here is over the summary, never the fact.
-    offsets = (
-        bucketed.groupBy("bucket")
-        .agg(F.sum("n_tok").alias("bucket_tokens"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("bucket_tokens").over(
-                    Window.orderBy("bucket").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("bucket", "offset")
-    )
-    return (
-        local.join(F.broadcast(offsets), "bucket")
-        .withColumn("tokens_through", F.col("offset") + F.col("local_cum"))
-        .select(
-            "doc_id",
-            "n_tok",
-            "tokens_through",
-            F.expr(f"(tokens_through - n_tok) div {_SHARD_BUDGET}").alias(
-                "shard_id"
-            ),
-        )
+    from tickerlake_spark.operators.curation import assign_shards
+
+    return assign_shards(
+        load_table(spark, sf_dir, "documents"),
+        shard_budget=_SHARD_BUDGET,
+        bucket_shift=_N_BUCKETS_SHIFT,
     )
