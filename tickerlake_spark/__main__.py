@@ -10,6 +10,13 @@ subcommands of ``python -m tickerlake_spark``:
     python -m tickerlake_spark gold --data-root ./data
     python -m tickerlake_spark validate --data-root ./data
     python -m tickerlake_spark clean --data-root ./data --layer bronze
+    python -m tickerlake_spark curate --data-root ./data \
+        --input /path/to/documents.parquet --shard-budget 2000
+
+``curate`` is the corpus-curation chain (beyond the reference surface):
+exact + MinHash near-dup dedup, repeated-span stripping, quality filter,
+temperature mixture sampling, token-budget shard packing — see
+``curation_pipeline.py``.
 
 Bronze ingests through the ``MarketSource`` protocol. ``--demo`` wires the
 deterministic offline source below (no network in this environment); a real
@@ -56,6 +63,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="absolute per-date record floor for the anomaly check (reference default 5000)")
     c = sub.add_parser("clean", parents=[common], help="drop a layer's tables")
     c.add_argument("--layer", default="bronze", choices=["bronze", "silver", "gold"])
+    cu = sub.add_parser(
+        "curate",
+        parents=[common],
+        help="corpus curation chain: dedup -> strip -> quality -> mix -> shards",
+    )
+    cu.add_argument("--input", required=True, help="documents parquet path")
+    cu.add_argument("--shard-budget", type=int, default=2000)
+    cu.add_argument("--budget-frac", type=float, default=0.3)
+    cu.add_argument("--jaccard", type=float, default=0.6)
 
     args = ap.parse_args(argv)
 
@@ -84,6 +100,20 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"tickerlake-{args.cmd}")
     checkpoints = Checkpoints(os.path.join(catalog.root, "checkpoints.json"))
     try:
+        if args.cmd == "curate":
+            from tickerlake_spark.curation_pipeline import run_curation
+
+            docs = spark.read.parquet(args.input)
+            stats = run_curation(
+                spark,
+                docs,
+                os.path.join(catalog.root, "curated"),
+                jaccard_threshold=args.jaccard,
+                budget_frac=args.budget_frac,
+                shard_budget=args.shard_budget,
+            )
+            print(json.dumps({"cmd": "curate", **stats}))
+            return 0
         if args.cmd == "bronze":
             if not args.demo:
                 print(
