@@ -351,8 +351,10 @@ def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
         assert stats[b] <= stats[a], stats
     # all 30 exact copies die in stage 1 (keep-min-id keeps the originals)
     assert stats["input"] - stats["exact_dedup"] == 30, stats
-    # the 20 one-token mutations die in stage 2 (canonical = min id)
-    assert stats["near_dedup"] <= stats["exact_dedup"] - 15, stats
+    # all 20 one-token mutations die in stage 2 (canonical = min id) —
+    # consistent with the strict id sweep below; more may die if the
+    # synthetic corpus has natural near-dups
+    assert stats["near_dedup"] <= stats["exact_dedup"] - 20, stats
     kept_ids = {
         r["doc_id"] for r in read_table(spark, root + "/near_dedup").collect()
     }

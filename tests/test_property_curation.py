@@ -91,7 +91,7 @@ def test_assign_shards_matches_python_cumsum(spark, docs, budget):
     }
     # python reference: order by (h, doc_id), running sum, floor-div budget
     rows = [
-        (doc_id, (doc_id * 2654435761) % 2**32, len(text.split(" ")))
+        (doc_id, ((doc_id % 2**31) * 2654435761) % 2**32, len(text.split(" ")))
         for doc_id, text in docs
     ]
     rows.sort(key=lambda r: (r[1], r[0]))
@@ -132,6 +132,6 @@ def test_mixture_select_matches_python(spark, docs, budget_tenths):
     exp = {
         doc_id
         for doc_id, text, src in with_src
-        if ((doc_id * 2654435761) % 2**32) / 2**32 < rate[src]
+        if (((doc_id % 2**31) * 2654435761) % 2**32) / 2**32 < rate[src]
     }
     assert got == exp

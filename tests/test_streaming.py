@@ -583,3 +583,32 @@ def test_stream_dedup_documents_end_to_end(spark, doc_batches, tmp_path):
             .collect()
         }
     assert got == exp
+
+
+def test_stream_dedup_custom_id_col_and_short_docs(spark, tmp_path):
+    """Regression: (a) dedup_batch_against_store must accept a non-default
+    id column name end-to-end; (b) docs shorter than the shingle width have
+    no signature and must STILL survive the streaming (batch_id) path,
+    which derives survivors from the signature store."""
+    from tickerlake_spark.streaming.dedup_stream import dedup_batch_against_store
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "tiny"),  # 1 token < shingle_n=3: no signature possible
+        (3, "an entirely different document about spark physical plans"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    store = str(tmp_path / "store_custom")
+    kept = dedup_batch_against_store(
+        spark, df, store, id_col="id", batch_id=0
+    )
+    assert {r["id"] for r in kept.collect()} == {1, 2, 3}
+    # replay an exact copy of doc 1 under a new id in batch 1: dropped,
+    # while the short doc keeps passing through
+    df2 = spark.createDataFrame(
+        [(10, rows[0][1]), (11, "no")], "id long, text string"
+    )
+    kept2 = dedup_batch_against_store(
+        spark, df2, store, id_col="id", batch_id=1
+    )
+    assert {r["id"] for r in kept2.collect()} == {11}

@@ -67,10 +67,18 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
 
     DuckDB mirror: ``list_distinct(list_transform(range(1, len(t)-n+2),
     i -> t[i] || ' ' || t[i+1] || ...))`` (1-based) — same strings."""
-    joined = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    # guard: Spark's sequence(0, m) runs DESCENDING for m < 0, producing
+    # 0-and-negative slice starts that THROW (INVALID_PARAMETER_VALUE.START)
+    # — a single sub-n-token doc would crash the whole dedup job. DuckDB's
+    # range(1, m) is simply empty there, so the guard also keeps the
+    # engines aligned: short docs get an empty shingle set.
+    joined = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(joined)
 
 

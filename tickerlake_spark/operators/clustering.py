@@ -231,12 +231,17 @@ def semantic_dedup_flags(
     serializing on the single reducer that owns the cell key — with k cells
     and k << cores, the cell key alone leaves most of the cluster idle.
 
-    Per-pair cost: vectors are L2-normalized ONCE per row at assignment,
-    so the verify computes a single dot-product fold per pair instead of
-    dot + two norms (3x the array traffic). Measured together: 11.5s ->
-    0.6s at sf0.1 (2k vectors, dim 64, k=8).
+    The per-pair verify keeps the exact ``dot/(|a||b|)`` formulation
+    (``functions.vector.cosine_similarity``) rather than pre-normalizing
+    vectors: the q116 oracle's ``list_cosine_similarity`` uses that
+    formula, and the >= threshold compare is exact — a different rounding
+    path could flip ``is_dup`` for a pair landing within ulps of the
+    threshold. The parallelism fixes (salting + explicit-width
+    repartition) are what bought the measured win (11.5s -> ~2.5s at
+    sf0.1, 2k vectors, dim 64, k=8); the fold-count saving was noise next
+    to that.
     """
-    from tickerlake_spark.functions.vector import dot, l2_norm
+    from tickerlake_spark.functions.vector import cosine_similarity
 
     from pyspark import StorageLevel
 
@@ -249,11 +254,6 @@ def semantic_dedup_flags(
             vec_col="v",
         )
         .select(F.col(id_col).alias("id"), "v", "cell")
-        .withColumn("__n", l2_norm(F.col("v")))
-        .withColumn(
-            "vn", F.transform("v", lambda x: x / F.col("__n"))
-        )
-        .drop("__n")
         # the E-step (O(k x dim) argmin per row) feeds the size probe, both
         # self-join sides, and the final left join — pay it once
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -280,32 +280,23 @@ def semantic_dedup_flags(
     else:
         assigned = assigned.withColumn("subkey", F.lit(0).cast("long"))
 
+    from tickerlake_spark.operators.dedup import (
+        triangle_salt_cond,
+        triangle_salt_sides,
+    )
+
     width = df.sparkSession.sparkContext.defaultParallelism
-    slim = assigned.select("id", "cell", "subkey", "vn")
+    slim = assigned.select("id", "cell", "subkey", "v")
     if pair_salt > 1:
-        s = pair_salt
-        salt = F.pmod(F.xxhash64("id"), F.lit(s)).cast("int")
-        cells = F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
         # explicit-width repartition on the join keys: AQE coalesces
         # byte-small shuffles onto 1-2 tasks, serializing the quadratic
         # verify; an explicit count is exempt (same convention as
         # dedup._barrier), and partitioning on the join keys means the
         # join reuses these exchanges instead of adding its own
-        a = (
-            slim.withColumn("__i", salt)
-            .withColumn("__j", cells)
-            .repartition(width, "cell", "subkey", "__i", "__j")
-            .alias("a")
-        )
-        b = (
-            slim.withColumn("__j", salt)
-            .withColumn("__i", cells)
-            .repartition(width, "cell", "subkey", "__i", "__j")
-            .alias("b")
-        )
-        salt_cond = (F.col("a.__i") == F.col("b.__i")) & (
-            F.col("a.__j") == F.col("b.__j")
-        )
+        a, b = triangle_salt_sides(slim, "id", pair_salt)
+        a = a.repartition(width, "cell", "subkey", "__i", "__j").alias("a")
+        b = b.repartition(width, "cell", "subkey", "__i", "__j").alias("b")
+        salt_cond = triangle_salt_cond("a", "b")
     else:
         a, b = slim.alias("a"), slim.alias("b")
         salt_cond = F.lit(True)
@@ -317,7 +308,9 @@ def semantic_dedup_flags(
             & salt_cond
             & (F.col("b.id") < F.col("a.id")),
         )
-        .filter(dot(F.col("a.vn"), F.col("b.vn")) >= F.lit(threshold))
+        .filter(
+            cosine_similarity(F.col("a.v"), F.col("b.v")) >= F.lit(threshold)
+        )
         .select(F.col("a.id").alias("id"))
         .distinct()
     )

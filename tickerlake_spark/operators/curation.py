@@ -22,6 +22,8 @@ __all__ = [
     "strip_repeated_spans",
     "mixture_rates",
     "mixture_select",
+    "selector_h",
+    "selector_u",
     "quality_score",
     "assign_shards",
 ]
@@ -48,11 +50,17 @@ def strip_repeated_spans(
     doc-partitioned corpus, so document text never re-shuffles.
     """
     w = span_words
-    chunked = df.select(
+    # Stage the tokenizer: split(text) referenced inside the per-chunk
+    # lambda would re-split the full text once per chunk (HOFs get no CSE
+    # through lambda bodies — the repo's measured 6x pitfall, see
+    # dedup._with_shingles). Bind the words array first, then chunk from
+    # the bound attribute: O(words) per doc, not O(words x chunks).
+    worded = df.select(id_col, F.split(text_col, " ").alias("__words"))
+    chunked = worded.select(
         id_col,
         F.expr(
-            f"transform(sequence(0, int(ceil(size(split({text_col}, ' ')) / {w}.0)) - 1),"
-            f" i -> array_join(slice(split({text_col}, ' '), {w}*i + 1, {w}), ' '))"
+            f"transform(sequence(0, int(ceil(size(__words) / {w}.0)) - 1),"
+            f" i -> array_join(slice(__words, {w}*i + 1, {w}), ' '))"
         ).alias("chunks"),
     )
     spans = chunked.select(
@@ -122,15 +130,28 @@ def mixture_rates(
     )
 
 
-def selector_u(id_col: str = "doc_id") -> Column:
-    """Deterministic uniform-[0,1) selector: Knuth multiplicative hash of
-    the doc id, exact in BIGINT arithmetic on any engine (no RNG state —
-    reruns and engines agree bit-for-bit)."""
+def selector_h(id_col: str = "doc_id") -> Column:
+    """Deterministic 32-bit Knuth multiplicative hash of the doc id, exact
+    in BIGINT arithmetic on any engine (no RNG state — reruns and engines
+    agree bit-for-bit).
+
+    The id is reduced mod 2^31 BEFORE the multiply: (2^31-1) * 2654435761
+    < 2^63, so the product never overflows BIGINT — Spark would silently
+    wrap negative while DuckDB raises, diverging exactly at the >2 billion
+    doc scale this module targets. For ids < 2^31 the reduction is the
+    identity, so small-id values are unchanged. Ids 2^31 apart alias to
+    the same selector — acceptable for sampling/sharding."""
     return (
-        (F.col(id_col).cast("long") * F.lit(2654435761).cast("long"))
+        F.pmod(F.col(id_col).cast("long"), F.lit(2147483648).cast("long"))
+        * F.lit(2654435761).cast("long")
         % F.lit(4294967296).cast("long")
-        / F.lit(4294967296.0)
     )
+
+
+def selector_u(id_col: str = "doc_id") -> Column:
+    """selector_h scaled to uniform-[0,1): exact double (numerator < 2^32,
+    power-of-two divisor), so threshold compares agree across engines."""
+    return selector_h(id_col) / F.lit(4294967296.0)
 
 
 def mixture_select(
@@ -194,10 +215,7 @@ def assign_shards(
     """
     tok = df.select(
         id_col,
-        (
-            (F.col(id_col).cast("long") * F.lit(2654435761).cast("long"))
-            % F.lit(4294967296).cast("long")
-        ).alias("h"),
+        selector_h(id_col).alias("h"),
         _n_tok(text_col).alias("n_tok"),
     )
     bucketed = tok.withColumn("bucket", F.shiftright("h", bucket_shift))

@@ -214,19 +214,43 @@ def _band_self_join(banded: DataFrame, band_salt: int) -> DataFrame:
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    s = band_salt
-    salt = F.pmod(F.xxhash64("doc_id"), F.lit(s)).cast("int")
-    cells = F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
-    a = banded.withColumn("__i", salt).withColumn("__j", cells).alias("a")
-    b = banded.withColumn("__j", salt).withColumn("__i", cells).alias("b")
+    a, b = triangle_salt_sides(banded, "doc_id", band_salt)
+    a, b = a.alias("a"), b.alias("b")
     return a.join(
         b,
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.key") == F.col("b.key"))
-        & (F.col("a.__i") == F.col("b.__i"))
-        & (F.col("a.__j") == F.col("b.__j"))
+        & triangle_salt_cond("a", "b")
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+
+
+def triangle_salt_sides(
+    df: DataFrame, id_col: str, s: int
+) -> tuple[DataFrame, DataFrame]:
+    """The fragment-replicate sides of a salted self-join.
+
+    Each row gets a deterministic salt i = hash(id) mod s and is replicated
+    s ways: cells (i, j) on the left and (j', i) on the right, so an
+    unordered pair (x, y) meets in EXACTLY one cell (salt_x, salt_y) and a
+    hot key's quadratic work spreads across s^2 reducers. Join the returned
+    frames with the caller's equi-keys AND ``triangle_salt_cond`` — output
+    is identical to the unsalted self-join (gated by
+    ``test_salted_band_join_equals_plain``). Shared by the LSH band join
+    and the SemDeDup cell verify, so the one-cell-per-pair invariant lives
+    in one place."""
+    salt = F.pmod(F.xxhash64(id_col), F.lit(s)).cast("int")
+    cells = F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+    a = df.withColumn("__i", salt).withColumn("__j", cells)
+    b = df.withColumn("__j", salt).withColumn("__i", cells)
+    return a, b
+
+
+def triangle_salt_cond(a: str, b: str) -> Column:
+    """The cell-matching join condition for ``triangle_salt_sides``."""
+    return (F.col(f"{a}.__i") == F.col(f"{b}.__i")) & (
+        F.col(f"{a}.__j") == F.col(f"{b}.__j")
+    )
 
 
 def minhash_lsh_pairs(

@@ -21,7 +21,9 @@ Scale notes (the plans are shaped for 100 TB, not just the test SF):
 
 Determinism across engines:
 - selection uses a Knuth multiplicative hash of doc_id
-  (``(doc_id * 2654435761) mod 2^32``) instead of engine RNG — both
+  (``((doc_id mod 2^31) * 2654435761) mod 2^32`` — the mod-2^31 reduction
+  keeps the product inside BIGINT at any corpus size) instead of engine
+  RNG — both
   engines evaluate it exactly in BIGINT arithmetic;
 - u = h / 2^32 is an exact double (numerator < 2^53, power-of-two
   divisor), so threshold comparisons agree bit-for-bit;
@@ -131,7 +133,8 @@ rate AS (
 ),
 sel AS (
   SELECT t.source, t.n_tok, r.r,
-         (CAST(t.doc_id AS BIGINT) * 2654435761 % 4294967296) / 4294967296.0 AS u
+         ((CAST(t.doc_id AS BIGINT) % 2147483648) * 2654435761 % 4294967296)
+           / 4294967296.0 AS u
   FROM tok t JOIN rate r USING (source)
 )
 SELECT source,
@@ -231,7 +234,7 @@ _N_BUCKETS_SHIFT = 26  # h in [0, 2^32) >> 26 -> 64 range-ordered buckets
     oracle=f"""
 WITH tok AS (
   SELECT doc_id,
-         CAST(doc_id AS BIGINT) * 2654435761 % 4294967296 AS h,
+         (CAST(doc_id AS BIGINT) % 2147483648) * 2654435761 % 4294967296 AS h,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
   FROM documents
 ),

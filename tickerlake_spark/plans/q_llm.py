@@ -302,7 +302,11 @@ probes AS (
 )
 SELECT b.id, ROUND(list_cosine_similarity(b.v, q.qv) + 5e-9, 6) AS cosine
 FROM buck b JOIN probes pr ON b.bucket = pr.bucket CROSS JOIN q
-ORDER BY cosine DESC, id ASC
+-- rank by the RAW cosine, not the rounded alias: the Spark side's top-k
+-- (lsh_ann_topk) selects rows by raw value before the catalog wrapper
+-- rounds, so ordering by the rounded value here could pick a different
+-- row at the LIMIT boundary when two raw cosines round to the same 6dp
+ORDER BY list_cosine_similarity(b.v, q.qv) DESC, id ASC
 LIMIT {k}
 """
 
@@ -348,7 +352,8 @@ qd AS (
 probes AS (SELECT c FROM qd ORDER BY d DESC, c ASC LIMIT {n_probe})
 SELECT a.id, ROUND(list_cosine_similarity(a.v, q.qv) + 5e-9, 6) AS cosine
 FROM assigned a JOIN probes p ON a.cell = p.c CROSS JOIN q
-ORDER BY cosine DESC, id ASC
+-- raw-cosine ranking for the same LIMIT-boundary reason as the LSH oracle
+ORDER BY list_cosine_similarity(a.v, q.qv) DESC, id ASC
 LIMIT {k}
 """
 

@@ -145,16 +145,44 @@ def dedup_batch_against_store(
     surviving_sigs = new_sigs.join(dead, "doc_id", "left_anti")
     if batch_id is None:
         write_table(surviving_sigs, store_path, mode="append")
-    else:
-        write_table(
-            surviving_sigs.withColumn("ingest_batch", F.lit(int(batch_id))),
-            store_path,
-            mode="overwrite",
-            partition_by="ingest_batch",
-            dynamic=True,
+        # signature_table's output id column is always named doc_id;
+        # rename to the caller's id column for the survivor anti-join
+        survivors = batch_df.join(
+            dead.withColumnRenamed("doc_id", id_col), on=id_col, how="left_anti"
         )
-    survivors = batch_df.join(dead, on=id_col, how="left_anti")
+        # one-shot mode: the caller materializes `survivors` at a time of
+        # its choosing, so the dead cache must outlive this call; it is
+        # released lazily (LRU / session end), same policy as the other
+        # operator-internal persists
+        new_sigs.unpersist()
+        return survivors
+    write_table(
+        surviving_sigs.withColumn("ingest_batch", F.lit(int(batch_id))),
+        store_path,
+        mode="overwrite",
+        partition_by="ingest_batch",
+        dynamic=True,
+    )
+    # Streaming mode: derive survivors from the just-written partition
+    # instead of the cached plans — the store read-back depends on neither
+    # new_sigs nor dead, so both caches can be dropped NOW. Without this a
+    # long-running stream pins one dead-set cache per micro-batch.
+    kept_ids = (
+        read_table(spark, store_path)
+        .filter(F.col("ingest_batch") == int(batch_id))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    # Docs shorter than the shingle width have no signature and therefore
+    # never enter the store — they cannot be near-dup-checked and always
+    # survive. The predicate mirrors _with_shingles' emptiness filter.
+    from tickerlake_spark.functions.text import tokens
+
+    too_short = batch_df.filter(F.size(tokens(text_col)) < shingle_n)
+    survivors = batch_df.join(kept_ids, on=id_col, how="left_semi").unionByName(
+        too_short
+    )
     new_sigs.unpersist()
+    dead.unpersist()
     return survivors
 
 
