@@ -231,17 +231,17 @@ def semantic_dedup_flags(
     serializing on the single reducer that owns the cell key — with k cells
     and k << cores, the cell key alone leaves most of the cluster idle.
 
-    The per-pair verify keeps the exact ``dot/(|a||b|)`` formulation
-    (``functions.vector.cosine_similarity``) rather than pre-normalizing
-    vectors: the q116 oracle's ``list_cosine_similarity`` uses that
-    formula, and the >= threshold compare is exact — a different rounding
-    path could flip ``is_dup`` for a pair landing within ulps of the
-    threshold. The parallelism fixes (salting + explicit-width
-    repartition) are what bought the measured win (11.5s -> ~2.5s at
-    sf0.1, 2k vectors, dim 64, k=8); the fold-count saving was noise next
-    to that.
+    The per-pair verify keeps the exact ``dot/(|a||b|)`` formulation the
+    q116 oracle's ``list_cosine_similarity`` computes — NOT pre-normalized
+    vectors, whose different rounding path could flip ``is_dup`` for a
+    pair landing within ulps of the exact >= threshold compare. The norms
+    themselves ARE precomputed once per row and carried through the join:
+    sqrt of the same sum is the same double, and dot/(na*nb) performs the
+    identical operations in the identical order as computing the norms
+    per pair, so the result is bit-identical while the per-pair work
+    drops from three array folds to one.
     """
-    from tickerlake_spark.functions.vector import cosine_similarity
+    from tickerlake_spark.functions.vector import dot, l2_norm
 
     from pyspark import StorageLevel
 
@@ -286,7 +286,9 @@ def semantic_dedup_flags(
     )
 
     width = df.sparkSession.sparkContext.defaultParallelism
-    slim = assigned.select("id", "cell", "subkey", "v")
+    slim = assigned.select(
+        "id", "cell", "subkey", "v", l2_norm(F.col("v")).alias("__nv")
+    )
     if pair_salt > 1:
         # explicit-width repartition on the join keys: AQE coalesces
         # byte-small shuffles onto 1-2 tasks, serializing the quadratic
@@ -309,7 +311,9 @@ def semantic_dedup_flags(
             & (F.col("b.id") < F.col("a.id")),
         )
         .filter(
-            cosine_similarity(F.col("a.v"), F.col("b.v")) >= F.lit(threshold)
+            dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.__nv") * F.col("b.__nv"))
+            >= F.lit(threshold)
         )
         .select(F.col("a.id").alias("id"))
         .distinct()
