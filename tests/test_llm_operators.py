@@ -369,3 +369,59 @@ def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     )
     assert shard_ids == list(range(len(shard_ids)))
     assert stats["shards"] == stats["sampled"]
+
+
+def test_curation_pipeline_semantic_stage(spark, tmp_path):
+    """run_curation with embeddings: a paraphrase pair (different text,
+    near-identical vectors) that lexical dedup cannot catch must be dropped
+    by the SemDeDup stage — keep-min-id."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.curation_pipeline import run_curation
+    from tickerlake_spark.storage.io import read_table
+
+    def vec(seed: int, bump: float = 0.0) -> list[float]:
+        v = [math.sin(seed * 13 + i) for i in range(16)]
+        v[0] += bump
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # every doc lexically unique (disjoint word sets) so the MinHash stage
+    # finds nothing and only the semantic stage can link the twins
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(f"w{i}x{j}" for j in range(10)),
+                f"s{i % 2}",
+            )
+            for i in range(8)
+        ],
+        "doc_id long, text string, source string",
+    )
+    # doc 7 is a semantic twin of doc 1 (tiny vector perturbation); every
+    # other doc is far away. Lexically 1 and 7 differ (different tails and
+    # shingle sets), so only the semantic stage can link them.
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(7)] + [(7, vec(1, 0.02))],
+        "doc_id long, embedding array<double>",
+    )
+
+    root = str(tmp_path / "sem_curated")
+    stats = run_curation(
+        spark,
+        docs,
+        root,
+        embeddings=emb,
+        semantic_threshold=0.98,
+        semantic_k=2,
+        budget_frac=0.9,
+        shard_budget=50,
+    )
+    kept = {
+        r["doc_id"] for r in read_table(spark, root + "/near_dedup").collect()
+    }
+    assert 1 in kept and 7 not in kept, (stats, sorted(kept))
+    assert stats["near_dedup"] == 7

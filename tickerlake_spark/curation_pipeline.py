@@ -84,11 +84,21 @@ def run_curation(
     alpha: float = 0.5,
     budget_frac: float = 0.3,
     shard_budget: int = 2000,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.98,
+    semantic_k: int = 8,
 ) -> dict[str, int]:
-    """Run the six-stage curation chain; returns per-stage surviving row
-    counts. Writes ``exact_dedup/ near_dedup/ stripped/ quality/ sampled/
-    shards/`` parquet tables under ``data_root`` (shards partitioned by
-    ``shard_id`` — the layout a training loader reads)."""
+    """Run the curation chain; returns per-stage surviving row counts.
+    Writes ``exact_dedup/ near_dedup/ stripped/ quality/ sampled/ shards/``
+    parquet tables under ``data_root`` (shards partitioned by ``shard_id``
+    — the layout a training loader reads).
+
+    Pass ``embeddings`` — (id_col, embedding array) — to also run the
+    SemDeDup semantic stage (Abbas et al. 2023) after the lexical near-dup
+    pass: k-means-cluster the embeddings, drop docs with a lower-id
+    cosine >= ``semantic_threshold`` neighbor in the same cell. Lexical
+    dedup catches copies and templates; the semantic stage catches
+    paraphrases and translations those miss."""
     stats: dict[str, int] = {"input": docs.count()}
 
     s1 = exact_dedup(docs, text_col, id_col)
@@ -97,6 +107,27 @@ def run_curation(
     stats["exact_dedup"] = s1.count()
 
     s2 = _near_dup_survivors(s1, text_col, id_col, jaccard_threshold)
+    if embeddings is not None:
+        from tickerlake_spark.operators.clustering import (
+            kmeans_fit,
+            semantic_dedup_flags,
+        )
+
+        surviving_emb = embeddings.join(s2.select(id_col), id_col, "left_semi")
+        centroids, _ = kmeans_fit(
+            surviving_emb, k=semantic_k, vec_col="embedding", id_col=id_col
+        )
+        flags = semantic_dedup_flags(
+            surviving_emb,
+            centroids,
+            threshold=semantic_threshold,
+            vec_col="embedding",
+            id_col=id_col,
+        )
+        sem_dead = flags.filter(F.col("is_dup")).select(
+            F.col("id").alias(id_col)
+        )
+        s2 = s2.join(sem_dead, id_col, "left_anti")
     write_table(s2, os.path.join(data_root, "near_dedup"))
     s2 = read_table(spark, os.path.join(data_root, "near_dedup"))
     stats["near_dedup"] = s2.count()
