@@ -545,3 +545,58 @@ def test_incremental_gold_across_year_boundary(spark, tmp_path):
     )
     assert first_2024 is not None
     assert abs(first_2024["ytd_vwap"] - first_2024["close"]) < 1e-9
+
+
+def test_gold_never_incremental_after_unconsumed_full_rewrite(spark, env):
+    """A silver FULL rewrite that gold never consumed (gold crashed/skipped
+    that day) must force the next gold run to rebuild fully, even though the
+    most recent silver run was an append — otherwise gold keeps
+    pre-correction history forever (generation-counter regression test)."""
+    from pyspark.sql import functions as F
+
+    cat, cp = env
+    days1 = trading_days(D(2024, 1, 2), D(2024, 1, 10))
+    run_bronze(spark, _source(days1), cat, cp, D(2024, 1, 2), D(2024, 1, 10))
+    assert run_silver(spark, cat, cp)["mode"] == "full"
+    g = run_gold(spark, cat, hvc_threshold=0.5, min_steps=2, checkpoints=cp)
+    assert g["mode"] == "full"
+
+    # normal cadence: new day -> silver append -> gold incremental
+    days2 = trading_days(D(2024, 1, 2), D(2024, 1, 12))
+    run_bronze(spark, _source(days2), cat, cp, D(2024, 1, 2), D(2024, 1, 12))
+    assert run_silver(spark, cat, cp)["mode"] == "append"
+    g = run_gold(spark, cat, hvc_threshold=0.5, min_steps=2, checkpoints=cp)
+    assert g["mode"] == "incremental"
+
+    # a corrected OLD split lands -> fingerprint change -> silver FULL
+    # rewrite... and gold is skipped that day (simulating a crash).
+    # (run_bronze re-snapshots bronze.splits from the source every run, so
+    # the change is simulated by staling the recorded fingerprint — the
+    # exact signal should_full_rewrite keys on.)
+    cp.set("silver_splits_fingerprint", "stale-after-correction")
+    assert run_silver(spark, cat, cp)["mode"] == "full"
+
+    # next day: silver appends again. Gold's last run predates the rewrite,
+    # so incremental would keep stale history — it must rebuild fully.
+    days3 = trading_days(D(2024, 1, 2), D(2024, 1, 16))
+    run_bronze(spark, _source(days3), cat, cp, D(2024, 1, 2), D(2024, 1, 16))
+    assert run_silver(spark, cat, cp)["mode"] == "append"
+    g = run_gold(spark, cat, hvc_threshold=0.5, min_steps=2, checkpoints=cp)
+    assert g["mode"] == "full"
+    # gold rows now reflect the corrected split everywhere
+    vwap = read_table(spark, cat.gold("vwap_signals"))
+    msft_jan4 = vwap.filter(
+        (F.col("ticker") == "MSFT") & (F.col("date") == F.lit(D(2024, 1, 4)))
+    ).first()
+    daily = read_table(spark, cat.silver("daily_aggregates"))
+    silver_jan4 = daily.filter(
+        (F.col("ticker") == "MSFT") & (F.col("date") == F.lit(D(2024, 1, 4)))
+    ).first()
+    assert msft_jan4["close"] == pytest.approx(silver_jan4["close"])
+
+    # and once consumed, the cadence returns to incremental
+    days4 = trading_days(D(2024, 1, 2), D(2024, 1, 18))
+    run_bronze(spark, _source(days4), cat, cp, D(2024, 1, 2), D(2024, 1, 18))
+    assert run_silver(spark, cat, cp)["mode"] == "append"
+    g = run_gold(spark, cat, hvc_threshold=0.5, min_steps=2, checkpoints=cp)
+    assert g["mode"] == "incremental"

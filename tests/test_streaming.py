@@ -612,3 +612,81 @@ def test_stream_dedup_custom_id_col_and_short_docs(spark, tmp_path):
         spark, df2, store, id_col="id", batch_id=1
     )
     assert {r["id"] for r in kept2.collect()} == {11}
+
+
+def test_streaming_medallion_full_rewrite_on_late_split(spark, tmp_path):
+    """A corrected split landing in bronze.splits mid-stream must trigger a
+    FULL silver rewrite on the next micro-batch (when the pipeline
+    Checkpoints store is wired in) — incremental upserts alone would leave
+    all previously-streamed rows on the old adjustment."""
+    import datetime as dt
+
+    from tickerlake_spark import schemas
+    from tickerlake_spark.sources.calendar import trading_days
+    from tickerlake_spark.storage import Catalog, Checkpoints, read_table, write_table
+    from tickerlake_spark.streaming.medallion import stream_bronze_to_silver
+
+    days = trading_days(dt.date(2024, 1, 2), dt.date(2024, 1, 31))
+    rows = [
+        ("AAA", 1000, 99.0, 100.0 + i, 103.0, 97.0, d, 10)
+        for i, d in enumerate(days)
+    ]
+    schema = (
+        "ticker string, volume long, open float, close float, high float, "
+        "low float, date date, transactions long"
+    )
+    all_bars = spark.createDataFrame(rows, schema)
+
+    cat = Catalog(root=str(tmp_path / "lsdata"))
+    cp = Checkpoints(str(tmp_path / "ls_cp.json"))
+    ckpt = str(tmp_path / "ls_ckpt")
+    # initially: no splits at all
+    write_table(
+        spark.createDataFrame([], schemas.SPLITS), cat.bronze("splits")
+    )
+
+    cutoff = days[12]
+    phase1 = all_bars.filter(F.col("date") <= F.lit(cutoff))
+    write_table(
+        schemas.conform(phase1, schemas.STOCKS).repartition("date"),
+        cat.bronze("stocks"),
+        partition_by="date",
+    )
+    q = stream_bronze_to_silver(spark, cat, ckpt, checkpoints=cp)
+    q.awaitTermination()
+    pre = {
+        str(r["date"]): r["close"]
+        for r in read_table(spark, cat.silver("daily_aggregates")).collect()
+    }
+    assert pre[str(days[0])] == pytest.approx(100.0)  # unadjusted
+
+    # a late split (execution date INSIDE already-streamed history) lands,
+    # plus more bars
+    late = spark.createDataFrame(
+        [("late", days[5], 1.0, 2.0, "AAA")],
+        "id string, execution_date date, split_from float, split_to float, ticker string",
+    )
+    write_table(
+        schemas.conform(late, schemas.SPLITS), cat.bronze("splits"), mode="append"
+    )
+    phase2 = all_bars.filter(F.col("date") > F.lit(cutoff))
+    write_table(
+        schemas.conform(phase2, schemas.STOCKS).repartition("date"),
+        cat.bronze("stocks"),
+        mode="append",
+        partition_by="date",
+    )
+    q = stream_bronze_to_silver(spark, cat, ckpt, checkpoints=cp)
+    q.awaitTermination()
+
+    post = {
+        str(r["date"]): r["close"]
+        for r in read_table(spark, cat.silver("daily_aggregates")).collect()
+    }
+    # every pre-split row — written by EARLIER micro-batches — is re-adjusted
+    for i, d in enumerate(days):
+        expected = (100.0 + i) * (0.5 if d < days[5] else 1.0)
+        assert post[str(d)] == pytest.approx(expected), d
+    # and the rewrite recorded the new fingerprint: one more quiet batch
+    # stays incremental (checkpoint state settled)
+    assert cp.get("silver_last_mode") == "full"

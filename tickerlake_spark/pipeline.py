@@ -252,6 +252,13 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
             "silver_splits_fingerprint", _splits_fingerprint(spark, catalog)
         )
         checkpoints.set("silver_last_mode", "full")
+        # generation counter: every full rewrite invalidates ALL downstream
+        # gold history; gold compares this against the generation it last
+        # fully consumed (run_gold) so an unconsumed rewrite can never be
+        # papered over by a later silver append
+        checkpoints.set(
+            "silver_generation", int(checkpoints.get("silver_generation") or 0) + 1
+        )
         return {"mode": "full"}
 
     # append path: touch only what one new batch of bars can change.
@@ -348,6 +355,13 @@ def run_gold(
         checkpoints is not None
         and checkpoints.get("silver_last_mode") == "append"
         and watermark is not None
+        # the gold tables must descend from the CURRENT silver history: if
+        # silver fully rewrote since gold's last full build (and gold was
+        # skipped that day, e.g. a crash), "last mode == append" alone would
+        # wrongly take the incremental path and keep pre-rewrite gold rows
+        # forever. The generation counter makes the staleness visible.
+        and int(checkpoints.get("gold_silver_generation") or 0)
+        == int(checkpoints.get("silver_generation") or 0)
     )
 
     if incremental:
@@ -458,6 +472,12 @@ def run_gold(
         best = best_patterns(read_table(spark, catalog.gold(src)))
         write_table(
             schemas.conform(best, schemas.STAIRSTEP_PATTERNS), catalog.gold(out)
+        )
+    if checkpoints is not None and not incremental:
+        # full gold build: record which silver history generation it saw
+        checkpoints.set(
+            "gold_silver_generation",
+            int(checkpoints.get("silver_generation") or 0),
         )
     return {
         "mode": "incremental" if incremental else "full",

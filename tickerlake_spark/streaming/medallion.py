@@ -109,12 +109,25 @@ def stream_bronze_to_silver(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    checkpoints=None,
 ):
     """Start the bronze->silver maintenance stream; returns the query.
 
     ``available_now=True`` drains everything currently unprocessed and stops
     (the batch-backfill/test mode); ``False`` runs continuously, picking up
     bronze files as the ingest job lands them.
+
+    Pass the pipeline ``Checkpoints`` store to close the late-split hole on
+    the streaming path too: each micro-batch first compares the splits-table
+    fingerprint against the recorded one (the same check
+    ``pipeline.should_full_rewrite`` does for the batch path). On a change
+    — a late-arriving or corrected split whose execution date is already
+    behind the watermark — the incremental upsert would leave every
+    previously-written silver row on the OLD adjustment, so the sink
+    delegates that batch to ``pipeline.run_silver``, which performs the
+    full rewrite over all of bronze (including this batch's already-landed
+    files) and re-records the fingerprint. Without ``checkpoints`` the
+    stream keeps the reference's weaker semantics (incremental only).
     """
     reader = (
         spark.readStream.schema(schemas.STOCKS)
@@ -125,6 +138,24 @@ def stream_bronze_to_silver(
     stream = reader.parquet(catalog.bronze("stocks"))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if checkpoints is not None and table_exists(catalog.bronze("splits")):
+            from tickerlake_spark.pipeline import (
+                _splits_fingerprint,
+                run_silver,
+            )
+
+            fp = _splits_fingerprint(batch_df.sparkSession, catalog)
+            recorded = checkpoints.get("silver_splits_fingerprint")
+            if recorded is None:
+                # first batch of a pure-streaming deployment: record the
+                # baseline so later corrections are detectable
+                checkpoints.set("silver_splits_fingerprint", fp)
+            elif fp != recorded:
+                # splits changed: history is stale — full rewrite instead
+                # of the incremental upsert (batch files are already in
+                # bronze, so run_silver sees them too)
+                run_silver(batch_df.sparkSession, catalog, checkpoints)
+                return
         silver_maintenance_batch(batch_df.sparkSession, catalog, batch_df)
 
     writer = (
