@@ -248,3 +248,13 @@ def test_quality_classifier_is_map_only(spark, sf_dir):
     plan = _physical_plan(QUERIES["q123_quality_classifier"].fn(spark, sf_dir))
     assert _exchanges(plan) == 0, plan
     assert "*(" in plan, plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """q125's top-50-by-key must plan as TakeOrderedAndProject (per-
+    partition heap + driver merge — the distributed reservoir), never a
+    global sort; and the scoring is a map-only pass (no exchange below the
+    top-k)."""
+    plan = _physical_plan(QUERIES["q125_weighted_sample"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _exchanges(plan) == 0, plan

@@ -200,6 +200,8 @@ _GATE_ORDER = [
     "q122_domain_mixture_sample",
     "q123_quality_classifier",
     "q124_shard_assignment",
+    "q125_weighted_sample",
+    "q126_train_split",
     "q11_case_cast",
     "q13_topk_sort",
     "q52_token_count",

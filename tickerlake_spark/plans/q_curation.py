@@ -257,3 +257,88 @@ def q124_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_budget=_SHARD_BUDGET,
         bucket_shift=_N_BUCKETS_SHIFT,
     )
+
+
+_H_SQL = "((CAST(doc_id AS BIGINT) % 2147483648) * 2654435761 % 4294967296)"
+
+
+@register(
+    "q125_weighted_sample",
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis A-ES): "
+    "each doc gets key ln(u)/w with w = its token count and u the "
+    "deterministic hash selector shifted off zero; the top-50 keys ARE a "
+    "w-weighted sample. One scan + TakeOrderedAndProject — the "
+    "distributed-reservoir plan (per-partition heaps, driver merge), no "
+    "global sort, no RNG state. Oracle mirrors the key arithmetic; "
+    "ranking is by the RAW key (output key rounded for display only).",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         ln(({_H_SQL} + 0.5) / 4294967296.0)
+           / len(string_split(text, ' ')) AS k
+  FROM documents
+)
+SELECT doc_id, n_tok, ROUND(k + 5e-9, 6) AS sample_key
+FROM keyed
+ORDER BY k DESC, doc_id ASC
+LIMIT 50
+""",
+)
+def q125_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.curation import selector_h
+
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    # u shifted half a grid step off zero: doc_id 0 hashes to h=0, and
+    # ln(0) is -Infinity — the shift keeps u in (0,1) exactly on both
+    # engines ((h + 0.5)/2^32 is an exact double)
+    u = (selector_h("doc_id").cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    keyed = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        (F.log(u) / n_tok).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.col("k").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .select("doc_id", "n_tok", stable_round(F.col("k"), 6).alias("sample_key"))
+    )
+
+
+@register(
+    "q126_train_split",
+    doc="Deterministic train/val/test assignment (80/10/10 by the hash "
+    "selector — stable across reruns, no RNG, documents never migrate "
+    "between splits as the corpus grows) with per-(source, split) doc and "
+    "token counts. Map-only assignment + one map-side-combined groupBy.",
+    oracle=f"""
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN {_H_SQL} / 4294967296.0 < 0.8 THEN 'train'
+              WHEN {_H_SQL} / 4294967296.0 < 0.9 THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM assigned
+GROUP BY source, split
+""",
+)
+def q126_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.curation import selector_u
+
+    u = selector_u("doc_id")
+    assigned = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias(
+            "split"
+        ),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
