@@ -202,6 +202,9 @@ _GATE_ORDER = [
     "q124_shard_assignment",
     "q125_weighted_sample",
     "q126_train_split",
+    "q127_pq_adc_ann",
+    "q128_vocab_topk",
+    "q129_bigram_nll",
     "q11_case_cast",
     "q13_topk_sort",
     "q52_token_count",
@@ -293,6 +296,7 @@ def _ensure_loaded() -> None:
         q_extra,
         q_finance,
         q_llm,
+        q_lm,
         q_media,
         q_streaming,
     )
