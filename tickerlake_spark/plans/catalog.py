@@ -205,6 +205,7 @@ _GATE_ORDER = [
     "q127_pq_adc_ann",
     "q128_vocab_topk",
     "q129_bigram_nll",
+    "q130_ivfpq_ann",
     "q11_case_cast",
     "q13_topk_sort",
     "q52_token_count",

@@ -44,59 +44,74 @@ def _d2_sql(vec: str, cent: str, d: int) -> str:
     )
 
 
+_VVECS_CTE = """vvecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)"""
+_QV_CTE = "qv AS (SELECT e AS q FROM vvecs WHERE vec_id = 0)"
+
+
+def _kmeans_chain(prefix: str, src: str, dim: int, k: int, iters: int) -> list[str]:
+    """k-means CTE chain ``{prefix}c0..{prefix}c{iters}`` over source CTE
+    ``src`` with columns (vec_id, e). Mirrors ``operators/clustering
+    .kmeans_fit`` exactly: init = embeddings of the k lowest ids, rounded
+    centroids per iteration, index-order folds, cell-asc ties, empty cells
+    keep their previous centroid."""
+    parts = [f"""{prefix}c0 AS (
+  SELECT rn - 1 AS cell, e AS cvec FROM (
+    SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn FROM {src})
+  WHERE rn <= {k}
+)"""]
+    for i in range(1, iters + 1):
+        prev = i - 1
+        parts.append(f"""{prefix}d{i} AS (
+  SELECT v.vec_id, v.e, c.cell, {_d2_sql("v.e", "c.cvec", dim)} AS d2
+  FROM {src} v CROSS JOIN {prefix}c{prev} c
+)""")
+        parts.append(f"""{prefix}a{i} AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2 ASC, cell ASC) AS rn
+    FROM {prefix}d{i}) WHERE rn = 1
+)""")
+        parts.append(f"""{prefix}m{i} AS (
+  SELECT cell, u.j - 1 AS pos, ROUND(AVG(e[u.j]) + 5e-9, 6) AS val
+  FROM {prefix}a{i} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS j) u
+  GROUP BY cell, u.j
+)""")
+        parts.append(f"""{prefix}c{i} AS (
+  SELECT pc.cell, COALESCE(m.cvec, pc.cvec) AS cvec
+  FROM {prefix}c{prev} pc LEFT JOIN (
+    SELECT cell, list(val ORDER BY pos) AS cvec FROM {prefix}m{i} GROUP BY cell) m
+  ON pc.cell = m.cell
+)""")
+    return parts
+
+
+def _encode_cte(prefix: str, src: str, dim: int, iters: int) -> str:
+    """``{prefix}enc`` (vec_id, cell): nearest FINAL-codebook cell per row of
+    ``src`` — the assignment the Spark side performs against the returned
+    (post-update) centroids."""
+    return f"""{prefix}enc AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_d2_sql("v.e", "c.cvec", dim)} ASC, c.cell ASC) AS rn
+    FROM {src} v CROSS JOIN {prefix}c{iters} c) WHERE rn = 1
+)"""
+
+
 def _pq_ctes() -> str:
     """Four independent k-means CTE chains over 16-dim vector slices, each
     ending in a final-codebook encode (``s{s}enc``) and the query's ADC
-    distance table (``s{s}dt``). Mirrors ``operators/pq.py`` exactly:
-    rounded centroids per iteration, index-order folds, cell-asc ties,
-    empty cells keep their previous centroid, encode against the FINAL
-    codebook."""
-    parts = [
-        """vvecs AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
-)""",
-        "qv AS (SELECT e AS q FROM vvecs WHERE vec_id = 0)",
-    ]
+    distance table (``s{s}dt``). Mirrors ``operators/pq.py``."""
+    parts = [_VVECS_CTE, _QV_CTE]
     for s in range(M):
         lo, hi = s * SUB + 1, (s + 1) * SUB
         p = f"s{s}"
         parts.append(f"{p}v AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM vvecs)")
-        parts.append(f"""{p}c0 AS (
-  SELECT rn - 1 AS cell, e AS cvec FROM (
-    SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn FROM {p}v)
-  WHERE rn <= {K}
-)""")
-        for i in range(1, ITERS + 1):
-            prev = i - 1
-            parts.append(f"""{p}d{i} AS (
-  SELECT v.vec_id, v.e, c.cell, {_d2_sql("v.e", "c.cvec", SUB)} AS d2
-  FROM {p}v v CROSS JOIN {p}c{prev} c
-)""")
-            parts.append(f"""{p}a{i} AS (
-  SELECT vec_id, e, cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY d2 ASC, cell ASC) AS rn
-    FROM {p}d{i}) WHERE rn = 1
-)""")
-            parts.append(f"""{p}m{i} AS (
-  SELECT cell, u.j - 1 AS pos, ROUND(AVG(e[u.j]) + 5e-9, 6) AS val
-  FROM {p}a{i} CROSS JOIN (SELECT unnest(range(1, {SUB + 1})) AS j) u
-  GROUP BY cell, u.j
-)""")
-            parts.append(f"""{p}c{i} AS (
-  SELECT pc.cell, COALESCE(m.cvec, pc.cvec) AS cvec
-  FROM {p}c{prev} pc LEFT JOIN (
-    SELECT cell, list(val ORDER BY pos) AS cvec FROM {p}m{i} GROUP BY cell) m
-  ON pc.cell = m.cell
-)""")
-        parts.append(f"""{p}enc AS (
-  SELECT vec_id, cell FROM (
-    SELECT v.vec_id, c.cell,
-           row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY {_d2_sql("v.e", "c.cvec", SUB)} ASC, c.cell ASC) AS rn
-    FROM {p}v v CROSS JOIN {p}c{ITERS} c) WHERE rn = 1
-)""")
+        parts.extend(_kmeans_chain(p, f"{p}v", SUB, K, ITERS))
+        parts.append(_encode_cte(p, f"{p}v", SUB, ITERS))
         parts.append(f"""{p}dt AS (
   SELECT c.cell, {_d2_sql(f"(qv.q[{lo}:{hi}])", "c.cvec", SUB)} AS d
   FROM {p}c{ITERS} c, qv
@@ -152,6 +167,134 @@ def q127_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOPN)
         .select(
             "id",
+            "code_0",
+            "code_1",
+            "code_2",
+            "code_3",
+            stable_round(F.col("__raw"), 6).alias("adc_d2"),
+        )
+    )
+
+
+def _ivfpq_ctes() -> str:
+    """IVF-PQ with residual encoding, fully unrolled: a coarse k-means chain
+    (``g``) over full 64-dim vectors, residuals r = e - coarse_centroid, four
+    per-subspace PQ chains TRAINED ON RESIDUALS, the query's 2 probed cells,
+    per-probe query residuals, and per-(probe, code) ADC distance tables."""
+    parts = [_VVECS_CTE, _QV_CTE]
+    parts.extend(_kmeans_chain("g", "vvecs", DIM, K, ITERS))
+    parts.append(_encode_cte("g", "vvecs", DIM, ITERS))
+    parts.append(f"""res AS (
+  SELECT a.vec_id, a.cell AS gcell,
+         list_transform(range(1, {DIM + 1}), j -> v.e[j] - c.cvec[j]) AS e
+  FROM genc a
+  JOIN vvecs v ON v.vec_id = a.vec_id
+  JOIN gc{ITERS} c ON c.cell = a.cell
+)""")
+    for s in range(M):
+        lo, hi = s * SUB + 1, (s + 1) * SUB
+        p = f"r{s}"
+        parts.append(f"{p}v AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM res)")
+        parts.extend(_kmeans_chain(p, f"{p}v", SUB, K, ITERS))
+        parts.append(_encode_cte(p, f"{p}v", SUB, ITERS))
+    parts.append(f"""probes AS (
+  SELECT c.cell FROM gc{ITERS} c, qv
+  ORDER BY {_d2_sql("qv.q", "c.cvec", DIM)} ASC, c.cell ASC LIMIT {N_PROBE}
+)""")
+    parts.append(f"""qres AS (
+  SELECT g.cell AS gcell,
+         list_transform(range(1, {DIM + 1}), j -> qv.q[j] - g.cvec[j]) AS qr
+  FROM gc{ITERS} g, qv WHERE g.cell IN (SELECT cell FROM probes)
+)""")
+    for s in range(M):
+        lo, hi = s * SUB + 1, (s + 1) * SUB
+        parts.append(f"""pdt{s} AS (
+  SELECT q.gcell, c.cell AS code,
+         {_d2_sql(f"(q.qr[{lo}:{hi}])", "c.cvec", SUB)} AS d
+  FROM qres q CROSS JOIN r{s}c{ITERS} c
+)""")
+    return "WITH " + ",\n".join(parts)
+
+
+N_PROBE = 2
+
+
+@register(
+    "q130_ivfpq_ann",
+    doc="IVF-PQ with residual encoding — the billion-scale ANN architecture "
+    "(Jégou et al. 2011, the FAISS IVFPQ layout): a coarse k-means "
+    "quantizer prunes to n_probe=2 of 8 cells, PQ codebooks trained on the "
+    "RESIDUAL (vector minus its coarse centroid) score the survivors via "
+    "per-probe ADC tables, approx top-10. At 100 TB the index table stores "
+    "(id, coarse_cell, 4 codes): cell-partitioned pruning reads n_probe/k "
+    "of the files, the ADC scan reads a few bytes per row, and only a "
+    "final re-rank (not shown; see q117) would touch real vectors. "
+    "Deterministic end-to-end under the k-means contract, so the complete "
+    "coarse+residual-PQ pipeline — five unrolled k-means chains — gets a "
+    "value-hash oracle.",
+    oracle=_ivfpq_ctes()
+    + f"""
+SELECT r.vec_id AS id, CAST(r.gcell AS INT) AS gcell,
+       CAST(e0.cell AS INT) AS code_0, CAST(e1.cell AS INT) AS code_1,
+       CAST(e2.cell AS INT) AS code_2, CAST(e3.cell AS INT) AS code_3,
+       ROUND(dt0.d + dt1.d + dt2.d + dt3.d + 5e-9, 6) AS adc_d2
+FROM res r
+JOIN r0enc e0 ON e0.vec_id = r.vec_id
+JOIN r1enc e1 ON e1.vec_id = r.vec_id
+JOIN r2enc e2 ON e2.vec_id = r.vec_id
+JOIN r3enc e3 ON e3.vec_id = r.vec_id
+JOIN pdt0 dt0 ON dt0.gcell = r.gcell AND dt0.code = e0.cell
+JOIN pdt1 dt1 ON dt1.gcell = r.gcell AND dt1.code = e1.cell
+JOIN pdt2 dt2 ON dt2.gcell = r.gcell AND dt2.code = e2.cell
+JOIN pdt3 dt3 ON dt3.gcell = r.gcell AND dt3.code = e3.cell
+WHERE r.gcell IN (SELECT cell FROM probes)
+ORDER BY dt0.d + dt1.d + dt2.d + dt3.d ASC, r.vec_id ASC
+LIMIT 10""",
+)
+def q130_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.clustering import (
+        assign_cells,
+        kmeans_fit,
+        nearest_cells,
+    )
+    from tickerlake_spark.operators.pq import adc_distance, pq_encode, pq_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    gcent, _ = kmeans_fit(emb, k=K, iters=ITERS, vec_col="embedding")
+
+    # residuals: map-side subtract of the broadcast coarse-centroid literal
+    cmat = F.array(*[F.lit(c).cast("array<double>") for c in gcent])
+    res = assign_cells(base, gcent, vec_col="v", cell_col="gcell").withColumn(
+        "r",
+        F.zip_with("v", F.element_at(cmat, F.col("gcell") + 1), lambda x, y: x - y),
+    )
+    codebooks = pq_fit(res, dim=DIM, m=M, k=K, iters=ITERS, vec_col="r", id_col="id")
+
+    qvec = [float(x) for x in base.filter(F.col("id") == 0).select("v").first()[0]]
+    probes = nearest_cells(gcent, qvec, N_PROBE)
+
+    enc = pq_encode(res, codebooks, vec_col="r")
+    # per-probe ADC: the query's residual differs per probed cell, so each
+    # probe gets its own driver-computed table (bounded: n_probe x m x k)
+    def _adc_for(cell: int):
+        qr = [qvec[j] - gcent[cell][j] for j in range(DIM)]
+        return adc_distance(codebooks, qr)
+
+    scored = enc.filter(F.col("gcell").isin(probes))
+    raw = F.when(F.col("gcell") == probes[0], _adc_for(probes[0]))
+    for p in probes[1:]:
+        raw = raw.when(F.col("gcell") == p, _adc_for(p))
+    return (
+        scored.withColumn("__raw", raw)
+        .orderBy(F.col("__raw").asc(), F.col("id").asc())
+        .limit(10)
+        .select(
+            "id",
+            F.col("gcell").cast("int").alias("gcell"),
             "code_0",
             "code_1",
             "code_2",
