@@ -84,6 +84,31 @@ def test_pq_encode_is_map_side_only(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_pq_recall_beats_chance_and_finds_self(spark, sf_dir):
+    """Approximation quality on the real embeddings table: 12-bit codes
+    (m=4, k=8) must place the query's own vector at rank 1 (its quantized
+    distance is the minimum achievable for its code combination) and must
+    recall a chance-dominating share of the exact top-10 — the synthetic
+    embeddings are nearly isotropic (the hard case for PQ), so the floor is
+    deliberately modest; chance recall at 10-of-500 is 0.02. Deterministic:
+    these are fixed values, the floor just keeps the test robust to
+    parameter retuning."""
+    from tickerlake_spark.plans import QUERIES
+    from tickerlake_spark.plans.catalog import _ensure_loaded
+
+    _ensure_loaded()
+
+    exact = [
+        r["id"]
+        for r in QUERIES["q45_ann_bruteforce"].fn(spark, sf_dir).collect()
+    ][:10]
+    pq = [r["id"] for r in QUERIES["q127_pq_adc_ann"].fn(spark, sf_dir).collect()]
+    ivfpq = [r["id"] for r in QUERIES["q130_ivfpq_ann"].fn(spark, sf_dir).collect()]
+    assert pq[0] == 0 and ivfpq[0] == 0  # self is always nearest
+    assert len(set(exact) & set(pq)) / 10 >= 0.2
+    assert len(set(exact) & set(ivfpq)) / 10 >= 0.2
+
+
 def test_pq_compression_ratio_claim(spark):
     """4 int codes replace 64 doubles: the stored representation the ADC
     scan touches is two orders of magnitude smaller than the vectors."""
