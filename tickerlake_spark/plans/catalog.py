@@ -206,6 +206,7 @@ _GATE_ORDER = [
     "q128_vocab_topk",
     "q129_bigram_nll",
     "q130_ivfpq_ann",
+    "q131_hybrid_rrf",
     "q11_case_cast",
     "q13_topk_sort",
     "q52_token_count",

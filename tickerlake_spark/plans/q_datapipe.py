@@ -112,6 +112,36 @@ _BM25_TERMS = ("spark", "table", "query")
 _K1, _B = 1.2, 0.75
 
 
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score): BM25 of the corpus for the fixed 3-term query —
+    shared by q67 (direct ranking) and q131 (hybrid RRF fusion)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") > 0)
+    doclen = tok.select("doc_id", F.size("t").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    terms = tok.select("doc_id", F.explode("t").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    qtf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("f"))
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    part = (
+        F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("f") * (_K1 + 1.0))
+        / (F.col("f") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        qtf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("part", part)
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+
+
+
 @register(
     "q67_bm25_rank",
     doc="BM25 (k1=1.2, b=0.75) ranking of the corpus for a 3-term query; "
@@ -155,30 +185,7 @@ FROM (
 """,
 )
 def q67_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") > 0)
-    doclen = tok.select("doc_id", F.size("t").alias("dl"))
-    stats = doclen.agg(
-        F.count("*").alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
-    )
-    terms = tok.select("doc_id", F.explode("t").alias("term")).filter(
-        F.col("term").isin(*_BM25_TERMS)
-    )
-    qtf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("f"))
-    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    part = (
-        F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        * (F.col("f") * (_K1 + 1.0))
-        / (F.col("f") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl")))
-    )
-    scored = (
-        qtf.join(F.broadcast(dfreq), "term")
-        .join(doclen, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("part", part)
-        .groupBy("doc_id")
-        .agg(F.sum("part").alias("score"))
-    )
+    scored = bm25_scores(spark, sf_dir)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -338,6 +338,134 @@ def q128_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_ORACLE_CTES = """
+tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
+),
+doclen AS (SELECT doc_id, len(t) AS dl FROM tok WHERE len(t) > 0),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM doclen),
+terms AS (
+  SELECT doc_id, unnest(t) AS term FROM tok WHERE len(t) > 0
+),
+qtf AS (
+  SELECT doc_id, term, COUNT(*) AS f
+  FROM terms WHERE term IN ('spark', 'table', 'query')
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms
+  WHERE term IN ('spark', 'table', 'query') GROUP BY term
+),
+contrib AS (
+  SELECT q.doc_id,
+         ln(1.0 + (n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (q.f * (1.2 + 1.0))
+           / (q.f + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / avgdl)) AS part
+  FROM qtf q
+  JOIN dfreq d USING (term)
+  JOIN doclen l USING (doc_id), stats
+),
+scored AS (SELECT doc_id, SUM(part) AS score FROM contrib GROUP BY doc_id)"""
+
+RRF_K = 60
+RRF_DEPTH = 100
+
+
+@register(
+    "q131_hybrid_rrf",
+    doc="Hybrid retrieval with reciprocal rank fusion (Cormack et al. "
+    "2009) — the standard RAG retrieval stage: a lexical BM25 ranking and "
+    "a dense embedding-cosine ranking, each cut to its top-100 via "
+    "distributed top-k (TakeOrderedAndProject, never a global sort), "
+    "fused per doc as 1/(60+rank_lex) + 1/(60+rank_dense), top-20 out. "
+    "Rank windows run over the bounded 100-row shortlists, not the "
+    "corpus; docs on one list only contribute that list's term. BM25 "
+    "formula shared with q67 (plans/q_datapipe.py::bm25_scores).",
+    oracle="WITH "
+    + _BM25_ORACLE_CTES
+    + f""",
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rb
+  FROM (SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id ASC LIMIT {RRF_DEPTH})
+),
+qv AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+  FROM embeddings WHERE vec_id = 0
+),
+cosf AS (
+  SELECT vec_id AS doc_id,
+         list_cosine_similarity(
+           list_transform(embedding, x -> CAST(x AS DOUBLE)), qv.q) AS c
+  FROM embeddings, qv
+),
+cv AS (
+  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id ASC) AS rc
+  FROM (SELECT doc_id, c FROM cosf
+        ORDER BY c DESC, doc_id ASC LIMIT {RRF_DEPTH})
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         COALESCE(b.rb, 0) AS r_bm25, COALESCE(v.rc, 0) AS r_cos,
+         COALESCE(1.0 / ({RRF_K} + b.rb), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + v.rc), 0.0) AS rrf
+  FROM bm b FULL OUTER JOIN cv v ON v.doc_id = b.doc_id
+)
+SELECT doc_id, CAST(r_bm25 AS BIGINT) AS r_bm25, CAST(r_cos AS BIGINT) AS r_cos,
+       ROUND(rrf + 5e-9, 6) AS rrf
+FROM fused
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 20""",
+)
+def q131_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.functions.vector import cosine_similarity
+    from tickerlake_spark.plans.q_datapipe import bm25_scores
+
+    scored = bm25_scores(spark, sf_dir)
+    w_b = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bm = (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(RRF_DEPTH)
+        .select("doc_id", "score")
+        .withColumn("rb", F.row_number().over(w_b))
+        .drop("score")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    qvec = [
+        float(x) for x in base.filter(F.col("doc_id") == 0).select("v").first()[0]
+    ]
+    q = F.lit(qvec).cast("array<double>")
+    cosf = base.select("doc_id", cosine_similarity(F.col("v"), q).alias("c"))
+    w_c = Window.orderBy(F.col("c").desc(), F.col("doc_id").asc())
+    cv = (
+        cosf.orderBy(F.col("c").desc(), F.col("doc_id").asc())
+        .limit(RRF_DEPTH)
+        .withColumn("rc", F.row_number().over(w_c))
+        .drop("c")
+    )
+
+    fused = bm.join(cv, ["doc_id"], "full").withColumn(
+        "rrf",
+        F.coalesce(1.0 / (RRF_K + F.col("rb")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("rc")), F.lit(0.0)),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id",
+            F.coalesce("rb", F.lit(0)).cast("long").alias("r_bm25"),
+            F.coalesce("rc", F.lit(0)).cast("long").alias("r_cos"),
+            stable_round(F.col("rrf"), 6).alias("rrf"),
+        )
+    )
+
+
 @register(
     "q129_bigram_nll",
     doc="Statistical-LM quality scoring (the CCNet shape, Wenzek et al. "
