@@ -11,8 +11,9 @@ candidates without ever touching the original vectors.
 
 Execution shape (everything map-side after training):
 
-- training is ``m`` independent ``kmeans_fit`` runs over ``slice``-projected
-  vectors — the driver holds m x k x (dim/m) rounded doubles (bounded);
+- training is one JOINT Lloyd's loop over all ``m`` subspaces (one scan +
+  one k x dim shuffle per iteration; see ``pq_fit``) — the driver holds
+  m x k x (dim/m) rounded doubles (bounded);
 - encoding is ``m`` argmin folds against broadcast codebook literals — no
   shuffle, no join, whole-stage codegen;
 - an ADC query computes its m x k distance table ON THE DRIVER (bounded),
@@ -37,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tickerlake_spark.operators.clustering import _argmin_cell, kmeans_fit
+from tickerlake_spark.operators.clustering import _argmin_cell
 
 __all__ = ["pq_fit", "pq_encode", "adc_distance", "seq_d2"]
 
@@ -71,22 +72,78 @@ def pq_fit(
     """Train ``m`` per-subspace codebooks; returns ``codebooks[s][code]`` as
     rounded doubles. ``dim`` must be divisible by ``m``.
 
-    Each subspace is an independent ``kmeans_fit`` over the sliced vectors —
-    the slice happens in the scan projection, so subspace ``s``'s training
-    never moves the other ``dim - dim/m`` coordinates.
+    The ``m`` k-means runs are independent (subspaces never interact), so
+    they are fused into ONE joint Lloyd's loop: each iteration is a single
+    job computing all ``m`` argmin assignments map-side and one
+    ``(subspace, cell, pos)``-keyed mean update — one scan and one
+    k x dim-sized shuffle per iteration instead of ``m`` of each. At 100 TB
+    that is the difference between reading the training sample once or
+    ``m`` times per iteration. Produces codebooks identical to training
+    each subspace separately under ``kmeans_fit``'s determinism contract
+    (rounded centroids each iteration, index-order folds, cell-asc ties,
+    empty cells keep their previous codeword) — the q127/q130 oracles pin
+    this equivalence against per-subspace SQL unrolls.
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
-    base = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-    codebooks: list[list[list[float]]] = []
-    for s in range(m):
-        sliced = base.select(id_col, _sub(F.col("v"), s, sub_dim).alias("v"))
-        cb, _ = kmeans_fit(
-            sliced, k=k, iters=iters, vec_col="v", id_col=id_col, decimals=decimals
+    from pyspark import StorageLevel
+
+    from tickerlake_spark.functions.core import stable_round
+
+    width = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        # same parallelism/persist rationale as kmeans_fit: pay the scan
+        # once, keep the O(m x k x sub_dim) E-step off a 2-split file
+        .repartition(width)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        init_rows = sorted(
+            base.orderBy(F.col(id_col).asc()).limit(k).select(id_col, "v").collect(),
+            key=lambda r: r[id_col],
         )
-        codebooks.append(cb)
-    return codebooks
+        codebooks: list[list[list[float]]] = [
+            [list(r["v"][s * sub_dim : (s + 1) * sub_dim]) for r in init_rows]
+            for s in range(m)
+        ]
+        for _ in range(iters):
+            assigned = base
+            for s in range(m):
+                assigned = assigned.withColumn(
+                    f"__c{s}", _argmin_cell(_sub(F.col("v"), s, sub_dim), codebooks[s])
+                )
+            cells = F.array(*[F.col(f"__c{s}") for s in range(m)])
+            sub_ix = (F.col("gpos") / sub_dim).cast("int")
+            ev = assigned.select(
+                cells.alias("__cs"), F.posexplode("v").alias("gpos", "val")
+            ).select(
+                sub_ix.alias("sub"),
+                F.element_at("__cs", sub_ix + 1).alias("cell"),
+                (F.col("gpos") % sub_dim).alias("pos"),
+                "val",
+            )
+            rows = (
+                ev.groupBy("sub", "cell", "pos")
+                .agg(stable_round(F.avg("val"), decimals).alias("val"))
+                .collect()  # bounded: m x k x sub_dim rounded doubles
+            )
+            by: dict[tuple[int, int], dict[int, float]] = {}
+            for r in rows:
+                by.setdefault((r["sub"], r["cell"]), {})[r["pos"]] = r["val"]
+            codebooks = [
+                [
+                    [by[(s, c)][p] for p in sorted(by[(s, c)])]
+                    if (s, c) in by
+                    else prev
+                    for c, prev in enumerate(codebooks[s])
+                ]
+                for s in range(m)
+            ]
+        return codebooks
+    finally:
+        base.unpersist(blocking=False)
 
 
 def pq_encode(
