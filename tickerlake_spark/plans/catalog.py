@@ -169,6 +169,9 @@ _GATE_ORDER = [
     "q46_embedding_neardup",
     "q47_lsh_ann",
     "q48_ivf_ann",
+    "q128_vocab_topk",
+    "q129_bigram_nll",
+    "q131_hybrid_rrf",
     "q78_connected_components",
     "q79_dedup_canonical",
     "q80_nearest_centroid",
@@ -203,10 +206,7 @@ _GATE_ORDER = [
     "q125_weighted_sample",
     "q126_train_split",
     "q127_pq_adc_ann",
-    "q128_vocab_topk",
-    "q129_bigram_nll",
     "q130_ivfpq_ann",
-    "q131_hybrid_rrf",
     "q11_case_cast",
     "q13_topk_sort",
     "q52_token_count",
