@@ -1,0 +1,109 @@
+"""Incremental inverted index (streaming/search_index.py): folding batches
+equals one-pass indexing, index-side BM25 equals the per-query tokenization
+path, replays are idempotent, and query scans prune term buckets."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tickerlake_spark.storage.io import read_table
+from tickerlake_spark.streaming.search_index import (
+    bm25_query,
+    index_batch,
+    stream_index_documents,
+)
+
+TERMS = ["spark", "table", "query"]
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _fold_two_batches(docs, index_root):
+    index_batch(docs.filter(F.col("doc_id") % 2 == 0), index_root, 0)
+    index_batch(docs.filter(F.col("doc_id") % 2 == 1), index_root, 1)
+
+
+def test_index_bm25_matches_per_query_tokenization(spark, docs, sf_dir, tmp_path):
+    """BM25 from the folded index == bm25_scores re-tokenizing the corpus
+    (same formula, same floats at 6dp), top-50 identical."""
+    from tickerlake_spark.functions.core import stable_round
+    from tickerlake_spark.plans.q_datapipe import bm25_scores
+
+    index_root = str(tmp_path / "idx")
+    _fold_two_batches(docs, index_root)
+
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_query(spark, index_root, TERMS, topn=50)
+        .select("doc_id", stable_round(F.col("bm25"), 6).alias("bm25"))
+        .collect()
+    }
+    want = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .select("doc_id", stable_round(F.col("score"), 6).alias("bm25"))
+        .collect()
+    }
+    assert got == want and len(got) == 50
+
+
+def test_replayed_batch_is_idempotent(spark, docs, tmp_path):
+    import os
+
+    index_root = str(tmp_path / "idx")
+    _fold_two_batches(docs, index_root)
+    n_post = read_table(spark, os.path.join(index_root, "postings")).count()
+    n_len = read_table(spark, os.path.join(index_root, "doclens")).count()
+    # crash/retry of batch 1
+    index_batch(docs.filter(F.col("doc_id") % 2 == 1), index_root, 1)
+    assert read_table(spark, os.path.join(index_root, "postings")).count() == n_post
+    assert read_table(spark, os.path.join(index_root, "doclens")).count() == n_len
+
+
+def test_query_scan_prunes_term_buckets(spark, docs, tmp_path):
+    index_root = str(tmp_path / "idx")
+    _fold_two_batches(docs, index_root)
+    plan = (
+        bm25_query(spark, index_root, TERMS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "term_bucket" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], "query did not prune postings partitions:\n" + plan
+
+
+def test_streaming_wrapper_builds_same_index(spark, docs, tmp_path):
+    import os
+
+    landing = str(tmp_path / "landing")
+    docs.filter(F.col("doc_id") < 250).write.parquet(landing)
+    docs.filter(F.col("doc_id") >= 250).write.mode("append").parquet(landing)
+
+    index_root = str(tmp_path / "idx_stream")
+    q = stream_index_documents(
+        spark,
+        spark.readStream.schema(docs.schema).parquet(landing),
+        index_root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    ref_root = str(tmp_path / "idx_ref")
+    index_batch(docs, ref_root, 0)
+    got = {
+        (r["term"], r["doc_id"], r["f"])
+        for r in read_table(spark, os.path.join(index_root, "postings")).collect()
+    }
+    want = {
+        (r["term"], r["doc_id"], r["f"])
+        for r in read_table(spark, os.path.join(ref_root, "postings")).collect()
+    }
+    assert got == want
