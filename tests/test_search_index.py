@@ -107,3 +107,55 @@ def test_streaming_wrapper_builds_same_index(spark, docs, tmp_path):
         for r in read_table(spark, os.path.join(ref_root, "postings")).collect()
     }
     assert got == want
+
+
+def test_horizon_compaction_preserves_queries_and_replay(spark, docs, tmp_path):
+    """compact_ingest_partitions folds batches below the checkpoint horizon
+    into ingest_batch=-1 per term bucket: query results are unchanged, the
+    aged batch dirs are gone, pruning layout survives, and a replay of a
+    live (>= horizon) batch is still idempotent."""
+    import os
+
+    from tickerlake_spark.functions.core import stable_round
+    from tickerlake_spark.storage.maintenance import compact_ingest_partitions
+
+    index_root = str(tmp_path / "idx")
+    post_root = os.path.join(index_root, "postings")
+    thirds = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(thirds):
+        index_batch(b, index_root, i)
+
+    def top50():
+        return [
+            (r["doc_id"], r["bm25"])
+            for r in bm25_query(spark, index_root, TERMS, topn=50)
+            .select("doc_id", stable_round(F.col("bm25"), 6).alias("bm25"))
+            .collect()
+        ]
+
+    before = sorted(top50())
+    n_before = read_table(spark, post_root).count()
+
+    stats = compact_ingest_partitions(spark, post_root, horizon_batch=2)
+    assert stats["rows"] > 0 and stats["files_after"] < stats["files_before"]
+    assert sorted(top50()) == before
+    assert read_table(spark, post_root).count() == n_before
+    batches = {
+        d.split("=")[1]
+        for r, dirs, _f in os.walk(post_root)
+        for d in dirs
+        if d.startswith("ingest_batch=")
+    }
+    assert batches == {"-1", "2"}
+
+    # recompaction with the same horizon is a no-op
+    again = compact_ingest_partitions(spark, post_root, horizon_batch=2)
+    assert again["rows"] == 0
+    # a replayed LIVE batch still overwrites only its own partitions
+    index_batch(thirds[2], index_root, 2)
+    assert read_table(spark, post_root).count() == n_before
+    assert sorted(top50()) == before
+    # folding the now-aged batch 2 in merges with the existing history
+    final = compact_ingest_partitions(spark, post_root, horizon_batch=3)
+    assert final["rows"] > 0
+    assert sorted(top50()) == before

@@ -20,7 +20,7 @@ import uuid
 
 from pyspark.sql import SparkSession
 
-__all__ = ["compact_table", "table_file_stats"]
+__all__ = ["compact_table", "compact_ingest_partitions", "table_file_stats"]
 
 
 def table_file_stats(path: str) -> tuple[int, int]:
@@ -65,3 +65,101 @@ def compact_table(
     shutil.rmtree(old)
     after_n, _ = table_file_stats(path)
     return {"files_before": before_n, "files_after": after_n, "bytes": total}
+
+
+def compact_ingest_partitions(
+    spark: SparkSession,
+    path: str,
+    horizon_batch: int,
+    batch_col: str = "ingest_batch",
+) -> dict:
+    """Collapse ``{batch_col} < horizon_batch`` partitions into a single
+    ``{batch_col}=-1`` history partition per sibling partition directory.
+
+    This is the compaction the incremental indexes
+    (``streaming/vector_ingest.py``, ``streaming/search_index.py``,
+    ``streaming/dedup_stream.py``) need: their exactly-once story relies on
+    a replayed micro-batch overwriting its own ``ingest_batch=N``
+    partition, so whole-table compaction (``compact_table``) — which
+    erases the partition layout — would turn a replay into silent
+    duplication. The safe horizon is the streaming checkpoint's committed
+    offset: Structured Streaming never re-runs a batch whose commit file
+    exists, so batches below it can be merged. -1 is never a real batch
+    id, so later replays of live batches can never collide with compacted
+    history, and re-compaction folds the existing ``-1`` partition in with
+    newly-aged batches.
+
+    Non-partition columns and every OTHER partition level (``cell=`` /
+    ``term_bucket=``) are preserved, so planning-time pruning keeps
+    working. The swap is per-partition-directory renames: new history in,
+    then aged batch dirs out — readers during the swap may briefly see
+    duplicated history rows (the same non-atomicity any object-store
+    rewrite has without a table format's metadata swap); run it from the
+    maintenance path, not concurrently with a query SLA.
+
+    Returns {files_before, files_after, rows} (rows = compacted history
+    rows; 0 when nothing is below the horizon).
+    """
+    from pyspark.sql import functions as F
+
+    files_before, _ = table_file_stats(path)
+    df = spark.read.parquet(path)
+    aged = df.filter((F.col(batch_col) < horizon_batch) & (F.col(batch_col) != -1))
+    n_rows = aged.count()  # newly folded rows; the -1 history itself is not "work"
+    if n_rows == 0:
+        return {"files_before": files_before, "files_after": files_before, "rows": 0}
+    # fold the existing history partition in with the newly aged batches
+    old = df.filter((F.col(batch_col) < horizon_batch) | (F.col(batch_col) == -1))
+
+    # discover the partition spec from the directory layout
+    spec: list[str] = []
+    probe = path
+    while True:
+        subdirs = [
+            d
+            for d in sorted(os.listdir(probe))
+            if "=" in d and os.path.isdir(os.path.join(probe, d))
+        ]
+        if not subdirs:
+            break
+        col = subdirs[0].split("=")[0]
+        spec.append(col)
+        probe = os.path.join(probe, subdirs[0])
+    assert batch_col in spec, f"{batch_col} is not a partition level of {path}"
+
+    tmp = f"{path.rstrip('/')}__hist_{uuid.uuid4().hex[:8]}"
+    (
+        old.withColumn(batch_col, F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy(*spec)
+        .parquet(tmp)
+    )
+
+    # swap in: for each leaf history dir under tmp, replace the matching
+    # dir under path; then drop the aged real-batch dirs
+    def _leaf_dirs(root: str, col: str) -> list[str]:
+        out = []
+        for r, dirs, _files in os.walk(root):
+            for d in dirs:
+                if d.startswith(f"{col}="):
+                    out.append(os.path.relpath(os.path.join(r, d), root))
+        return out
+
+    for rel in _leaf_dirs(tmp, batch_col):
+        dst = os.path.join(path, rel)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(os.path.join(tmp, rel), dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    for rel in _leaf_dirs(path, batch_col):
+        val = rel.rsplit(f"{batch_col}=", 1)[1]
+        if val != "-1" and int(val) < horizon_batch:
+            shutil.rmtree(os.path.join(path, rel))
+
+    files_after, _ = table_file_stats(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": n_rows,
+    }
