@@ -258,3 +258,29 @@ def test_weighted_sample_is_take_ordered(spark, sf_dir):
     plan = _physical_plan(QUERIES["q125_weighted_sample"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert _exchanges(plan) == 0, plan
+
+
+def test_hybrid_rrf_topk_is_take_ordered(spark, sf_dir):
+    """q131's shortlists and final cut must plan as distributed top-k
+    (TakeOrderedAndProject), never a global sort — the property that keeps
+    hybrid retrieval safe when the candidate sets are corpus-sized."""
+    plan = _physical_plan(QUERIES["q131_hybrid_rrf"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # local (per-partition) sorts feeding the shortlist join are fine; a
+    # GLOBAL sort (printed as `Sort [...], true, 0`) is the scale-killer
+    global_sorts = [
+        ln for ln in plan.splitlines() if "Sort [" in ln and "], true," in ln
+    ]
+    assert not global_sorts, (
+        "global sort leaked into the hybrid retrieval plan:\n" + plan
+    )
+
+
+def test_pq_encode_stage_adds_no_exchange(spark, sf_dir):
+    """q127's scan->encode->score pipeline must shuffle nothing: codebooks
+    and ADC tables enter as literals, the only plan breaks are the top-k."""
+    plan = _physical_plan(QUERIES["q127_pq_adc_ann"].fn(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan, (
+        "PQ scoring shuffled the vector table:\n" + plan
+    )
+    assert "TakeOrderedAndProject" in plan
