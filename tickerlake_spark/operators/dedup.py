@@ -26,6 +26,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "embedding_neardup_pairs",
 ]
 
@@ -470,6 +471,57 @@ def ngram_jaccard_pairs(
         inter.withColumn("jaccard", jacc)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT (Broder 1997):
+    |A∩B| / min(|A|, |B|) — the metric that catches a short document
+    subsumed by a longer one (a quoted excerpt, a truncated crawl copy, a
+    benchmark question embedded in a web page), which symmetric Jaccard
+    dilutes below any usable threshold. Same inverted-index postings
+    self-join as ``ngram_jaccard_pairs`` — linear in postings, never
+    all-pairs; the Jaccard value rides along for contrast.
+    """
+    from pyspark import StorageLevel
+
+    ls = (
+        _with_shingles(df, text_col, id_col, shingle_n)
+        .select(
+            "doc_id",
+            F.size("__shingles").alias("__n"),
+            F.explode("__shingles").alias("__s"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = ls.alias("a"), ls.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
+        )
+        .agg(F.count("*").alias("__i"))
+    )
+    cont = F.col("__i") / F.least("__na", "__nb")
+    jacc = F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+    return (
+        inter.withColumn("containment", cont)
+        .withColumn("jaccard", jacc)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "jaccard")
     )
 
 

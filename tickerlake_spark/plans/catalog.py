@@ -172,6 +172,7 @@ _GATE_ORDER = [
     "q128_vocab_topk",
     "q129_bigram_nll",
     "q131_hybrid_rrf",
+    "q132_ngram_containment",
     "q78_connected_components",
     "q79_dedup_canonical",
     "q80_nearest_centroid",

@@ -238,6 +238,81 @@ def q44_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(corpus, text_col="text", id_col="doc_id", threshold=0.5)
 
 
+# documents + injected FRAGMENTS: the first half of each low-id doc's tokens
+# as a new doc — a subsumed excerpt. Containment flags it at ~1.0 where
+# Jaccard sits near |frag|/|full| and misses it.
+_FRAG_CORPUS_SQL = r"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(
+           (regexp_split_to_array(lower(trim(text)), '\s+'))
+             [1 : CAST(floor(len(regexp_split_to_array(lower(trim(text)), '\s+')) / 2.0) AS INT)],
+           ' ') AS text
+  FROM documents WHERE doc_id < 25
+)"""
+
+
+def _fragment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tokens("text")
+    frag = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(
+            F.slice(t, 1, F.floor(F.size(t) / 2).cast("int")), " "
+        ).alias("text"),
+    )
+    return d.unionByName(frag)
+
+
+@register(
+    "q132_ngram_containment",
+    doc="Asymmetric near-dup detection by shingle CONTAINMENT "
+    "(|A∩B|/min(|A|,|B|), Broder 1997) on a corpus with injected "
+    "half-document fragments: a subsumed excerpt scores ~1.0 containment "
+    "while its Jaccard (reported alongside) sits near the length ratio — "
+    "the metric split that matters for quote/truncation dedup and "
+    "benchmark-contamination sweeps. Same linear inverted-index postings "
+    "join as q44; never all-pairs.",
+    oracle=f"""
+WITH {_FRAG_CORPUS_SQL},
+tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM tok WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.c AS DOUBLE) / least(sa.n, sb.n) AS containment,
+       CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.c AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+""",
+)
+def q132_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.dedup import ngram_containment_pairs
+
+    corpus = _fragment_docs(spark, sf_dir)
+    return ngram_containment_pairs(
+        corpus, text_col="text", id_col="doc_id", threshold=0.8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity
 # ---------------------------------------------------------------------------
