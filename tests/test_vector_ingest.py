@@ -161,3 +161,48 @@ def test_rerank_returns_exact_distances(spark, emb, structure, tmp_path):
     assert rows[0]["id"] == 0 and rows[0]["d2"] == pytest.approx(0.0, abs=1e-12)
     d2s = [r["d2"] for r in rows]
     assert d2s == sorted(d2s)
+
+
+def test_horizon_compaction_on_vector_index(spark, emb, structure, tmp_path):
+    """compact_ingest_partitions works on the cell=-partitioned vector index
+    too: probes and ADC results are unchanged, aged batches fold into -1."""
+    import os
+
+    from tickerlake_spark.storage.io import write_table
+    from tickerlake_spark.storage.maintenance import compact_ingest_partitions
+
+    gcent, codebooks = structure
+    index = str(tmp_path / "index")
+    halves = [emb.filter(F.col("vec_id") % 2 == i) for i in range(2)]
+    for i, h in enumerate(halves):
+        write_table(
+            encode_vectors(h, gcent, codebooks).withColumn(
+                "ingest_batch", F.lit(i)
+            ),
+            index,
+            mode="overwrite",
+            partition_by=["cell", "ingest_batch"],
+            dynamic=True,
+        )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    before = [
+        (r["id"], r["cell"])
+        for r in ivfpq_index_topk(spark, index, gcent, codebooks, qvec, k=10).collect()
+    ]
+    stats = compact_ingest_partitions(spark, index, horizon_batch=2)
+    assert stats["rows"] == emb.count()
+    after = [
+        (r["id"], r["cell"])
+        for r in ivfpq_index_topk(spark, index, gcent, codebooks, qvec, k=10).collect()
+    ]
+    assert after == before
+    batches = {
+        d.split("=")[1]
+        for _r, dirs, _f in os.walk(index)
+        for d in dirs
+        if d.startswith("ingest_batch=")
+    }
+    assert batches == {"-1"}
