@@ -77,10 +77,30 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
                 )
 
 
+def _assert_flat_schema(df, name):
+    """The driver's canonicalizer lexsorts result columns with pandas, which
+    cannot hash list/dict cells — an array/map/struct-typed output column
+    crashes the correctness gate (q90, round 3). Every catalog query must
+    emit only atomic columns."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-atomic output columns {bad} — flatten them "
+        f"(getItem/posexplode/to_json); the driver cannot hash these"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, duck, sf_dir, name):
     spec = QUERIES[name]
-    spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    sdf = spec.fn(spark, sf_dir)
+    _assert_flat_schema(sdf, name)
+    spark_pdf = sdf.toPandas()
     duck_pdf = duck.execute(spec.oracle).fetchdf()
 
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
@@ -111,4 +131,5 @@ def test_all_rows_only_queries_run(spark, sf_dir):
         if spec.oracle is None:
             df = spec.fn(spark, sf_dir)
             assert df.columns, name
+            _assert_flat_schema(df, name)
             df.limit(5).collect()

@@ -326,7 +326,7 @@ def test_approx_stats_within_error_bounds(spark, sf_dir):
             F.min("value"), F.max("value")
         ).first()
         spread = (hi - lo) or 1.0
-        for got, want in zip(ap.approx_p50_p95, ex.pcts):
+        for got, want in zip((ap.approx_p50, ap.approx_p95), ex.pcts):
             assert abs(got - want) <= 0.05 * spread, (et, got, want)
 
 

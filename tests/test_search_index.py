@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from tickerlake_spark.storage.io import read_table
 from tickerlake_spark.streaming.search_index import (
     bm25_query,
+    compact_index,
     index_batch,
     stream_index_documents,
 )
@@ -136,7 +137,7 @@ def test_horizon_compaction_preserves_queries_and_replay(spark, docs, tmp_path):
     before = sorted(top50())
     n_before = read_table(spark, post_root).count()
 
-    stats = compact_ingest_partitions(spark, post_root, horizon_batch=2)
+    stats = compact_index(spark, index_root, horizon_batch=2)["postings"]
     assert stats["rows"] > 0 and stats["files_after"] < stats["files_before"]
     assert sorted(top50()) == before
     assert read_table(spark, post_root).count() == n_before
@@ -149,13 +150,186 @@ def test_horizon_compaction_preserves_queries_and_replay(spark, docs, tmp_path):
     assert batches == {"-1", "2"}
 
     # recompaction with the same horizon is a no-op
-    again = compact_ingest_partitions(spark, post_root, horizon_batch=2)
+    again = compact_index(spark, index_root, horizon_batch=2)["postings"]
     assert again["rows"] == 0
     # a replayed LIVE batch still overwrites only its own partitions
     index_batch(thirds[2], index_root, 2)
     assert read_table(spark, post_root).count() == n_before
     assert sorted(top50()) == before
     # folding the now-aged batch 2 in merges with the existing history
-    final = compact_ingest_partitions(spark, post_root, horizon_batch=3)
+    final = compact_index(spark, index_root, horizon_batch=3)["postings"]
     assert final["rows"] > 0
     assert sorted(top50()) == before
+
+
+def test_h60_py_matches_spark(spark):
+    """Driver-side bucket hashing must be bit-identical to the Spark-side
+    h60 (the index writer's partitioner) — else queries scan wrong buckets."""
+    from tickerlake_spark.functions.text import h60
+    from tickerlake_spark.streaming.search_index import _h60_py
+
+    words = ["spark", "table", "query", "", "a", "Straße", "naïve", "日本語", "x" * 500]
+    got = {
+        r["t"]: r["h"]
+        for r in spark.createDataFrame([(w,) for w in words], "t string")
+        .select("t", h60(F.col("t")).alias("h"))
+        .collect()
+    }
+    for w in words:
+        assert _h60_py(w) == got[w], w
+
+
+def test_reingested_doc_resolves_latest_wins(spark, docs, tmp_path):
+    """Re-ingesting updated documents in a later batch: bm25_query must score
+    against ONLY the newest version of each doc (stale postings excluded from
+    tf, df, dl, and corpus stats) — identical to an index built fresh from
+    the post-update corpus."""
+    import os
+
+    from tickerlake_spark.functions.core import stable_round
+
+    updated = docs.filter(F.col("doc_id") < 40).withColumn(
+        "text", F.concat(F.lit("spark spark revised edition "), F.col("text"))
+    )
+
+    index_root = str(tmp_path / "idx")
+    index_batch(docs, index_root, 0)
+    index_batch(updated, index_root, 1)  # batch-1 re-ingest of doc_id < 40
+
+    ref_root = str(tmp_path / "ref")
+    current = docs.filter(F.col("doc_id") >= 40).unionByName(updated)
+    index_batch(current, ref_root, 0)
+
+    def top50(root):
+        return [
+            (r["doc_id"], r["bm25"])
+            for r in bm25_query(spark, root, TERMS, topn=50)
+            .select("doc_id", stable_round(F.col("bm25"), 6).alias("bm25"))
+            .collect()
+        ]
+
+    assert sorted(top50(index_root)) == sorted(top50(ref_root))
+
+
+def _top50(spark, index_root):
+    from tickerlake_spark.functions.core import stable_round
+
+    return sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_query(spark, index_root, TERMS, topn=50)
+        .select("doc_id", stable_round(F.col("bm25"), 6).alias("bm25"))
+        .collect()
+    )
+
+
+def _batch_layout(post_root):
+    import os
+
+    return {
+        d.split("=")[1]
+        for _r, dirs, _f in os.walk(post_root)
+        for d in dirs
+        if d.startswith("ingest_batch=")
+    }
+
+
+def _no_markers(post_root):
+    import os
+
+    return not [
+        f
+        for _r, _d, fs in os.walk(post_root)
+        for f in fs
+        if f == "_compact_marker.json"
+    ]
+
+
+def _crash_setup(spark, docs, tmp_path):
+    import os
+
+    index_root = str(tmp_path / "idx")
+    post_root = os.path.join(index_root, "postings")
+    for i in range(3):
+        index_batch(docs.filter(F.col("doc_id") % 3 == i), index_root, i)
+    before = _top50(spark, index_root)
+    n_before = read_table(spark, post_root).count()
+    return index_root, post_root, before, n_before
+
+
+def test_compaction_crash_between_rename_and_delete_is_repaired(
+    spark, docs, tmp_path, monkeypatch
+):
+    """Kill the compactor right after a bucket's new -1 history lands but
+    before its aged dirs are deleted (the r3-ADVICE permanent-duplication
+    window): the marker makes the re-run repair instead of double-folding."""
+    import shutil as _shutil
+
+    from tickerlake_spark.storage import maintenance
+
+    index_root, post_root, before, n_before = _crash_setup(spark, docs, tmp_path)
+
+    real_rmtree = _shutil.rmtree
+    fired = {"v": False}
+
+    def exploding_rmtree(p, *a, **k):
+        sp = str(p)
+        if (
+            not fired["v"]
+            and sp.startswith(post_root)
+            and "__hist_" not in sp
+            and "ingest_batch=" in sp
+            and "ingest_batch=-1" not in sp
+        ):
+            fired["v"] = True
+            raise RuntimeError("simulated crash mid-swap")
+        return real_rmtree(p, *a, **k)
+
+    monkeypatch.setattr(maintenance.shutil, "rmtree", exploding_rmtree)
+    with pytest.raises(RuntimeError):
+        maintenance.compact_ingest_partitions(spark, post_root, horizon_batch=2)
+    monkeypatch.setattr(maintenance.shutil, "rmtree", real_rmtree)
+    assert fired["v"]
+
+    maintenance.compact_ingest_partitions(spark, post_root, horizon_batch=2)
+    compact_index(spark, index_root, horizon_batch=2)  # align doclens
+    assert read_table(spark, post_root).count() == n_before
+    assert _top50(spark, index_root) == before
+    assert _batch_layout(post_root) == {"-1", "2"}
+    assert _no_markers(post_root)
+    # and converged: a further run folds nothing
+    assert (
+        maintenance.compact_ingest_partitions(spark, post_root, horizon_batch=2)["rows"]
+        == 0
+    )
+
+
+def test_compaction_crash_before_rename_is_repaired(spark, docs, tmp_path, monkeypatch):
+    """Kill the compactor after the marker is written but before the bucket's
+    new -1 dir is renamed in: the re-run's repair completes the rename from
+    the staged dir, then deletes the aged dirs."""
+    import os as _os
+
+    from tickerlake_spark.storage import maintenance
+
+    index_root, post_root, before, n_before = _crash_setup(spark, docs, tmp_path)
+
+    real_rename = _os.rename
+    fired = {"v": False}
+
+    def exploding_rename(src, dst, *a, **k):
+        if not fired["v"] and "__hist_" in str(src) and str(dst).startswith(post_root):
+            fired["v"] = True
+            raise RuntimeError("simulated crash pre-rename")
+        return real_rename(src, dst, *a, **k)
+
+    monkeypatch.setattr(maintenance.os, "rename", exploding_rename)
+    with pytest.raises(RuntimeError):
+        maintenance.compact_ingest_partitions(spark, post_root, horizon_batch=2)
+    monkeypatch.setattr(maintenance.os, "rename", real_rename)
+    assert fired["v"]
+
+    compact_index(spark, index_root, horizon_batch=2)
+    assert read_table(spark, post_root).count() == n_before
+    assert _top50(spark, index_root) == before
+    assert _batch_layout(post_root) == {"-1", "2"}
+    assert _no_markers(post_root)

@@ -65,9 +65,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` is written as Parquet TIMESTAMP(NANOS), which Spark's
     reader rejects outright; we read nanos as long
-    (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds —
-    exactly what DuckDB's TIMESTAMP does with the same file, keeping the
-    oracle aligned.
+    (spark.sql.legacy.parquet.nanosAsLong — set at session build in
+    session.py::get_spark) and truncate to microseconds — exactly what
+    DuckDB's TIMESTAMP does with the same file, keeping the oracle aligned.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
@@ -75,7 +75,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Sessions we build get this conf in get_spark; the correctness driver
+    # hands us a session it built itself, so set defensively if absent.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
@@ -138,17 +141,18 @@ def oracle_map() -> dict[str, str]:
 
 _LOADED = False
 
-# Execution order for the correctness gate. The driver runs queries in dict
-# order under a time budget (~50 queries/round), so ordering is evidence
-# routing: queries that have NEVER received a driver correctness row run
-# FIRST (r3 rotation — the SURVEY §2 finance heart q31-q38, then the
-# dedup/ANN flagships, then the rest of the never-checked set, then the two
-# r3 oracle-dtype fixes q72/q83), followed by previously-green queries
-# cheapest-first (measured sf0.01 wall time, tools/profile_queries.py) as
-# regression fill. Rotate again next round: promote whatever the driver
-# still hasn't reached. Names missing from this list (new queries) run
-# last, in registration order.
-_GATE_ORDER = [
+# Static cost/priority ranking for the correctness gate (measured sf0.01
+# wall time, tools/profile_queries.py — cheapest/most-valuable first within
+# each evidence tier). The ACTUAL gate order is GENERATED at catalog load by
+# `_gate_sort_key`: queries that have never received a GREEN driver
+# correctness row (union of CORRECTNESS_r*.json at the repo root — missing,
+# errored, or hash-mismatched rows all count as unchecked) run FIRST, then
+# previously-green queries as regression fill; this ranking only breaks
+# ties within each tier. New queries missing from this list run at the head
+# of their tier in registration order. This kills the hand-rotation failure
+# mode: a registered query can no longer silently sit in an unreachable
+# tail across rounds.
+_COST_RANK = [
     "q31_split_adjust",
     "q32_resample_weekly",
     "q33_resample_monthly",
@@ -304,11 +308,45 @@ def _ensure_loaded() -> None:
         q_streaming,
     )
 
-    rank = {n: i for i, n in enumerate(_GATE_ORDER)}
-    ordered = sorted(
-        QUERIES, key=lambda n: (rank.get(n, len(rank)), list(QUERIES).index(n))
-    )
-    reordered = {n: QUERIES[n] for n in ordered}
+    reordered = {n: QUERIES[n] for n in gate_order(list(QUERIES))}
     QUERIES.clear()
     QUERIES.update(reordered)
     _LOADED = True
+
+
+def driver_green_queries() -> set[str]:
+    """Names with at least one GREEN driver correctness row across every
+    CORRECTNESS_r*.json at the repo root. Green = the row exists, raised no
+    harness error, and (for oracle-checked queries) hash-matched. Errored or
+    mismatched rows deliberately do NOT count — those queries must re-run
+    first until the hard signal says they pass."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            if row.get("hash_match") is False or row.get("rows_match") is False:
+                continue
+            if row.get("schema_match") is False:
+                continue
+            green.add(name)
+    return green
+
+
+def gate_order(names: list[str]) -> list[str]:
+    """Driver execution order: never-green-checked queries first (the driver
+    samples ~50 queries/round in dict order under a time budget), then
+    green-checked regression fill; _COST_RANK breaks ties in both tiers."""
+    green = driver_green_queries()
+    rank = {n: i for i, n in enumerate(_COST_RANK)}
+    reg = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (n in green, rank.get(n, -1), reg[n]))

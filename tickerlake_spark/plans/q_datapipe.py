@@ -976,14 +976,19 @@ def q89_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cardinality, and sketches merge associatively across partitions — no "
     "per-group value multiset ever materializes. No SQL oracle (sketch "
     "estimates are engine-specific); accuracy is bounded against the exact "
-    "answers in test_scale_operators.py.",
+    "answers in test_scale_operators.py. Quantiles are emitted as SCALAR "
+    "approx_p50/approx_p95 columns (not one array column): the driver's "
+    "canonicalizer lexsorts output columns with pandas, which cannot hash "
+    "list cells — catalog outputs must stay flat.",
     oracle=None,
 )
 def q90_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), 10_000)
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10_000).alias("approx_p50_p95"),
+        pcts.getItem(0).alias("approx_p50"),
+        pcts.getItem(1).alias("approx_p95"),
         F.count("*").alias("n"),
     )
 

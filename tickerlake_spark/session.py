@@ -58,6 +58,10 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's reader
+        # rejects outright; read nanos as long and truncate to micros at
+        # load (plans/catalog.py::load_table) — same semantics as DuckDB.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Broadcast threshold: dimension tables (region/nation/tickers/splits)
         # are tiny even at 100 TB fact scale; 64m is a safe ceiling.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -91,17 +91,25 @@ def compact_ingest_partitions(
 
     Non-partition columns and every OTHER partition level (``cell=`` /
     ``term_bucket=``) are preserved, so planning-time pruning keeps
-    working. The swap is per-partition-directory renames: new history in,
-    then aged batch dirs out — readers during the swap may briefly see
-    duplicated history rows (the same non-atomicity any object-store
-    rewrite has without a table format's metadata swap); run it from the
-    maintenance path, not concurrently with a query SLA.
+    working. The swap is per-bucket and CRASH-SAFE: before touching a
+    bucket we drop a ``_compact_marker.json`` in it recording the staged
+    history dir and the aged dirs to remove, then rename the new ``-1``
+    in, delete that bucket's aged dirs, and remove the marker. A re-run
+    after a crash first repairs any marked bucket (finish the rename if
+    the staged dir still exists, then finish the deletes) — so aged rows
+    can never be folded into a ``-1`` history that already contains them.
+    Readers during a bucket's swap may briefly see duplicated history
+    rows (the same non-atomicity any object-store rewrite has without a
+    table format's metadata swap); run it from the maintenance path, not
+    concurrently with a query SLA. Spark ignores ``_``-prefixed files, so
+    a marker never breaks a concurrent scan.
 
     Returns {files_before, files_after, rows} (rows = compacted history
     rows; 0 when nothing is below the horizon).
     """
     from pyspark.sql import functions as F
 
+    _repair_partial_compaction(path)
     files_before, _ = table_file_stats(path)
     df = spark.read.parquet(path)
     aged = df.filter((F.col(batch_col) < horizon_batch) & (F.col(batch_col) != -1))
@@ -125,7 +133,8 @@ def compact_ingest_partitions(
         col = subdirs[0].split("=")[0]
         spec.append(col)
         probe = os.path.join(probe, subdirs[0])
-    assert batch_col in spec, f"{batch_col} is not a partition level of {path}"
+    if batch_col not in spec:
+        raise ValueError(f"{batch_col} is not a partition level of {path}")
 
     tmp = f"{path.rstrip('/')}__hist_{uuid.uuid4().hex[:8]}"
     (
@@ -135,27 +144,25 @@ def compact_ingest_partitions(
         .parquet(tmp)
     )
 
-    # swap in: for each leaf history dir under tmp, replace the matching
-    # dir under path; then drop the aged real-batch dirs
-    def _leaf_dirs(root: str, col: str) -> list[str]:
-        out = []
-        for r, dirs, _files in os.walk(root):
-            for d in dirs:
-                if d.startswith(f"{col}="):
-                    out.append(os.path.relpath(os.path.join(r, d), root))
-        return out
-
+    # Per-bucket crash-safe swap. A "bucket" is the parent directory of the
+    # batch_col= leaves (the table root itself when batch_col is the only
+    # partition level). For each bucket with staged history: marker in,
+    # -1 dir renamed in, aged dirs out, marker removed.
+    leaf = f"{batch_col}=-1"
     for rel in _leaf_dirs(tmp, batch_col):
-        dst = os.path.join(path, rel)
+        bucket_rel = os.path.dirname(rel)  # "" at table root
+        bucket = os.path.join(path, bucket_rel) if bucket_rel else path
+        os.makedirs(bucket, exist_ok=True)
+        aged = _aged_batch_dirs(bucket, batch_col, horizon_batch)
+        _write_marker(bucket, {"staged": os.path.join(tmp, rel), "aged": aged})
+        dst = os.path.join(bucket, leaf)
         if os.path.isdir(dst):
             shutil.rmtree(dst)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(os.path.join(tmp, rel), dst)
+        for d in aged:
+            shutil.rmtree(os.path.join(bucket, d), ignore_errors=True)
+        os.remove(os.path.join(bucket, _MARKER))
     shutil.rmtree(tmp, ignore_errors=True)
-    for rel in _leaf_dirs(path, batch_col):
-        val = rel.rsplit(f"{batch_col}=", 1)[1]
-        if val != "-1" and int(val) < horizon_batch:
-            shutil.rmtree(os.path.join(path, rel))
 
     files_after, _ = table_file_stats(path)
     return {
@@ -163,3 +170,66 @@ def compact_ingest_partitions(
         "files_after": files_after,
         "rows": n_rows,
     }
+
+
+_MARKER = "_compact_marker.json"
+
+
+def _leaf_dirs(root: str, col: str) -> list[str]:
+    out = []
+    for r, dirs, _files in os.walk(root):
+        for d in dirs:
+            if d.startswith(f"{col}="):
+                out.append(os.path.relpath(os.path.join(r, d), root))
+    return sorted(out)
+
+
+def _aged_batch_dirs(bucket: str, batch_col: str, horizon_batch: int) -> list[str]:
+    """Names of this bucket's real-batch dirs below the horizon."""
+    out = []
+    for d in sorted(os.listdir(bucket)):
+        if not d.startswith(f"{batch_col}="):
+            continue
+        val = d.split("=", 1)[1]
+        try:
+            if int(val) != -1 and int(val) < horizon_batch:
+                out.append(d)
+        except ValueError:
+            continue
+    return out
+
+
+def _write_marker(bucket: str, payload: dict) -> None:
+    import json
+
+    tmp = os.path.join(bucket, _MARKER + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(bucket, _MARKER))
+
+
+def _repair_partial_compaction(path: str) -> None:
+    """Finish any bucket swap a crashed compaction left mid-flight.
+
+    Marker semantics: {"staged": abs-path of the new -1 dir under the tmp
+    root, "aged": [batch dir names to delete]}. If the staged dir still
+    exists the crash hit before the rename — redo it; either way the aged
+    dirs are then safe to delete (the -1 history in place already contains
+    their rows). Idempotent; called before every compaction and usable
+    standalone after a crash."""
+    import json
+
+    for r, dirs, files in os.walk(path):
+        if _MARKER not in files:
+            continue
+        with open(os.path.join(r, _MARKER)) as f:
+            m = json.load(f)
+        staged = m["staged"]
+        if os.path.isdir(staged):
+            dst = os.path.join(r, os.path.basename(staged))
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.rename(staged, dst)
+        for d in m["aged"]:
+            shutil.rmtree(os.path.join(r, d), ignore_errors=True)
+        os.remove(os.path.join(r, _MARKER))

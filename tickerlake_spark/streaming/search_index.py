@@ -26,6 +26,15 @@ an index identical to indexing the concatenated corpus in one pass, and
 tokenization path (``plans/q_datapipe.py::bm25_scores``) — gated by
 ``tests/test_search_index.py``.
 
+Document updates: re-ingesting a doc_id in a later batch leaves the old
+batch's postings/doclens rows in place; ``bm25_query`` resolves this
+latest-``ingest_batch``-wins per doc_id, so queries see only the newest
+version. The resolution window is the compaction horizon: once
+``compact_ingest_partitions`` folds both versions into the ``-1`` history
+partition the batch ids that disambiguate them are gone — compact only
+below the offset where updates are settled, or route updates through a
+keyed MERGE (``storage/upsert.py``) instead of re-ingest.
+
 At 100 TB: per-batch work is tokenize + one (doc, term) hash agg — linear,
 no history touched. Query work is |terms| bucket-pruned postings scans +
 two broadcast scalars. Compact each term_bucket's small ingest files
@@ -42,9 +51,18 @@ from pyspark.sql import functions as F
 from tickerlake_spark.functions.text import h60, tokens
 from tickerlake_spark.storage.io import read_table, write_table
 
-__all__ = ["index_batch", "stream_index_documents", "bm25_query"]
+__all__ = ["index_batch", "stream_index_documents", "bm25_query", "compact_index"]
 
 N_BUCKETS = 64
+
+
+def _h60_py(s: str) -> int:
+    """Driver-side twin of ``functions.text.h60`` (md5 hex prefix, 60-bit
+    non-negative int) — exact-match parity is pinned by
+    ``tests/test_search_index.py::test_h60_py_matches_spark``."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
 def _postings_and_doclens(
@@ -110,6 +128,27 @@ def stream_index_documents(
     )
 
 
+def compact_index(spark: SparkSession, index_root: str, horizon_batch: int) -> dict:
+    """Fold aged batches of BOTH index tables at the SAME horizon.
+
+    The index is one unit: ``bm25_query``'s latest-wins resolution joins
+    postings to doclens on the winning ``ingest_batch``, which only stays
+    aligned if the two tables are compacted together — compacting just one
+    would leave e.g. postings at ``-1`` while doclens still says ``0`` and
+    silently drop those documents from results. Always use this entry
+    point, not per-table ``compact_ingest_partitions``."""
+    from tickerlake_spark.storage.maintenance import compact_ingest_partitions
+
+    return {
+        "postings": compact_ingest_partitions(
+            spark, os.path.join(index_root, "postings"), horizon_batch
+        ),
+        "doclens": compact_ingest_partitions(
+            spark, os.path.join(index_root, "doclens"), horizon_batch
+        ),
+    }
+
+
 def bm25_query(
     spark: SparkSession,
     index_root: str,
@@ -122,36 +161,44 @@ def bm25_query(
     the index alone — same formula (and same float arithmetic) as
     ``plans/q_datapipe.py::bm25_scores``, but the postings scan carries a
     ``term_bucket`` partition filter + a ``term`` predicate instead of
-    re-tokenizing the corpus."""
-    buckets = sorted(
-        {
-            int(r["b"])
-            for r in spark.createDataFrame([(t,) for t in terms], "term string")
-            .select(F.pmod(h60(F.col("term")), F.lit(N_BUCKETS)).alias("b"))
-            .collect()
-        }
-    )
+    re-tokenizing the corpus. Buckets are hashed DRIVER-SIDE (the same
+    md5-prefix arithmetic as ``functions.text.h60``) so the query is a
+    single Spark job — no createDataFrame+collect warm-up. Re-ingested
+    documents resolve latest-``ingest_batch``-wins (see module doc)."""
+    buckets = sorted({_h60_py(t) % N_BUCKETS for t in terms})
     postings = (
         read_table(spark, os.path.join(index_root, "postings"))
         .filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(*terms))
     )
-    doclens = read_table(spark, os.path.join(index_root, "doclens")).select(
-        "doc_id", "dl"
+    # Latest-wins doc resolution: one pass over doclens picks each doc's
+    # winning batch + its dl; postings join on (doc_id, winning batch)
+    # BEFORE document frequencies so stale versions never inflate df.
+    doclens = (
+        read_table(spark, os.path.join(index_root, "doclens"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr("max_by(dl, ingest_batch)").alias("dl"),
+            F.max("ingest_batch").alias("win_batch"),
+        )
     )
     stats = doclens.agg(
         F.count("*").alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     )
-    dfreq = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    live = postings.join(
+        doclens,
+        (postings["doc_id"] == doclens["doc_id"])
+        & (postings["ingest_batch"] == doclens["win_batch"]),
+    ).select(postings["doc_id"], "term", "f", "dl")
+    dfreq = live.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     part = (
         F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
         * (F.col("f") * (k1 + 1.0))
         / (F.col("f") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )
     scored = (
-        postings.join(F.broadcast(dfreq), "term")
-        .join(doclens, "doc_id")
+        live.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn("part", part)
         .groupBy("doc_id")
