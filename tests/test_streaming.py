@@ -426,6 +426,105 @@ def test_bronze_to_silver_stream_matches_batch(spark, tmp_path):
         ), ind_table
 
 
+def test_bronze_to_gold_stream_matches_batch(spark, tmp_path):
+    """The full streaming medallion (with_gold=True) must leave every GOLD
+    table equal to a batch run_silver + run_gold over the same bronze data,
+    across multiple micro-batches, a restart with newly-landed files, and a
+    no-new-data replay (VERDICT r3 item 6). Bars include ~HVC volume spikes
+    so the stair-step/best-pattern paths have real work."""
+    import datetime as dt
+
+    from tickerlake_spark import schemas
+    from tickerlake_spark.pipeline import run_gold, run_silver
+    from tickerlake_spark.sources.calendar import trading_days
+    from tickerlake_spark.storage import Catalog, Checkpoints, read_table, write_table
+    from tickerlake_spark.streaming.medallion import stream_bronze_to_silver
+
+    days = trading_days(dt.date(2024, 1, 2), dt.date(2024, 3, 27))
+    rows = []
+    for k, t in enumerate(["AAA", "BBB", "CCC"]):
+        drift = 0.5 if k < 2 else -0.5  # AAA/BBB trend up, CCC down ->
+        for i, d in enumerate(days):    # rising AND falling stair-steps
+            vol = 1000 + 40 * (i % 9)
+            if i % 11 == k + 3:  # periodic 8x volume spikes -> HVC events
+                vol *= 8
+            close = 100.0 + ((i * 7 + k * 3) % 13) % 4 + i * drift
+            rows.append((t, vol, close - 1.0, close, close + 2.0, close - 3.0, d, 10))
+    schema = (
+        "ticker string, volume long, open float, close float, high float, "
+        "low float, date date, transactions long"
+    )
+    all_bars = spark.createDataFrame(rows, schema)
+    splits = spark.createDataFrame(
+        [("s1", days[20], 1.0, 2.0, "AAA")],
+        "id string, execution_date date, split_from float, split_to float, ticker string",
+    )
+    stamp = dt.datetime(2024, 4, 1, 12, 0, 0)
+
+    def seed_bronze(cat, bars, mode="overwrite"):
+        write_table(
+            schemas.conform(bars, schemas.STOCKS).repartition("date"),
+            cat.bronze("stocks"),
+            mode=mode,
+            partition_by="date",
+        )
+
+    # --- streaming catalog: two phases + replay ---------------------------
+    scat = Catalog(root=str(tmp_path / "sdata"))
+    write_table(schemas.conform(splits, schemas.SPLITS), scat.bronze("splits"))
+    ckpt = str(tmp_path / "ckpt")
+    cutoff = days[35]
+    seed_bronze(scat, all_bars.filter(F.col("date") <= F.lit(cutoff)))
+    q = stream_bronze_to_silver(
+        spark, scat, ckpt, max_files_per_trigger=7, with_gold=True,
+        calculated_at=stamp,
+    )
+    q.awaitTermination()
+    seed_bronze(scat, all_bars.filter(F.col("date") > F.lit(cutoff)), mode="append")
+    q = stream_bronze_to_silver(
+        spark, scat, ckpt, max_files_per_trigger=7, with_gold=True,
+        calculated_at=stamp,
+    )
+    q.awaitTermination()
+    q = stream_bronze_to_silver(spark, scat, ckpt, with_gold=True, calculated_at=stamp)
+    q.awaitTermination()  # idempotent replay: no new files
+
+    # --- batch catalog: one-shot full pipeline ----------------------------
+    bcat = Catalog(root=str(tmp_path / "bdata"))
+    write_table(schemas.conform(splits, schemas.SPLITS), bcat.bronze("splits"))
+    seed_bronze(bcat, all_bars)
+    bckpt = Checkpoints(path=str(tmp_path / "bdata" / "checkpoints.json"))
+    run_silver(spark, bcat, bckpt)
+    run_gold(spark, bcat, calculated_at=stamp, checkpoints=bckpt)
+
+    def rows_of(df):
+        rounded = df.select(
+            *[
+                F.round(c, 9).alias(c) if t == "double" else F.col(c)
+                for c, t in df.dtypes
+            ]
+        )
+        return sorted(map(tuple, rounded.collect()))
+
+    for table in (
+        "vwap_signals",
+        "hvc_daily",
+        "hvc_weekly",
+        "hvc_monthly",
+        "stairstep_up",
+        "stairstep_down",
+        "best_patterns",
+        "best_patterns_down",
+    ):
+        got = rows_of(read_table(spark, scat.gold(table)))
+        want = rows_of(read_table(spark, bcat.gold(table)))
+        assert got == want, f"gold.{table}: stream != batch"
+    # and the gold tables are non-trivial (the generator made real events)
+    assert len(rows_of(read_table(spark, scat.gold("hvc_daily")))) > 0
+    assert len(rows_of(read_table(spark, scat.gold("stairstep_up")))) > 0
+    assert len(rows_of(read_table(spark, scat.gold("stairstep_down")))) > 0
+
+
 # ---------------------------------------------------------------------------
 # incremental near-dup dedup stream (streaming/dedup_stream.py)
 

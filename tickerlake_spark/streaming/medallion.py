@@ -33,7 +33,11 @@ from tickerlake_spark.operators.incremental_silver import (
 from tickerlake_spark.operators.splits import apply_splits
 from tickerlake_spark.storage import Catalog, read_table, table_exists, upsert_table
 
-__all__ = ["silver_maintenance_batch", "stream_bronze_to_silver"]
+__all__ = [
+    "silver_maintenance_batch",
+    "gold_maintenance_batch",
+    "stream_bronze_to_silver",
+]
 
 
 def silver_maintenance_batch(
@@ -103,6 +107,134 @@ def silver_maintenance_batch(
         )
 
 
+def gold_maintenance_batch(
+    spark: SparkSession,
+    catalog: Catalog,
+    batch: DataFrame,
+    hvc_threshold: float = 3.0,
+    min_steps: int = 3,
+    calculated_at=None,
+) -> None:
+    """Advance every gold table for one micro-batch (VERDICT r3 item 6).
+
+    Runs AFTER ``silver_maintenance_batch`` in the same sink, so silver
+    already reflects the batch. Per-table bounded recompute, mirroring
+    ``pipeline.run_gold``'s incremental arm but scoped to the batch:
+
+    - vwap_signals: YTD/QTD cumulative sums reset at year boundaries and
+      only rows of tickers IN the batch can change — recompute the batch
+      tickers' signals over the calendar-year slice from ``since``'s Jan 1
+      and upsert rows with date >= since (earlier rows of the year are
+      provably unchanged: cumulative sums only look backward).
+    - hvc_daily: silver recomputed indicator rows from ``since`` onward, so
+      events on those dates are re-derived and date-replaced (an event can
+      DISAPPEAR when a replayed/late row drops the ratio below threshold —
+      replace, never append).
+    - hvc_weekly/monthly: same, from the open bucket's start.
+    - stairsteps: a changed event can extend/merge/split a ticker's
+      islands; every batch ticker's full pattern set is recomputed and
+      group-replaced (a merged island below min_steps must delete rows).
+    - best_patterns: recomputed from the (tiny) pattern tables.
+
+    Idempotent for the same reason as the silver hop: all writes are keyed
+    upserts/replacements of deterministically-recomputed slices, so a
+    replayed micro-batch converges to byte-identical tables. Per-batch cost
+    is O(batch tickers x bounded context), never O(history).
+    """
+    import datetime as _dt
+
+    from tickerlake_spark.operators.hvc import (
+        best_patterns,
+        hvc_events,
+        stairstep_patterns,
+    )
+    from tickerlake_spark.operators.vwap import vwap_signals
+    from tickerlake_spark.pipeline import _bucket_start
+    from tickerlake_spark.storage import replace_keys, write_table
+
+    if batch.isEmpty():
+        return
+    since = batch.agg(F.min("date")).first()[0]
+    tickers = batch.select("ticker").distinct()
+    daily = read_table(spark, catalog.silver("daily_aggregates"))
+
+    year_start = _dt.date(since.year, 1, 1)
+    aff_daily = daily.join(tickers, "ticker", "left_semi")
+    sig = vwap_signals(
+        aff_daily.filter(F.col("date") >= F.lit(year_start)),
+        calculated_at=calculated_at,
+    ).filter(F.col("date") >= F.lit(since))
+    upsert_table(
+        spark,
+        catalog.gold("vwap_signals"),
+        schemas.conform(sig, schemas.VWAP_SIGNALS),
+        keys=["ticker", "date"],
+        validate_unique=False,
+    )
+
+    ind_slice = read_table(spark, catalog.silver("daily_indicators")).filter(
+        F.col("date") >= F.lit(since)
+    )
+    ev = hvc_events(
+        ind_slice, daily.filter(F.col("date") >= F.lit(since)), threshold=hvc_threshold
+    )
+    replace_keys(
+        spark,
+        catalog.gold("hvc_daily"),
+        ind_slice.select("date").distinct(),
+        schemas.conform(ev, schemas.HVC_EVENTS),
+        keys=["date"],
+    )
+
+    for period, ind_table, agg_table, out in (
+        ("week", "weekly_indicators", "weekly_aggregates", "hvc_weekly"),
+        ("month", "monthly_indicators", "monthly_aggregates", "hvc_monthly"),
+    ):
+        bs = _bucket_start(period, since)
+        p_ind = read_table(spark, catalog.silver(ind_table)).filter(
+            F.col("date") >= F.lit(bs)
+        )
+        p_agg = read_table(spark, catalog.silver(agg_table)).filter(
+            F.col("date") >= F.lit(bs)
+        )
+        p_ev = hvc_events(p_ind, p_agg, threshold=hvc_threshold)
+        replace_keys(
+            spark,
+            catalog.gold(out),
+            p_ind.select("date").distinct(),
+            schemas.conform(p_ev, schemas.HVC_EVENTS),
+            keys=["date"],
+        )
+
+    all_events = read_table(spark, catalog.gold("hvc_daily"))
+    aff_events = all_events.join(tickers, "ticker", "left_semi")
+    aff_closes = daily.select("ticker", "date", "close").join(
+        tickers, "ticker", "left_semi"
+    )
+    for direction, table in (("up", "stairstep_up"), ("down", "stairstep_down")):
+        pats = stairstep_patterns(
+            aff_events.select("ticker", "date"),
+            aff_closes,
+            min_steps=min_steps,
+            direction=direction,
+        )
+        replace_keys(
+            spark,
+            catalog.gold(table),
+            tickers,
+            schemas.conform(pats, schemas.STAIRSTEP_PATTERNS),
+            keys=["ticker"],
+        )
+    for src, out in (
+        ("stairstep_up", "best_patterns"),
+        ("stairstep_down", "best_patterns_down"),
+    ):
+        best = best_patterns(read_table(spark, catalog.gold(src)))
+        write_table(
+            schemas.conform(best, schemas.STAIRSTEP_PATTERNS), catalog.gold(out)
+        )
+
+
 def stream_bronze_to_silver(
     spark: SparkSession,
     catalog: Catalog,
@@ -110,6 +242,10 @@ def stream_bronze_to_silver(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     checkpoints=None,
+    with_gold: bool = False,
+    hvc_threshold: float = 3.0,
+    min_steps: int = 3,
+    calculated_at=None,
 ):
     """Start the bronze->silver maintenance stream; returns the query.
 
@@ -128,6 +264,11 @@ def stream_bronze_to_silver(
     full rewrite over all of bronze (including this batch's already-landed
     files) and re-records the fingerprint. Without ``checkpoints`` the
     stream keeps the reference's weaker semantics (incremental only).
+
+    ``with_gold=True`` chains ``gold_maintenance_batch`` after each silver
+    hop, so the full medallion (bronze -> silver -> gold) advances per
+    micro-batch; on the splits-change full-rewrite path gold is rebuilt
+    fully too (``pipeline.run_gold``), since its history is equally stale.
     """
     reader = (
         spark.readStream.schema(schemas.STOCKS)
@@ -155,8 +296,27 @@ def stream_bronze_to_silver(
                 # of the incremental upsert (batch files are already in
                 # bronze, so run_silver sees them too)
                 run_silver(batch_df.sparkSession, catalog, checkpoints)
+                if with_gold:
+                    from tickerlake_spark.pipeline import run_gold
+
+                    run_gold(
+                        batch_df.sparkSession,
+                        catalog,
+                        hvc_threshold=hvc_threshold,
+                        min_steps=min_steps,
+                        calculated_at=calculated_at,
+                    )
                 return
         silver_maintenance_batch(batch_df.sparkSession, catalog, batch_df)
+        if with_gold:
+            gold_maintenance_batch(
+                batch_df.sparkSession,
+                catalog,
+                batch_df,
+                hvc_threshold=hvc_threshold,
+                min_steps=min_steps,
+                calculated_at=calculated_at,
+            )
 
     writer = (
         stream.writeStream.foreachBatch(sink)

@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Scale-headroom proof: headline suite at a 10x (sf1.0-equivalent) corpus
+and the e2e pipeline at ~125M bars (VERDICT r3 item 4).
+
+The plan gates argue 100x-survivability structurally; this run backs it
+empirically inside the 128 GiB sandbox. The sf1.0 corpus is built by
+sharded replication of the driver's read-only sf0.1 tables: each copy
+offsets every join key by copy * max_key, so per-key cardinalities, join
+selectivities, and group sizes are preserved while totals grow 10x —
+lineitem reaches TPC-H sf1.0's ~6M rows. Text/vector tables are perturbed
+deterministically per copy (token mutation / hash noise) so the dedup and
+ANN workloads keep a natural near-dup rate instead of 9 exact twins per
+row. This corpus is for THROUGHPUT measurement only — correctness stays
+pinned to the driver's own tables via the DuckDB oracles.
+
+Writes SCALE_PROOF.json at the repo root (with the git commit); bench.py
+embeds it into its JSON line so BENCH_r{N}.json carries the numbers.
+
+Usage: python tools/bench_scale.py [--factor 10] [--tickers 100000]
+       [--skip-e2e] [--keep-data]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# join/identity keys to offset per copy, per table
+OFFSET_KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+# region/nation are true dimensions: kept as-is (25/5 rows at any scale)
+REPLICATED = [t for t in TABLES if t not in ("region", "nation")]
+
+
+def _key_spans(spark, src: str) -> dict[str, int]:
+    """Per key column: a power-of-10 stride larger than max(key)."""
+    from pyspark.sql import functions as F
+
+    spans: dict[str, int] = {}
+    for t, keys in OFFSET_KEYS.items():
+        df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+        row = df.agg(*[F.max(k).alias(k) for k in keys if k in df.columns]).first()
+        for k in keys:
+            if k in df.columns:
+                stride = 10
+                while stride <= int(row[k]):
+                    stride *= 10
+                # shared keys must share a stride (l_suppkey vs s_suppkey)
+                base = k.split("_", 1)[1]
+                spans[base] = max(spans.get(base, 0), stride)
+    return spans
+
+
+def build_scaled_dir(spark, src: str, dst: str, factor: int) -> dict[str, int]:
+    from pyspark.sql import functions as F
+
+    os.makedirs(dst, exist_ok=True)
+    spans = _key_spans(spark, src)
+    counts: dict[str, int] = {}
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+        out_path = os.path.join(dst, f"{t}.parquet")
+        if t not in REPLICATED:
+            df.write.mode("overwrite").parquet(out_path)
+            counts[t] = df.count()
+            continue
+        copies = []
+        for c in range(factor):
+            cp = df
+            for k in OFFSET_KEYS.get(t, []):
+                if k in df.columns:
+                    stride = spans[k.split("_", 1)[1]]
+                    cp = cp.withColumn(k, F.col(k) + F.lit(c * stride))
+            if t == "documents" and "text" in df.columns and c > 0:
+                # mutate ~20% of tokens per copy: near-dup rate stays natural
+                cp = cp.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), r"\s+"),
+                            lambda w, i: F.when(
+                                F.pmod(F.xxhash64(w, i, F.lit(c)), F.lit(5)) == 0,
+                                F.concat(w, F.lit(f"_{c}")),
+                            ).otherwise(w),
+                        ),
+                        " ",
+                    ),
+                )
+            if t == "embeddings" and "embedding" in df.columns and c > 0:
+                # hash-noise perturbation (±2.5%) so vectors aren't twins
+                cp = cp.withColumn(
+                    "embedding",
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x, i: (
+                            x
+                            + (
+                                F.pmod(
+                                    F.xxhash64(F.col("vec_id"), i, F.lit(c)),
+                                    F.lit(1000),
+                                )
+                                / 1000.0
+                                - 0.5
+                            ).cast("float")
+                            * F.lit(0.05)
+                        ).cast("float"),
+                    ),
+                )
+            copies.append(cp)
+        big = copies[0]
+        for cp in copies[1:]:
+            big = big.unionByName(cp)
+        big.write.mode("overwrite").parquet(out_path)
+        counts[t] = spark.read.parquet(out_path).count()
+    return counts
+
+
+def run(factor: int = 10, tickers: int = 100_000, skip_e2e: bool = False,
+        keep_data: bool = False) -> dict:
+    from tickerlake_spark.plans import QUERIES
+    from tickerlake_spark.plans.catalog import _ensure_loaded
+    from tickerlake_spark.session import get_spark
+
+    _ensure_loaded()
+    spark = get_spark(app_name="tickerlake-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    dst = os.path.join(tempfile.gettempdir(), f"tickerlake_sf{factor}x")
+    t0 = time.perf_counter()
+    counts = build_scaled_dir(spark, src, dst, factor)
+    gen_sec = round(time.perf_counter() - t0, 2)
+
+    bench_queries = {n: s for n, s in QUERIES.items() if s.bench}
+    for spec in bench_queries.values():  # warmup (codegen)
+        spec.fn(spark, dst).foreachPartition(lambda it: None)
+    timings: dict[str, float] = {}
+    for name, spec in bench_queries.items():
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.fn(spark, dst).foreachPartition(lambda it: None)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 4)
+
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+        capture_output=True, text=True,
+    ).stdout.strip()
+    out = {
+        "metric": "scale_proof",
+        "note": "cached one-off run embedded by bench.py; regenerate with "
+        "tools/bench_scale.py",
+        "commit": commit,
+        "factor": factor,
+        "rows": counts,
+        "gen_sec": gen_sec,
+        "headline_queries_sec": timings,
+        "headline_total_sec": round(sum(timings.values()), 4),
+    }
+    if not keep_data:
+        shutil.rmtree(dst, ignore_errors=True)
+    spark.stop()
+
+    if not skip_e2e:
+        from tools.bench_e2e import run as e2e_run
+
+        out["e2e"] = e2e_run(n_tickers=tickers)
+
+    with open(os.path.join(REPO, "SCALE_PROOF.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--tickers", type=int, default=100_000)
+    ap.add_argument("--skip-e2e", action="store_true")
+    ap.add_argument("--keep-data", action="store_true")
+    a = ap.parse_args()
+    print(json.dumps(run(a.factor, a.tickers, a.skip_e2e, a.keep_data)))
+
+
+if __name__ == "__main__":
+    main()
