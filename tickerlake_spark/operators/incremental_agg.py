@@ -14,7 +14,13 @@ Mergeable measures and their merge functions:
 - max   -> max of partial maxes
 Averages are DERIVED (sum / count) — never merged directly; ``with_ratio``
 adds them after the merge. Non-decomposable aggregates (median, distinct)
-need sketches — see q90's HLL/KLL path.
+need sketches: ``sketch_distinct_delta`` / ``merge_distinct_sketches``
+maintain PERSISTED HyperLogLog sketches (Spark's Datasketches HLL binary
+state) per group, so incremental distinct counts merge exactly like the
+decomposable measures above — per-partition sketches union associatively,
+history is never rescanned, and the merged estimate is BIT-IDENTICAL to a
+one-shot sketch over the concatenated input (same algorithm, associative
+union). q90 is the one-shot read path of the same sketches.
 """
 
 from __future__ import annotations
@@ -22,7 +28,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["aggregate_delta", "merge_aggregates", "with_ratio"]
+__all__ = [
+    "aggregate_delta",
+    "merge_aggregates",
+    "with_ratio",
+    "sketch_distinct_delta",
+    "merge_distinct_sketches",
+    "sketch_estimates",
+]
 
 _AGG = {
     "sum": F.sum,
@@ -76,4 +89,53 @@ def with_ratio(agg: DataFrame, out: str, num: str, den: str) -> DataFrame:
     return agg.withColumn(
         out,
         F.when(F.col(den) != 0, F.col(num) / F.col(den)).otherwise(F.lit(None)),
+    )
+
+
+def sketch_distinct_delta(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    lgk: int = 12,
+    sketch_col: str = "distinct_sketch",
+) -> DataFrame:
+    """(keys..., sketch) per group over the DELTA rows only.
+
+    The sketch is Spark's Datasketches HLL_4 binary state (~2^lgk bytes cap,
+    lgk=12 -> rsd ~1.6%): O(1) per group regardless of cardinality, safe to
+    persist in a parquet rollup. At 100 TB the delta aggregation is one
+    map-side-combined hash agg; the shuffle carries one sketch per touched
+    group, never the value multiset."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(col, F.lit(lgk)).alias(sketch_col)
+    )
+
+
+def merge_distinct_sketches(
+    stored: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sketch_col: str = "distinct_sketch",
+) -> DataFrame:
+    """Merge a delta sketch table into the stored rollup: union + per-group
+    HLL union. Associative and exact w.r.t. the sketch state: merging
+    day-by-day equals sketching the whole history in one pass, so the
+    incremental path can never drift from a full recompute. Upsert the
+    result on ``keys`` (storage/upsert.py) to touch only changed groups."""
+    both = stored.select(*keys, sketch_col).unionByName(
+        delta.select(*keys, sketch_col)
+    )
+    return both.groupBy(*keys).agg(
+        F.hll_union_agg(sketch_col).alias(sketch_col)
+    )
+
+
+def sketch_estimates(
+    sketches: DataFrame,
+    sketch_col: str = "distinct_sketch",
+    out: str = "approx_distinct",
+) -> DataFrame:
+    """Serve the rollup: replace the binary sketch with its long estimate."""
+    return sketches.withColumn(out, F.hll_sketch_estimate(sketch_col)).drop(
+        sketch_col
     )

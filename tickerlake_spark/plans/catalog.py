@@ -195,6 +195,7 @@ _COST_RANK = [
     "q86_trailing_active_users",
     "q89_column_profile",
     "q90_approx_stats",
+    "q133_hll_incremental_distinct",
     "q91_disjunctive_predicates",
     "q72_embedding_quantize",
     "q83_batch_sessionize",

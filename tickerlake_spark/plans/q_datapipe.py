@@ -994,6 +994,43 @@ def q90_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q133_hll_incremental_distinct",
+    doc="Persisted-sketch distinct maintenance (the merge path of q90's "
+    "one-shot sketches): per-(event_type, date) HyperLogLog sketches are "
+    "built as if landing daily, then merged associatively into "
+    "per-event_type approximate distinct-user counts — history never "
+    "rescans; each refresh aggregates only the new day and unions O(1) "
+    "sketch states. The merged estimate is bit-identical to a one-shot "
+    "sketch over all rows (gated in test_scale_operators.py). No SQL "
+    "oracle: DuckDB's HLL state is a different implementation; rows-only "
+    "plus the pytest merge-equality gate.",
+    oracle=None,
+)
+def q133_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.incremental_agg import (
+        merge_distinct_sketches,
+        sketch_distinct_delta,
+        sketch_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "date", F.to_date(F.col("ts"))
+    )
+    daily = sketch_distinct_delta(ev, ["event_type", "date"], "user_id")
+    merged = merge_distinct_sketches(
+        daily.limit(0), daily, ["event_type"]
+    )
+    return (
+        sketch_estimates(merged, out="approx_users")
+        .join(
+            daily.groupBy("event_type").agg(F.count("*").alias("n_days")),
+            "event_type",
+        )
+        .select("event_type", "approx_users", "n_days")
+    )
+
+
+@register(
     "q91_disjunctive_predicates",
     doc="TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning "
     "both join sides (brand x size x quantity bands). Catalyst extracts the "
