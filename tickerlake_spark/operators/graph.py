@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "canonical_per_component"]
+__all__ = ["connected_components", "canonical_per_component", "pagerank"]
 
 
 def connected_components(
@@ -105,3 +105,58 @@ def canonical_per_component(
         F.count("*").alias("n_members"),
         F.min(node).alias("keep_node"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+    iter_decimals: int = 10,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list: ``(node, rank)``.
+
+    rank_{t+1}(v) = (1-d)/N + d * sum_{u->v} rank_t(u) / outdeg(u)
+
+    Every node must have out-edges (callers symmetrize the graph or add
+    self-loops for dangling nodes — the undirected use here has none).
+    Per iteration: one join of the rank vector with the edge list + one
+    hash agg on dst — the standard message-passing shape; the rank vector
+    (2 narrow columns) is what shuffles, never adjacency payloads. Fixed
+    ``iters`` keeps the plan bounded and the DuckDB oracle unrollable.
+
+    Cross-engine determinism contract (same as k-means, plans/q_cluster.py):
+    ranks are rounded to ``iter_decimals`` decimals (with a +5e-13 nudge off
+    the rounding boundary) after every iteration, so both engines iterate on
+    IDENTICAL values and fp sum-order differences cannot compound.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    n_nodes = deg.agg(F.count("*").alias("n"), (1.0 / F.count("*")).alias("inv_n"))
+    base = F.lit(1.0 - damping)
+
+    def _stable(c):
+        return F.round(c + F.lit(5e-13), iter_decimals)
+
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("src").alias("node"), _stable(F.col("inv_n")).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                F.col("dst").alias("node"),
+                _stable(base * F.col("inv_n") + F.lit(damping) * F.col("s")).alias(
+                    "rank"
+                ),
+            )
+        )
+    return ranks

@@ -196,6 +196,11 @@ _COST_RANK = [
     "q89_column_profile",
     "q90_approx_stats",
     "q133_hll_incremental_distinct",
+    "q134_fuzzy_entity_join",
+    "q135_duplicate_spans",
+    "q136_pagerank",
+    "q137_quality_constraints",
+    "q138_mmr_rerank",
     "q91_disjunctive_predicates",
     "q72_embedding_quantize",
     "q83_batch_sessionize",

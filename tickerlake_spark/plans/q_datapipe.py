@@ -1456,3 +1456,305 @@ def q77_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.sum("rev"), 4).alias("total_revenue"),
         )
     )
+
+
+@register(
+    "q135_duplicate_spans",
+    doc="Exact duplicated-span detection (the core of substring-level "
+    "training-data dedup, Lee et al. 2022 style): word 8-grams appearing "
+    "in >= 2 distinct documents of a corpus with 100 injected exact "
+    "copies, top-100 by (doc count desc, span asc). Plan: map-side "
+    "shingle explode -> ONE hash agg on the span string (the shuffle "
+    "carries distinct (span, doc) rows, never document text) -> "
+    "TakeOrderedAndProject. At 100 TB the span strings would be rolling "
+    "hashes (64-bit) instead of text — same plan shape, 8x narrower "
+    "shuffle rows.",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100
+),
+tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 6),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+                || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS s
+  FROM tok WHERE len(t) >= 8
+),
+spans AS (
+  SELECT g AS span, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+  GROUP BY g HAVING COUNT(*) >= 2
+)
+SELECT span, n_docs FROM spans
+ORDER BY n_docs DESC, span ASC LIMIT 100
+""",
+)
+def q135_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.functions.text import tokens, word_shingles
+    from tickerlake_spark.plans.q_llm import _mutated_docs
+
+    corpus = _mutated_docs(spark, sf_dir, exact=True)
+    sh = corpus.select(
+        "doc_id", word_shingles(tokens("text"), n=8).alias("s")
+    ).filter(F.size("s") > 0)
+    return (
+        sh.select("doc_id", F.explode("s").alias("span"))
+        .groupBy("span")
+        .agg(F.count("*").alias("n_docs"))  # shingles are distinct per doc
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("span").asc())
+        .limit(100)
+        .select("span", "n_docs")
+    )
+
+
+@register(
+    "q137_quality_constraints",
+    doc="Deequ-style data-quality constraint suite over lineitem/orders: "
+    "completeness, primary-key uniqueness, referential integrity, and "
+    "value-range compliance, each as a (constraint, metric, passed) row. "
+    "Plan: ONE pass over lineitem computes every conditional count "
+    "map-side (no per-constraint rescans); the FK check is a broadcast-"
+    "able key-only semi-join; metrics are count ratios (bit-identical "
+    "across engines, no float rounding needed).",
+    oracle="""
+WITH li AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(l_shipdate) AS BIGINT) AS ship_nn,
+         CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS pk_n,
+         CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS disc_ok,
+         CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_ok
+  FROM lineitem
+),
+fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS fk_ok
+  FROM lineitem l WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+)
+SELECT c.constraint, c.metric, c.metric >= c.threshold AS passed
+FROM (
+  SELECT 'completeness_l_shipdate' AS constraint,
+         CAST(ship_nn AS DOUBLE) / n AS metric, 1.0 AS threshold FROM li
+  UNION ALL
+  SELECT 'unique_pk_orderkey_linenumber',
+         CAST(pk_n AS DOUBLE) / n, 1.0 FROM li
+  UNION ALL
+  SELECT 'fk_lineitem_orders',
+         CAST(fk.fk_ok AS DOUBLE) / li.n, 1.0 FROM li, fk
+  UNION ALL
+  SELECT 'range_l_discount_0_to_0.10',
+         CAST(disc_ok AS DOUBLE) / n, 1.0 FROM li
+  UNION ALL
+  SELECT 'range_l_quantity_1_to_50',
+         CAST(qty_ok AS DOUBLE) / n, 1.0 FROM li
+) c
+ORDER BY c.constraint
+""",
+)
+def q137_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    base = li.agg(
+        F.count("*").alias("n"),
+        F.count("l_shipdate").alias("ship_nn"),
+        F.countDistinct("l_orderkey", "l_linenumber").alias("pk_n"),
+        F.sum(F.when(F.col("l_discount").between(0.0, 0.10), 1).otherwise(0)).alias(
+            "disc_ok"
+        ),
+        F.sum(F.when(F.col("l_quantity").between(1, 50), 1).otherwise(0)).alias(
+            "qty_ok"
+        ),
+    )
+    fk_ok = (
+        li.join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_semi")
+        .agg(F.count("*").alias("fk_ok"))
+    )
+    both = base.crossJoin(F.broadcast(fk_ok))
+
+    def row(name: str, num: str, threshold: float = 1.0):
+        return both.select(
+            F.lit(name).alias("constraint"),
+            (F.col(num).cast("double") / F.col("n")).alias("metric"),
+            (F.col(num).cast("double") / F.col("n") >= threshold).alias("passed"),
+        )
+
+    out = (
+        row("completeness_l_shipdate", "ship_nn")
+        .unionByName(row("unique_pk_orderkey_linenumber", "pk_n"))
+        .unionByName(row("fk_lineitem_orders", "fk_ok"))
+        .unionByName(row("range_l_discount_0_to_0.10", "disc_ok"))
+        .unionByName(row("range_l_quantity_1_to_50", "qty_ok"))
+    )
+    return out.orderBy("constraint")
+
+
+_H60_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "q134_fuzzy_entity_join",
+    doc="Entity resolution via segment-blocked fuzzy join (PassJoin-style, "
+    "operators/fuzzyjoin.py): every customer key gets a deterministic "
+    "one-digit corruption (position/rotation hash-derived, mirrored in the "
+    "oracle), then each dirty record is matched back to its best clean "
+    "customer within levenshtein distance 2. Candidates come from an "
+    "equi-join on (segment index, length, segment text) — k+1 postings "
+    "per record, linear, never the O(n^2) levenshtein matrix; only "
+    "candidate pairs pay the verify. Blocking is on the discriminative "
+    "digit suffix (never the constant 'Customer#' prefix — the rule every "
+    "ER deployment documents).",
+    oracle=f"""
+WITH clean AS (
+  SELECT c_custkey, regexp_extract(c_name, '([0-9]+)$', 1) AS k FROM customer
+),
+dirty AS (
+  SELECT c_custkey + 1000000 AS dirty_id,
+         substr(k, 1, CAST(p AS INT))
+           || CAST((CAST(substr(k, CAST(p AS INT) + 1, 1) AS INT) + r) % 10 AS VARCHAR)
+           || substr(k, CAST(p AS INT) + 2) AS k
+  FROM (SELECT c_custkey, k,
+               {_H60_SQL.format(x="k")} % 9 AS p,
+               1 + c_custkey % 9 AS r
+        FROM clean)
+),
+lpost AS (
+  SELECT dirty_id AS id, length(k) AS len, i AS seg_i,
+         substr(k, CAST(floor(length(k) * i / 3) + 1 AS INT),
+                CAST(floor(length(k) * (i + 1) / 3)
+                     - floor(length(k) * i / 3) AS INT)) AS seg
+  FROM dirty, unnest(range(0, 3)) AS t(i)
+),
+rpost AS (
+  SELECT c_custkey AS id, length(k) AS len, i AS seg_i,
+         substr(k, CAST(floor(length(k) * i / 3) + 1 AS INT),
+                CAST(floor(length(k) * (i + 1) / 3)
+                     - floor(length(k) * i / 3) AS INT)) AS seg
+  FROM clean, unnest(range(0, 3)) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.id AS dirty_id, b.id AS c_custkey
+  FROM lpost a JOIN rpost b
+    ON a.seg_i = b.seg_i AND a.len = b.len AND a.seg = b.seg
+),
+verified AS (
+  SELECT c.dirty_id, c.c_custkey,
+         CAST(levenshtein(d.k, r.k) AS BIGINT) AS distance
+  FROM cand c
+  JOIN dirty d ON d.dirty_id = c.dirty_id
+  JOIN clean r ON r.c_custkey = c.c_custkey
+  WHERE levenshtein(d.k, r.k) <= 2
+)
+SELECT dirty_id, c_custkey AS matched_custkey, distance
+FROM (SELECT *, row_number() OVER (PARTITION BY dirty_id
+        ORDER BY distance ASC, c_custkey ASC) AS rn FROM verified)
+WHERE rn = 1
+ORDER BY dirty_id
+""",
+)
+def q134_fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.functions.text import h60
+    from tickerlake_spark.operators.fuzzyjoin import fuzzy_substitution_join
+
+    clean = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("k")
+    )
+    p = F.pmod(h60(F.col("k")), F.lit(9))
+    r = 1 + F.col("c_custkey") % 9
+    old_digit = F.substring(F.col("k"), (p + 1).cast("int"), F.lit(1)).cast("int")
+    dirty = clean.select(
+        (F.col("c_custkey") + 1000000).alias("dirty_id"),
+        F.concat(
+            F.substring(F.col("k"), F.lit(1), p.cast("int")),
+            ((old_digit + r) % 10).cast("string"),
+            F.substring(
+                F.col("k"), (p + 2).cast("int"), F.length("k").cast("int")
+            ),
+        ).alias("k"),
+    )
+    pairs = fuzzy_substitution_join(
+        dirty, clean, col="k", left_id="dirty_id", right_id="c_custkey", k=2
+    )
+    w = Window.partitionBy("dirty_id").orderBy(
+        F.col("distance").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "dirty_id", F.col("c_custkey").alias("matched_custkey"), "distance"
+        )
+        .orderBy("dirty_id")
+    )
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled PageRank CTE chain (same pattern as the k-means oracles in
+    q_cluster: fixed iterations + per-iteration rounding = value-hashable)."""
+    parts = ["""pairs AS (
+  SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS a,
+                  's:' || CAST(l.l_suppkey AS VARCHAR) AS b
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)""",
+        "e AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, 1.0 / COUNT(*) AS inv_n FROM deg)",
+        "r0 AS (SELECT src AS node, ROUND(nn.inv_n + 5e-13, 10) AS rank FROM deg, nn)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""r{t} AS (
+  SELECT node, ROUND((1.0 - 0.85) * nn.inv_n + 0.85 * s + 5e-13, 10) AS rank
+  FROM (SELECT e.dst AS node, SUM(r.rank / deg.deg) AS s
+        FROM e JOIN r{t - 1} r ON r.node = e.src
+        JOIN deg ON deg.src = e.src
+        GROUP BY e.dst), nn
+)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT node, ROUND(rank * nn.n + 5e-9, 6) AS score
+FROM r{iters}, nn
+ORDER BY score DESC, node ASC LIMIT 100"""
+    )
+
+
+@register(
+    "q136_pagerank",
+    doc="PageRank (5 fixed iterations, damping 0.85) over the symmetrized "
+    "customer-supplier purchase graph, top-100 by normalized score. Each "
+    "iteration is one rank-vector/edge-list join + one dst hash agg — the "
+    "message-passing shape that scales to billions of edges (the rank "
+    "vector shuffles, adjacency stays put). Deterministic across engines "
+    "via per-iteration 10dp rounding (the q115 k-means contract), so the "
+    "whole 5-iteration chain gets a value-hash oracle.",
+    oracle=_pagerank_oracle(5),
+)
+def q136_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    e = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    ranks = pagerank(e, iters=5, damping=0.85)
+    n = e.select("src").distinct().count()
+    return (
+        ranks.select(
+            "node", stable_round(F.col("rank") * F.lit(float(n)), 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("node").asc())
+        .limit(100)
+    )

@@ -535,3 +535,119 @@ def q129_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bigrams"),
         stable_round(F.avg("nll1"), 6).alias("nll"),
     )
+
+
+def _mmr_oracle(n_short: int = 50, k: int = 10, lam: float = 0.7) -> str:
+    """Unrolled MMR greedy-selection CTE chain: candidate shortlist with
+    6dp-rounded similarities (the q45 cross-engine contract), pairwise sims,
+    then k argmax steps each penalized by the max similarity to everything
+    already selected."""
+    parts = [_VVECS_CTE, _QV_CTE]
+    parts.append(f"""cand AS MATERIALIZED (
+  SELECT vec_id AS id, e,
+         ROUND(list_cosine_similarity(e, qv.q) + 5e-9, 6) AS simq
+  FROM vvecs, qv
+  ORDER BY ROUND(list_cosine_similarity(e, qv.q) + 5e-9, 6) DESC, vec_id ASC
+  LIMIT {n_short}
+)""")
+    parts.append("""psim AS MATERIALIZED (
+  SELECT a.id AS a, b.id AS b,
+         ROUND(list_cosine_similarity(a.e, b.e) + 5e-9, 6) AS sim
+  FROM cand a JOIN cand b ON a.id <> b.id
+)""")
+    parts.append(f"""pick1 AS MATERIALIZED (
+  SELECT id, {lam} * simq AS score FROM cand
+  ORDER BY simq DESC, id ASC LIMIT 1
+)""")
+    parts.append("selu1 AS MATERIALIZED (SELECT id FROM pick1)")
+    for t in range(2, k + 1):
+        parts.append(f"""pick{t} AS MATERIALIZED (
+  SELECT c.id, {lam} * c.simq - {1.0 - lam} * MAX(p.sim) AS score
+  FROM cand c JOIN psim p ON p.a = c.id AND p.b IN (SELECT id FROM selu{t - 1})
+  WHERE c.id NOT IN (SELECT id FROM selu{t - 1})
+  GROUP BY c.id, c.simq
+  ORDER BY score DESC, c.id ASC LIMIT 1
+)""")
+        parts.append(
+            f"selu{t} AS MATERIALIZED (SELECT id FROM selu{t - 1} UNION ALL SELECT id FROM pick{t})"
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {t} AS rank, id, score FROM pick{t}" for t in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(rank AS BIGINT) AS rank, id, ROUND(score + 5e-9, 6) AS score
+FROM ({sel}) ORDER BY rank ASC"""
+    )
+
+
+@register(
+    "q138_mmr_rerank",
+    doc="Maximal-Marginal-Relevance diversified top-10 (Carbonell & "
+    "Goldstein 1998): greedy re-rank of the cosine top-50 shortlist, each "
+    "pick maximizing lambda*sim(query, d) - (1-lambda)*max sim(d, "
+    "selected). The distributed work is the shortlist scan + the 50x50 "
+    "pairwise-sim self-join; the greedy selection runs on the collected "
+    "50-row matrix — bounded driver state (shortlist x shortlist, the "
+    "same contract as k-means centroids), never the corpus. Similarities "
+    "are 6dp-stable-rounded on both engines (q45's proven cross-engine "
+    "contract) so the 10-step selection chain is value-hashable.",
+    oracle=_mmr_oracle(),
+)
+def q138_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.functions.vector import cosine_similarity
+
+    lam, n_short, k = 0.7, 50, 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    qv = [float(x) for x in base.filter(F.col("id") == 0).select("e").first()[0]]
+    q = F.lit(qv).cast("array<double>")
+    cand = (
+        base.select(
+            "id", "e", stable_round(cosine_similarity(F.col("e"), q), 6).alias("simq")
+        )
+        .orderBy(F.col("simq").desc(), F.col("id").asc())
+        .limit(n_short)
+        .cache()
+    )
+    pair = (
+        cand.alias("a")
+        .join(cand.alias("b"), F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("pa"),
+            F.col("b.id").alias("pb"),
+            stable_round(
+                cosine_similarity(F.col("a.e"), F.col("b.e")), 6
+            ).alias("sim"),
+        )
+    )
+    simq = {r["id"]: r["simq"] for r in cand.select("id", "simq").collect()}
+    psim = {(r["pa"], r["pb"]): r["sim"] for r in pair.collect()}
+    cand.unpersist()
+
+    selected: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    for rank in range(1, k + 1):
+        best = None
+        for cid, sq in simq.items():
+            if cid in chosen:
+                continue
+            if chosen:
+                score = lam * sq - (1.0 - lam) * max(
+                    psim[(cid, s)] for s in chosen
+                )
+            else:
+                score = lam * sq
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, score)
+        chosen.append(best[1])
+        selected.append((rank, best[1], round(best[2] + 5e-9, 6)))
+    return spark.createDataFrame(
+        selected, "rank long, id long, score double"
+    ).orderBy("rank")
