@@ -425,3 +425,81 @@ def test_curation_pipeline_semantic_stage(spark, tmp_path):
     }
     assert 1 in kept and 7 not in kept, (stats, sorted(kept))
     assert stats["near_dedup"] == 7
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py)
+
+
+def _py_bpe_reference(word_freqs, n_merges, end="</w>"):
+    """Sennrich-style reference BPE in pure Python: pair counts over the
+    word-frequency dict, argmax (freq desc, pair asc), greedy left-to-right
+    non-overlapping apply."""
+    vocab = {}
+    for w, f in word_freqs.items():
+        vocab[tuple(list(w) + [end])] = vocab.get(tuple(list(w) + [end]), 0) + f
+    merges = []
+    for _ in range(n_merges):
+        pc = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + f
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        new = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        vocab = new
+    return merges, vocab
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """Distributed BPE training == the pure-Python reference on the same
+    corpus: identical merge list (order, pairs, frequencies)."""
+    from tickerlake_spark.operators.bpe import bpe_train, word_frequencies
+    from tickerlake_spark.plans.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    want, _ = _py_bpe_reference(wf, 15)
+    got = bpe_train(docs, n_merges=15)
+    assert got == want and len(got) == 15
+
+
+def test_bpe_segment_matches_training_state(spark, sf_dir):
+    """Applying the learned merges to raw words reproduces the trained
+    symbol table exactly (encode path == train-time state)."""
+    from tickerlake_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train,
+        word_frequencies,
+    )
+    from tickerlake_spark.plans.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    merges = bpe_train(docs, n_merges=10)
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    _, final_vocab = _py_bpe_reference(wf, 10)
+    words = word_frequencies(docs).select("word")
+    seg = {
+        r["word"]: tuple(r["syms"])
+        for r in bpe_segment(words, merges).collect()
+    }
+    want = {}
+    for syms, _f in final_vocab.items():
+        word = "".join(syms).removesuffix("</w>")
+        want[word] = syms
+    # reconstruct the raw word from the symbol tuple to compare keyed
+    assert len(seg) == len(want)
+    for w, syms in seg.items():
+        assert want[w] == syms, w

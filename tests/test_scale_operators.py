@@ -439,3 +439,21 @@ def test_hll_sketch_incremental_matches_full(spark, sf_dir, tmp_path):
     }
     for et, n in exact.items():
         assert abs(inc[et] - n) <= max(2, 0.05 * n), (et, inc[et], n)
+
+
+def test_pagerank_star_graph(spark):
+    """Undirected star (hub + 4 leaves): ranks sum to ~1, hub dominates,
+    leaves are symmetric-equal; normalize=True scales mean to 1."""
+    from tickerlake_spark.operators.graph import pagerank
+
+    pairs = [("h", f"l{i}") for i in range(4)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src string, dst string"
+    )
+    out = {r.node: (r.rank, r.score) for r in pagerank(edges, iters=10, normalize=True).collect()}
+    ranks = {k: v[0] for k, v in out.items()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    leaf_ranks = {v for k, v in ranks.items() if k != "h"}
+    assert len(leaf_ranks) == 1  # symmetry -> identical
+    assert ranks["h"] > max(leaf_ranks) * 2
+    assert abs(sum(v[1] for v in out.values()) / 5 - 1.0) < 1e-6  # mean score 1

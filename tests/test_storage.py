@@ -474,3 +474,61 @@ def test_json_malformed_rows_quarantined_not_dropped(spark, tmp_path):
     assert df.filter("_corrupt_record IS NOT NULL").count() == 1
     assert {r.id for r in df.filter("_corrupt_record IS NULL").collect()} == {1, 2}
     df.unpersist()
+
+
+def test_zorder_compaction_improves_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: after z-order compaction, a range predicate on
+    EITHER clustered column overlaps far fewer files' min/max stats than a
+    single-column-sorted layout, where the second column gets no pruning at
+    all. Stats read directly from the parquet footers (pyarrow)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.storage.maintenance import compact_table
+
+    from tickerlake_spark.storage.maintenance import table_file_stats
+
+    n, files = 200_000, 16
+    df = spark.range(n).select(
+        (F.col("id") % 1000).alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("y"),  # independent of x
+        F.col("id").alias("payload"),
+    )
+    base = str(tmp_path / "sorted_x")
+    df.repartitionByRange(files, "x").sortWithinPartitions("x").write.parquet(base)
+    zpath = str(tmp_path / "zordered")
+    df.write.parquet(zpath)
+    _, total_bytes = table_file_stats(zpath)
+    compact_table(
+        spark, zpath, target_file_bytes=max(1, total_bytes // files),
+        zorder_by=["x", "y"],
+    )
+
+    def overlap_fraction(path, col, lo, hi):
+        total, hit = 0, 0
+        for f in _glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                st = {g.column(i).path_in_schema: g.column(i).statistics
+                      for i in range(g.num_columns)}[col]
+                total += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        return hit / total
+
+    # same rows survive the rewrite
+    assert spark.read.parquet(zpath).count() == n
+    assert (
+        spark.read.parquet(zpath).agg(F.sum("payload")).first()[0]
+        == spark.read.parquet(base).agg(F.sum("payload")).first()[0]
+    )
+
+    y_sorted = overlap_fraction(base, "y", 100, 120)
+    y_z = overlap_fraction(zpath, "y", 100, 120)
+    x_z = overlap_fraction(zpath, "x", 100, 120)
+    assert y_sorted > 0.9  # x-sorted layout: y stats are useless
+    assert y_z <= 0.6, (y_sorted, y_z)  # z-order: y prunes most files
+    assert x_z <= 0.6, x_z  # ...and x still prunes too

@@ -201,6 +201,7 @@ _COST_RANK = [
     "q136_pagerank",
     "q137_quality_constraints",
     "q138_mmr_rerank",
+    "q139_bpe_merges",
     "q91_disjunctive_predicates",
     "q72_embedding_quantize",
     "q83_batch_sessionize",

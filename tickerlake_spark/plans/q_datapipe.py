@@ -1749,12 +1749,9 @@ def q136_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    ranks = pagerank(e, iters=5, damping=0.85)
-    n = e.select("src").distinct().count()
+    ranks = pagerank(e, iters=5, damping=0.85, normalize=True)
     return (
-        ranks.select(
-            "node", stable_round(F.col("rank") * F.lit(float(n)), 6).alias("score")
-        )
+        ranks.select("node", stable_round(F.col("score"), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col("node").asc())
         .limit(100)
     )

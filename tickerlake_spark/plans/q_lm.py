@@ -651,3 +651,30 @@ def q138_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         selected, "rank long, id long, score double"
     ).orderBy("rank")
+
+
+@register(
+    "q139_bpe_merges",
+    doc="BPE tokenizer training (Sennrich 2016; operators/bpe.py): the "
+    "first 10 learned byte-pair merges over the documents corpus, as "
+    "(merge_rank, left, right, pair_freq). The corpus is scanned ONCE "
+    "(word-frequency agg); every merge iteration then runs on the "
+    "distinct-word table — pair explode + one map-side-combined hash agg "
+    "+ a 1-row argmax + a JVM aggregate-fold apply (no Python UDF). "
+    "Deterministic via the (freq desc, pair asc) tie-break. No SQL "
+    "oracle (20-deep stateful list-rewriting is not practical to unroll "
+    "in SQL); exact parity with a pure-Python reference implementation "
+    "is gated in test_llm_operators.py.",
+    oracle=None,
+)
+def q139_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=10)
+    rows = [
+        (i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank long, left string, right string, pair_freq long"
+    ).orderBy("merge_rank")

@@ -20,7 +20,12 @@ import uuid
 
 from pyspark.sql import SparkSession
 
-__all__ = ["compact_table", "compact_ingest_partitions", "table_file_stats"]
+__all__ = [
+    "compact_table",
+    "compact_ingest_partitions",
+    "table_file_stats",
+    "zorder_column",
+]
 
 
 def table_file_stats(path: str) -> tuple[int, int]:
@@ -36,11 +41,53 @@ def table_file_stats(path: str) -> tuple[int, int]:
     return n, total
 
 
+def zorder_column(df, cols: list[str], bits: int = 16):
+    """Z-order (Morton) key over 2+ numeric/date columns, as a pure Column.
+
+    Each column is range-normalized into a ``bits``-bit bucket against its
+    own min/max (one tiny agg, broadcast as literals is the caller's
+    choice — here a scalar subquery via crossJoin keeps it one plan), then
+    the bucket bits are interleaved. Sorting by the result clusters rows so
+    that EVERY z-ordered column gets useful parquet row-group min/max
+    pruning — the multi-dimensional generalization of sort-by-one-column,
+    same idea as Delta/Iceberg OPTIMIZE ZORDER BY.
+
+    Returns (keyed_df, "__zorder") — the input with the key column added.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+        ]
+    bounds = df.agg(*aggs)
+    keyed = df.crossJoin(F.broadcast(bounds))
+    max_bucket = (1 << bits) - 1
+    bucket_cols = []
+    for c in cols:
+        span = F.col(f"__max_{c}") - F.col(f"__min_{c}")
+        frac = F.when(span > 0, (F.col(c).cast("double") - F.col(f"__min_{c}")) / span).otherwise(0.0)
+        bucket_cols.append(F.least(F.floor(frac * max_bucket), F.lit(max_bucket)).cast("long"))
+    # interleave: output bit (i * n_cols + j) = bit i of column j's bucket
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for i in range(bits):
+        for j, b in enumerate(bucket_cols):
+            z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j)
+    keyed = keyed.withColumn("__zorder", z).drop(
+        *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols]
+    )
+    return keyed, "__zorder"
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 2,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Rewrite ``path`` into ceil(total_bytes / target) files, atomically.
 
@@ -50,15 +97,31 @@ def compact_table(
     same contract.) Partition layout is intentionally NOT preserved: compact
     partitioned tables per-partition instead, or re-write with partitionBy.
 
+    ``zorder_by``: cluster rows by a Morton key over these columns while
+    compacting (``zorder_column``), so point/range predicates on ANY of
+    them skip files and row groups via parquet min/max stats — the
+    OPTIMIZE ZORDER BY maintenance action. Gated by
+    ``test_storage.py::test_zorder_compaction_improves_pruning``.
+
     Returns {files_before, files_after, bytes}.
     """
     before_n, total = table_file_stats(path)
-    if before_n < min_files_to_compact:
+    if before_n < min_files_to_compact and zorder_by is None:
         return {"files_before": before_n, "files_after": before_n, "bytes": total}
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    if zorder_by:
+        keyed, zcol = zorder_column(df, zorder_by)
+        (
+            keyed.repartitionByRange(n_files, zcol)
+            .sortWithinPartitions(zcol)
+            .drop(zcol)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)
