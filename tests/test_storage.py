@@ -532,3 +532,66 @@ def test_zorder_compaction_improves_pruning(spark, tmp_path):
     assert y_sorted > 0.9  # x-sorted layout: y stats are useless
     assert y_z <= 0.6, (y_sorted, y_z)  # z-order: y prunes most files
     assert x_z <= 0.6, x_z  # ...and x still prunes too
+
+
+def test_scd2_apply_versions_and_point_in_time(spark, tmp_path):
+    """SCD2 maintenance: create, attribute change (close+open), new key,
+    no-op replay idempotence, second change -> 3-deep history, and
+    point-in-time / current views."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.storage.scd2 import scd2_apply, scd2_as_of, scd2_current
+
+    path = str(tmp_path / "dim_tickers")
+    schema = "ticker string, type string, active boolean, effective_date date"
+    d1, d2, d3 = dt.date(2024, 1, 1), dt.date(2024, 3, 1), dt.date(2024, 6, 1)
+
+    b1 = spark.createDataFrame(
+        [("AAA", "CS", True, d1), ("BBB", "ETF", True, d1)], schema
+    )
+    r1 = scd2_apply(spark, path, b1, keys=["ticker"], tracked=["type", "active"])
+    assert r1 == {"new": 2, "changed": 0, "unchanged": 0}
+
+    # AAA changes type, BBB unchanged, CCC is new
+    b2 = spark.createDataFrame(
+        [("AAA", "ETF", True, d2), ("BBB", "ETF", True, d2), ("CCC", "CS", True, d2)],
+        schema,
+    )
+    r2 = scd2_apply(spark, path, b2, keys=["ticker"], tracked=["type", "active"])
+    assert r2 == {"new": 1, "changed": 1, "unchanged": 1}
+
+    cur = {r.ticker: r for r in scd2_current(spark, path).collect()}
+    assert set(cur) == {"AAA", "BBB", "CCC"}
+    assert cur["AAA"].type == "ETF" and cur["AAA"].valid_from == d2
+    assert cur["BBB"].valid_from == d1  # untouched: original open row
+
+    asof = {r.ticker: r.type for r in scd2_as_of(spark, path, "2024-02-01").collect()}
+    assert asof == {"AAA": "CS", "BBB": "ETF"}  # CCC not yet born
+
+    # replay of b2 is a no-op
+    r2b = scd2_apply(spark, path, b2, keys=["ticker"], tracked=["type", "active"])
+    assert r2b == {"new": 0, "changed": 0, "unchanged": 3}
+    assert spark.read.parquet(path).count() == 4  # 3 open + 1 closed
+
+    # AAA flips active -> second closed version
+    b3 = spark.createDataFrame([("AAA", "ETF", False, d3)], schema)
+    r3 = scd2_apply(spark, path, b3, keys=["ticker"], tracked=["type", "active"])
+    assert r3["changed"] == 1
+    hist = (
+        spark.read.parquet(path)
+        .filter(F.col("ticker") == "AAA")
+        .orderBy("valid_from")
+        .collect()
+    )
+    assert [(r.valid_from, r.valid_to, r.is_current) for r in hist] == [
+        (d1, d2, False),
+        (d2, d3, False),
+        (d3, None, True),
+    ]
+    # half-open ranges: exactly one AAA row valid at any probe date
+    for probe in ("2024-01-01", "2024-02-28", "2024-03-01", "2024-07-01"):
+        assert scd2_as_of(spark, path, probe).filter(
+            F.col("ticker") == "AAA"
+        ).count() == 1

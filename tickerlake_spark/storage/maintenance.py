@@ -24,7 +24,6 @@ __all__ = [
     "compact_table",
     "compact_ingest_partitions",
     "table_file_stats",
-    "zorder_column",
 ]
 
 
@@ -39,47 +38,6 @@ def table_file_stats(path: str) -> tuple[int, int]:
                 n += 1
                 total += os.path.getsize(os.path.join(root, f))
     return n, total
-
-
-def zorder_column(df, cols: list[str], bits: int = 16):
-    """Z-order (Morton) key over 2+ numeric/date columns, as a pure Column.
-
-    Each column is range-normalized into a ``bits``-bit bucket against its
-    own min/max (one tiny agg, broadcast as literals is the caller's
-    choice — here a scalar subquery via crossJoin keeps it one plan), then
-    the bucket bits are interleaved. Sorting by the result clusters rows so
-    that EVERY z-ordered column gets useful parquet row-group min/max
-    pruning — the multi-dimensional generalization of sort-by-one-column,
-    same idea as Delta/Iceberg OPTIMIZE ZORDER BY.
-
-    Returns (keyed_df, "__zorder") — the input with the key column added.
-    """
-    from pyspark.sql import functions as F
-
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
-        ]
-    bounds = df.agg(*aggs)
-    keyed = df.crossJoin(F.broadcast(bounds))
-    max_bucket = (1 << bits) - 1
-    bucket_cols = []
-    for c in cols:
-        span = F.col(f"__max_{c}") - F.col(f"__min_{c}")
-        frac = F.when(span > 0, (F.col(c).cast("double") - F.col(f"__min_{c}")) / span).otherwise(0.0)
-        bucket_cols.append(F.least(F.floor(frac * max_bucket), F.lit(max_bucket)).cast("long"))
-    # interleave: output bit (i * n_cols + j) = bit i of column j's bucket
-    z = F.lit(0).cast("long")
-    n = len(cols)
-    for i in range(bits):
-        for j, b in enumerate(bucket_cols):
-            z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j)
-    keyed = keyed.withColumn("__zorder", z).drop(
-        *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols]
-    )
-    return keyed, "__zorder"
 
 
 def compact_table(
@@ -98,9 +56,11 @@ def compact_table(
     partitioned tables per-partition instead, or re-write with partitionBy.
 
     ``zorder_by``: cluster rows by a Morton key over these columns while
-    compacting (``zorder_column``), so point/range predicates on ANY of
-    them skip files and row groups via parquet min/max stats — the
-    OPTIMIZE ZORDER BY maintenance action. Gated by
+    compacting (``storage/clustering.py::zorder_key`` — the same key
+    ``write_zordered`` uses at write time), so point/range predicates on
+    ANY of them skip files and row groups via parquet min/max stats — the
+    OPTIMIZE ZORDER BY maintenance action for tables that accreted
+    unclustered appends. Gated by
     ``test_storage.py::test_zorder_compaction_improves_pruning``.
 
     Returns {files_before, files_after, bytes}.
@@ -112,11 +72,14 @@ def compact_table(
     df = spark.read.parquet(path)
     tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
     if zorder_by:
-        keyed, zcol = zorder_column(df, zorder_by)
+        from tickerlake_spark.storage.clustering import zorder_key
+
+        z, _bounds = zorder_key(df, zorder_by)
+        keyed = df.withColumn("__zorder", z)
         (
-            keyed.repartitionByRange(n_files, zcol)
-            .sortWithinPartitions(zcol)
-            .drop(zcol)
+            keyed.repartitionByRange(n_files, "__zorder")
+            .sortWithinPartitions("__zorder")
+            .drop("__zorder")
             .write.mode("overwrite")
             .parquet(tmp)
         )

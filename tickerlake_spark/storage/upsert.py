@@ -171,8 +171,13 @@ def replace_keys(
     )
     tmp = f"{path.rstrip('/')}__replace_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
+    # Count BEFORE the swap: ``updates`` may derive from the very table
+    # being replaced (e.g. storage/scd2.py closes rows it read from
+    # ``path``), and its lineage re-executes here — after the rename the
+    # source files are gone and the count dies with FILE_NOT_EXIST.
+    n_inserted = updates.count()
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
-    return {"inserted": updates.count(), "mode": "rewrite"}
+    return {"inserted": n_inserted, "mode": "rewrite"}
