@@ -1,0 +1,91 @@
+"""Fuzzy string join (operators/fuzzyjoin.py): recall/precision contract.
+
+The operator guarantees: every pair within SUBSTITUTION distance <= k is
+found (pigeonhole over k+1 segments), and nothing beyond levenshtein
+distance <= k is returned. Random-corpus property test pins both bounds
+against pure-Python brute force; a deterministic test pins the distance
+values themselves.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _hamming(a: str, b: str) -> int:
+    if len(a) != len(b):
+        return 10**9
+    return sum(x != y for x, y in zip(a, b))
+
+
+@st.composite
+def corpora(draw):
+    n = draw(st.integers(15, 40))
+    base = [
+        "".join(draw(st.sampled_from("ab01")) for _ in range(9)) for _ in range(n)
+    ]
+    return sorted(set(base))
+
+
+@settings(**SETTINGS)
+@given(words=corpora())
+def test_fuzzy_join_bounds_vs_bruteforce(spark, words):
+    from tickerlake_spark.operators.fuzzyjoin import fuzzy_substitution_join
+
+    left = spark.createDataFrame([(i, w) for i, w in enumerate(words)], "lid long, s string")
+    right = spark.createDataFrame(
+        [(i + 10_000, w) for i, w in enumerate(words)], "rid long, s string"
+    )
+    got = {
+        (r.lid, r.rid): r.distance
+        for r in fuzzy_substitution_join(
+            left, right, col="s", left_id="lid", right_id="rid", k=2
+        ).collect()
+    }
+    must_find = set()
+    may_find = set()
+    for i, a in enumerate(words):
+        for j, b in enumerate(words):
+            if _hamming(a, b) <= 2:
+                must_find.add((i, j + 10_000))
+            if _lev(a, b) <= 2:
+                may_find.add((i, j + 10_000))
+    missing = must_find - set(got)
+    extra = set(got) - may_find
+    assert not missing, f"substitution-recall violated: {sorted(missing)[:5]}"
+    assert not extra, f"precision violated: {sorted(extra)[:5]}"
+    for (lid, rid), d in got.items():
+        assert d == _lev(words[lid], words[rid - 10_000])
+
+
+def test_fuzzy_join_distances_deterministic(spark):
+    from tickerlake_spark.operators.fuzzyjoin import fuzzy_substitution_join
+
+    words = ["000111222", "000111223", "000119223", "999999999", "000111"]
+    left = spark.createDataFrame([(i, w) for i, w in enumerate(words)], "lid long, s string")
+    got = {
+        (r.lid, r.rid): r.distance
+        for r in fuzzy_substitution_join(
+            left, left.selectExpr("lid as rid", "s"), "s", "lid", "rid", k=2
+        )
+        .filter("lid < rid")
+        .collect()
+    }
+    assert got == {(0, 1): 1, (0, 2): 2, (1, 2): 1}  # lengths differ -> no pair with idx 4

@@ -284,3 +284,43 @@ def test_pq_encode_stage_adds_no_exchange(spark, sf_dir):
         "PQ scoring shuffled the vector table:\n" + plan
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_fuzzy_join_never_plans_a_cartesian(spark, sf_dir):
+    """q134's candidate generation must be an equi-join on the segment key
+    (shuffle or broadcast hash join) — never a nested-loop/cartesian over
+    the two record sets, which is what a naive fuzzy join degrades to."""
+    df = QUERIES["q134_fuzzy_entity_join"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_reuses_persisted_edges(spark, sf_dir):
+    """q136's 5 iterations each reference the edge and degree tables; the
+    plan must read them from the persisted InMemory relation, not re-derive
+    the lineitem-orders join per iteration."""
+    df = QUERIES["q136_pagerank"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    # the raw source join appears at most twice (edge + degree
+    # materialization), never once per iteration
+    assert plan.count("lineitem") <= 2 * plan.count("InMemoryTableScan") + 2
+
+
+def test_duplicate_spans_topk_is_take_ordered(spark, sf_dir):
+    """q135's top-100 must lower to TakeOrderedAndProject (bounded per
+    partition + merge), not a global sort of every duplicated span."""
+    df = QUERIES["q135_duplicate_spans"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in _physical_plan(df)
+
+
+def test_quality_constraints_single_fact_aggregation(spark, sf_dir):
+    """q137 computes all conditional counts in ONE pass over lineitem: the
+    plan may scan lineitem for the base agg and once more for the FK
+    semi-join, but never once per constraint."""
+    df = QUERIES["q137_quality_constraints"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert plan.count("lineitem.parquet") <= 2, (
+        "per-constraint rescans of the fact table"
+    )

@@ -291,3 +291,66 @@ def test_incremental_gold_equals_full_for_random_appends(
                   "stairstep_up", "stairstep_down", "best_patterns",
                   "best_patterns_down"):
         assert rows_of(envs["a"], table) == rows_of(envs["b"], table), table
+
+
+# ---------------------------------------------------------------------------
+# SCD2: random update sequences vs a pure-Python state machine
+
+
+@st.composite
+def scd2_batches(draw):
+    """2-4 update batches over keys k0..k4 with strictly increasing
+    effective dates; values from a tiny alphabet so changes AND no-ops
+    both occur; each batch has unique keys."""
+    n_batches = draw(st.integers(2, 4))
+    out = []
+    for b in range(n_batches):
+        keys = sorted(draw(st.sets(st.integers(0, 4), min_size=1, max_size=5)))
+        out.append(
+            [
+                (f"k{k}", draw(st.sampled_from(["a", "b", "c"])), b)
+                for k in keys
+            ]
+        )
+    return out
+
+
+@settings(**SETTINGS)
+@given(batches=scd2_batches())
+def test_scd2_sequence_matches_state_machine(spark, tmp_path_factory, batches):
+    """Any update sequence: stored history == a dict-of-version-lists fold
+    (close open version on change, append new), and exactly one open
+    version per ever-seen key."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.storage.scd2 import scd2_apply, scd2_current
+
+    path = str(tmp_path_factory.mktemp("scd2_prop") / "dim")
+    d0 = dt.date(2024, 1, 1)
+    oracle: dict[str, list] = {}  # key -> [[val, from, to], ...]
+    for b, batch in enumerate(batches):
+        eff = d0 + dt.timedelta(days=30 * b)
+        df = spark.createDataFrame(
+            [(k, v, eff) for k, v, _ in batch],
+            "k string, val string, effective_date date",
+        )
+        scd2_apply(spark, path, df, keys=["k"], tracked=["val"])
+        for k, v, _ in batch:
+            hist = oracle.setdefault(k, [])
+            if not hist:
+                hist.append([v, eff, None])
+            elif hist[-1][0] != v:
+                hist[-1][2] = eff
+                hist.append([v, eff, None])
+
+    stored = defaultdict(list)
+    for r in (
+        spark.read.parquet(path).orderBy("k", "valid_from").collect()
+    ):
+        stored[r.k].append([r.val, r.valid_from, r.valid_to])
+    assert dict(stored) == oracle
+    cur = scd2_current(spark, path)
+    assert cur.count() == len(oracle)
+    assert cur.filter(F.col("valid_to").isNotNull()).count() == 0

@@ -1576,21 +1576,36 @@ def q137_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = base.crossJoin(F.broadcast(fk_ok))
 
-    def row(name: str, num: str, threshold: float = 1.0):
-        return both.select(
-            F.lit(name).alias("constraint"),
-            (F.col(num).cast("double") / F.col("n")).alias("metric"),
-            (F.col(num).cast("double") / F.col("n") >= threshold).alias("passed"),
-        )
-
-    out = (
-        row("completeness_l_shipdate", "ship_nn")
-        .unionByName(row("unique_pk_orderkey_linenumber", "pk_n"))
-        .unionByName(row("fk_lineitem_orders", "fk_ok"))
-        .unionByName(row("range_l_discount_0_to_0.10", "disc_ok"))
-        .unionByName(row("range_l_quantity_1_to_50", "qty_ok"))
+    # ONE row of counters unpivoted via explode — a unionByName of five
+    # per-constraint projections would re-plan the aggregation per branch
+    # (10 fact scans; gated by test_quality_constraints_single_fact_
+    # aggregation)
+    constraints = [
+        ("completeness_l_shipdate", "ship_nn"),
+        ("unique_pk_orderkey_linenumber", "pk_n"),
+        ("fk_lineitem_orders", "fk_ok"),
+        ("range_l_discount_0_to_0.10", "disc_ok"),
+        ("range_l_quantity_1_to_50", "qty_ok"),
+    ]
+    threshold = 1.0
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("constraint"),
+                (F.col(num).cast("double") / F.col("n")).alias("metric"),
+            )
+            for name, num in constraints
+        ]
     )
-    return out.orderBy("constraint")
+    return (
+        both.select(F.explode(rows).alias("r"))
+        .select(
+            F.col("r.constraint").alias("constraint"),
+            F.col("r.metric").alias("metric"),
+            (F.col("r.metric") >= threshold).alias("passed"),
+        )
+        .orderBy("constraint")
+    )
 
 
 _H60_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
