@@ -525,6 +525,47 @@ def test_bronze_to_gold_stream_matches_batch(spark, tmp_path):
     assert len(rows_of(read_table(spark, scat.gold("stairstep_down")))) > 0
 
 
+def test_streaming_sketch_rollup_matches_batch_sketch(spark, event_drops, tmp_path):
+    """Streaming HLL rollup: estimates after micro-batched ingest must be
+    BIT-IDENTICAL to a one-shot sketch over the full input (associative
+    union), and replaying an already-folded batch must change nothing."""
+    from tickerlake_spark.operators.incremental_agg import (
+        sketch_distinct_delta,
+        sketch_estimates,
+    )
+    from tickerlake_spark.streaming.sketch_rollup import (
+        sketch_rollup_batch,
+        stream_distinct_rollup,
+    )
+    from tickerlake_spark.streaming.windows import stream_events
+
+    drop_dir, events = event_drops
+    path = str(tmp_path / "distinct_rollup")
+    stream = stream_events(spark, drop_dir, events.schema, max_files_per_trigger=1)
+    q = stream_distinct_rollup(
+        spark, stream, path, str(tmp_path / "ckpt_sketch"),
+        keys=["event_type"], col="user_id",
+    )
+    q.awaitTermination()
+
+    def estimates(df):
+        return {
+            r.event_type: r.approx_distinct for r in sketch_estimates(df).collect()
+        }
+
+    got = estimates(spark.read.parquet(path))
+    want = estimates(sketch_distinct_delta(events, ["event_type"], "user_id"))
+    assert got == want and len(got) > 0
+
+    # replaying one of the already-folded halves is a no-op (HLL union of
+    # already-present elements cannot move any register)
+    sketch_rollup_batch(
+        spark, path, events.filter(F.col("event_id") % 2 == 0),
+        keys=["event_type"], col="user_id",
+    )
+    assert estimates(spark.read.parquet(path)) == want
+
+
 # ---------------------------------------------------------------------------
 # incremental near-dup dedup stream (streaming/dedup_stream.py)
 

@@ -1,0 +1,69 @@
+"""Streaming distinct-count maintenance: per-micro-batch HLL sketch merge.
+
+The streaming face of ``operators/incremental_agg``'s persisted-sketch
+rollup: each micro-batch's values are sketched (one map-side-combined agg
+over the batch only) and HLL-unioned into the stored per-group rollup via
+a keyed upsert — history is never rescanned, per-group state is O(1), and
+the served estimate is bit-identical to sketching the whole stream in one
+batch pass (associative union; gated by ``tests/test_streaming.py``).
+
+Delivery semantics caveat: HLL union is idempotent for REPLAYED IDENTICAL
+rows (re-inserting an element already in the sketch is a no-op), so a
+foreachBatch replay after a crash converges — the same effectively-once
+argument as the medallion upserts, and strictly stronger than a count-based
+rollup would get (counts double on replay; sketches don't).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tickerlake_spark.operators.incremental_agg import (
+    merge_distinct_sketches,
+    sketch_distinct_delta,
+)
+from tickerlake_spark.storage.io import table_exists
+from tickerlake_spark.storage.upsert import upsert_table
+
+__all__ = ["sketch_rollup_batch", "stream_distinct_rollup"]
+
+
+def sketch_rollup_batch(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    keys: list[str],
+    col: str,
+    lgk: int = 12,
+) -> None:
+    """Fold one micro-batch into the persisted per-``keys`` sketch rollup."""
+    if batch.isEmpty():
+        return
+    delta = sketch_distinct_delta(batch, keys, col, lgk=lgk)
+    if table_exists(path):
+        delta = merge_distinct_sketches(spark.read.parquet(path), delta, keys)
+    upsert_table(spark, path, delta, keys=keys, validate_unique=False)
+
+
+def stream_distinct_rollup(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    col: str,
+    lgk: int = 12,
+    available_now: bool = True,
+):
+    """foreachBatch wrapper over ``sketch_rollup_batch``; serve estimates
+    with ``operators.incremental_agg.sketch_estimates`` over ``path``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sketch_rollup_batch(batch_df.sparkSession, path, batch_df, keys, col, lgk)
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
