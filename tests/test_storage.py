@@ -595,3 +595,49 @@ def test_scd2_apply_versions_and_point_in_time(spark, tmp_path):
         assert scd2_as_of(spark, path, probe).filter(
             F.col("ticker") == "AAA"
         ).count() == 1
+
+
+def test_snapshot_diff_classifies_all_changes(spark):
+    from tickerlake_spark.storage.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "d", None)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (4, "d", None), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {r.k: r.change for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    # 1 unchanged (excluded), 2 changed, 3 removed, 4 unchanged w/ NULL value
+    # (null-safe compare + presence flags), 5 added
+    assert got == {2: "changed", 3: "removed", 5: "added"}
+    full = {
+        r.k: r.change
+        for r in snapshot_diff(
+            old, new, keys=["k"], include_unchanged=True
+        ).collect()
+    }
+    assert full[1] == "unchanged" and full[4] == "unchanged"
+
+
+def test_suppress_below_k_drops_small_classes(spark):
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.operators.privacy import (
+        k_anonymity_profile,
+        suppress_below_k,
+    )
+
+    rows = [("us", "A", i) for i in range(5)] + [("de", "B", 99)]
+    df = spark.createDataFrame(rows, "country string, seg string, uid long")
+    kept = suppress_below_k(df, ["country", "seg"], k=3)
+    assert kept.count() == 5
+    assert kept.filter(F.col("country") == "de").count() == 0
+    prof = {
+        (r.country, r.seg): (r.class_size, r.l_diversity)
+        for r in k_anonymity_profile(
+            df, ["country", "seg"], sensitive="uid"
+        ).collect()
+    }
+    assert prof == {("us", "A"): (5, 5), ("de", "B"): (1, 1)}

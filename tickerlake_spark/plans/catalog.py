@@ -202,6 +202,8 @@ _COST_RANK = [
     "q137_quality_constraints",
     "q138_mmr_rerank",
     "q139_bpe_merges",
+    "q140_k_anonymity",
+    "q141_snapshot_diff",
     "q91_disjunctive_predicates",
     "q72_embedding_quantize",
     "q83_batch_sessionize",

@@ -1770,3 +1770,107 @@ def q136_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("node").asc())
         .limit(100)
     )
+
+
+@register(
+    "q140_k_anonymity",
+    doc="k-anonymity / l-diversity release audit (the class-level companion "
+    "of q70's span-level PII masking): per quasi-identifier equivalence "
+    "class (nation x market segment), its size, the distinct count of the "
+    "sensitive attribute (account-balance band), and the at-risk flag for "
+    "classes below k=10. One hash aggregation on the quasi-ids — the exact-"
+    "dedup plan shape, linear at any scale (operators/privacy.py).",
+    oracle="""
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT)
+         AS l_diversity,
+       COUNT(*) < 10 AS at_risk
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+""",
+)
+def q140_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.privacy import k_anonymity_profile
+
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    )
+    prof = k_anonymity_profile(
+        c, quasi_ids=["c_nationkey", "c_mktsegment"], sensitive="bal_band"
+    )
+    return prof.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        "l_diversity",
+        (F.col("class_size") < 10).alias("at_risk"),
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+@register(
+    "q141_snapshot_diff",
+    doc="Keyed snapshot reconciliation (storage/diff.py::snapshot_diff): "
+    "classify every order key as added / removed / changed between the "
+    "stored snapshot and a deterministically-mutated next version "
+    "(~1/97 removed, ~1/89 repriced, ~1/83 new keys — hash-derived, "
+    "mirrored in the oracle). ONE full-outer join on the key with "
+    "null-safe column comparison; per-class counts + the first 50 changed "
+    "keys as the audit sample.",
+    oracle=f"""
+WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN {_H60_SQL.format(x="CAST(o_orderkey AS VARCHAR)")} % 89 = 1
+              THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE {_H60_SQL.format(x="CAST(o_orderkey AS VARCHAR)")} % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice
+  FROM orders WHERE {_H60_SQL.format(x="CAST(o_orderkey AS VARCHAR)")} % 83 = 2
+),
+diff AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM old o FULL OUTER JOIN new n ON n.o_orderkey = o.o_orderkey
+)
+SELECT change, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+FROM diff WHERE change <> 'unchanged'
+GROUP BY change ORDER BY change
+""",
+)
+def q141_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.functions.text import h60
+    from tickerlake_spark.storage.diff import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    hk = h60(F.col("o_orderkey").cast("string"))
+    new = (
+        o.filter(F.pmod(hk, F.lit(97)) != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.pmod(hk, F.lit(89)) == 1, F.round(F.col("o_totalprice") * 1.1, 2)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.pmod(hk, F.lit(83)) == 2).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    d = snapshot_diff(o, new, keys=["o_orderkey"], compare=["o_totalprice"])
+    return (
+        d.groupBy("change")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").cast("long").alias("first_key"),
+        )
+        .orderBy("change")
+    )

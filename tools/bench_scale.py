@@ -153,6 +153,17 @@ def run(factor: int = 10, tickers: int = 100_000, skip_e2e: bool = False,
     gen_sec = round(time.perf_counter() - t0, 2)
 
     bench_queries = {n: s for n, s in QUERIES.items() if s.bench}
+    # representative non-headline operators whose scale posture the round-4
+    # additions claim: ER fuzzy join, iterative PageRank, vocab construction,
+    # curation line dedup
+    for extra in (
+        "q134_fuzzy_entity_join",
+        "q136_pagerank",
+        "q128_vocab_topk",
+        "q121_line_dedup",
+    ):
+        if extra in QUERIES:
+            bench_queries[extra] = QUERIES[extra]
     for spec in bench_queries.values():  # warmup (codegen)
         spec.fn(spark, dst).foreachPartition(lambda it: None)
     timings: dict[str, float] = {}
