@@ -45,8 +45,8 @@ def corpora(draw):
 
 
 @settings(**SETTINGS)
-@given(words=corpora())
-def test_fuzzy_join_bounds_vs_bruteforce(spark, words):
+@given(words=corpora(), strategy=st.sampled_from(["segments", "masks"]))
+def test_fuzzy_join_bounds_vs_bruteforce(spark, words, strategy):
     from tickerlake_spark.operators.fuzzyjoin import fuzzy_substitution_join
 
     left = spark.createDataFrame([(i, w) for i, w in enumerate(words)], "lid long, s string")
@@ -56,7 +56,8 @@ def test_fuzzy_join_bounds_vs_bruteforce(spark, words):
     got = {
         (r.lid, r.rid): r.distance
         for r in fuzzy_substitution_join(
-            left, right, col="s", left_id="lid", right_id="rid", k=2
+            left, right, col="s", left_id="lid", right_id="rid", k=2,
+            strategy=strategy,
         ).collect()
     }
     must_find = set()
@@ -71,6 +72,9 @@ def test_fuzzy_join_bounds_vs_bruteforce(spark, words):
     extra = set(got) - may_find
     assert not missing, f"substitution-recall violated: {sorted(missing)[:5]}"
     assert not extra, f"precision violated: {sorted(extra)[:5]}"
+    if strategy == "masks":
+        # masks candidates are EXACTLY the Hamming<=k pairs
+        assert set(got) == must_find
     for (lid, rid), d in got.items():
         assert d == _lev(words[lid], words[rid - 10_000])
 
