@@ -93,3 +93,23 @@ def test_fuzzy_join_distances_deterministic(spark):
         .collect()
     }
     assert got == {(0, 1): 1, (0, 2): 2, (1, 2): 1}  # lengths differ -> no pair with idx 4
+
+
+def test_mask_strategy_k1(spark):
+    from tickerlake_spark.operators.fuzzyjoin import fuzzy_substitution_join
+
+    words = ["abcd", "abce", "abff", "abcd"]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "lid long, s string"
+    )
+    got = {
+        (r.lid, r.rid): r.distance
+        for r in fuzzy_substitution_join(
+            df, df.selectExpr("lid as rid", "s"), "s", "lid", "rid",
+            k=1, strategy="masks",
+        )
+        .filter("lid < rid")
+        .collect()
+    }
+    # (0,1) hamming 1; (0,3) exact dup; (1,3) hamming 1; (2,*) hamming 2 -> out
+    assert got == {(0, 1): 1, (0, 3): 0, (1, 3): 1}

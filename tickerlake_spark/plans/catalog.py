@@ -195,23 +195,6 @@ _COST_RANK = [
     "q86_trailing_active_users",
     "q89_column_profile",
     "q90_approx_stats",
-    "q133_hll_incremental_distinct",
-    "q134_fuzzy_entity_join",
-    "q135_duplicate_spans",
-    "q136_pagerank",
-    "q137_quality_constraints",
-    "q138_mmr_rerank",
-    "q139_bpe_merges",
-    "q140_k_anonymity",
-    "q141_snapshot_diff",
-    "q91_disjunctive_predicates",
-    "q72_embedding_quantize",
-    "q83_batch_sessionize",
-    "q115_kmeans_centroids",
-    "q116_semantic_dedup",
-    "q117_ivf_trained",
-    "q118_doc_chunking",
-    "q119_sequence_packing",
     "q120_benchmark_decontamination",
     "q121_line_dedup",
     "q122_domain_mixture_sample",
@@ -221,6 +204,24 @@ _COST_RANK = [
     "q126_train_split",
     "q127_pq_adc_ann",
     "q130_ivfpq_ann",
+    "q133_hll_incremental_distinct",
+    "q134_fuzzy_entity_join",
+    "q135_duplicate_spans",
+    "q136_pagerank",
+    "q137_quality_constraints",
+    "q138_mmr_rerank",
+    "q139_bpe_merges",
+    "q140_k_anonymity",
+    "q141_snapshot_diff",
+    "q142_semantic_decontamination",
+    "q91_disjunctive_predicates",
+    "q72_embedding_quantize",
+    "q83_batch_sessionize",
+    "q115_kmeans_centroids",
+    "q116_semantic_dedup",
+    "q117_ivf_trained",
+    "q118_doc_chunking",
+    "q119_sequence_packing",
     "q11_case_cast",
     "q13_topk_sort",
     "q52_token_count",

@@ -883,3 +883,68 @@ def q120_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("__h").isNotNull().alias("is_contaminated"),
         )
     )
+
+
+@register(
+    "q142_semantic_decontamination",
+    doc="Semantic benchmark decontamination — the embedding-space "
+    "complement of q120's 5-gram overlap check (Phi/GPT-style 'fuzzy' "
+    "contamination that paraphrasing hides from n-grams): flag every "
+    "train vector whose max cosine to ANY held-out benchmark vector "
+    "(vec_id % 25 == 0) clears 0.99. The benchmark side is tiny at any "
+    "corpus scale, so the right 100 TB plan is exactly this one: "
+    "broadcast the benchmark matrix and score map-side — one pass over "
+    "the train table, no shuffle of vectors, then a per-vector max. "
+    "Contaminated copies are injected (benchmark vectors, one dim "
+    "nudged, +500000 ids) so the flag provably fires; the oracle "
+    "mirrors the injection.",
+    oracle="""
+WITH bench AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 25 = 0
+),
+train AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 25 <> 0
+  UNION ALL
+  SELECT vec_id + 500000,
+         list_concat([embedding[1]::DOUBLE + 0.01], (embedding::DOUBLE[])[2:]) AS v
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+scored AS (
+  SELECT t.vec_id, MAX(list_cosine_similarity(t.v, b.v)) AS mx
+  FROM train t CROSS JOIN bench b
+  GROUP BY t.vec_id
+)
+SELECT vec_id, ROUND(mx + 5e-9, 6) AS max_bench_cosine
+FROM scored WHERE mx >= 0.99
+ORDER BY vec_id
+""",
+)
+def q142_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.functions.vector import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bench = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
+    )
+    injected = e.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + 0.01), F.slice("v", 2, 10_000)
+        ).alias("v"),
+    )
+    train = e.filter(F.col("vec_id") % 25 != 0).unionByName(injected)
+    scored = (
+        train.crossJoin(F.broadcast(bench))
+        .select(
+            "vec_id", cosine_similarity(F.col("v"), F.col("bv")).alias("c")
+        )
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("mx"))
+    )
+    return (
+        scored.filter(F.col("mx") >= 0.99)
+        .select("vec_id", stable_round(F.col("mx"), 6).alias("max_bench_cosine"))
+        .orderBy("vec_id")
+    )
