@@ -215,6 +215,15 @@ def test_cli_full_chain(tmp_path):
     v = run("validate", "--data-root", root, "--min-records", "1")
     assert v["split_adjustment"]["ok"]
     assert v["date_counts"]["anomalous_dates"] == 0
+    # maintenance surface: compact + z-order the silver daily table
+    m = run(
+        "maintain", "--data-root", root,
+        "--table", root + "/silver/daily_aggregates",
+        "--target-file-mb", "1", "--zorder", "volume,transactions",
+    )
+    assert m["files_after"] >= 1 and m["bytes"] > 0
+    s2 = run("silver", "--data-root", root)  # pipeline still reads the table
+    assert s2["mode"] in ("full", "append", "noop")  # no new bronze -> noop
     c = run("clean", "--data-root", root, "--layer", "bronze")
     assert len(c["dropped"]) == 3
 

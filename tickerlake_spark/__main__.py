@@ -72,6 +72,17 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--shard-budget", type=int, default=2000)
     cu.add_argument("--budget-frac", type=float, default=0.3)
     cu.add_argument("--jaccard", type=float, default=0.6)
+    m = sub.add_parser(
+        "maintain",
+        parents=[common],
+        help="table maintenance: small-file compaction, OPTIMIZE ZORDER BY",
+    )
+    m.add_argument("--table", required=True, help="parquet table path")
+    m.add_argument("--target-file-mb", type=int, default=128)
+    m.add_argument(
+        "--zorder", default=None,
+        help="comma-separated numeric columns to Morton-cluster while compacting",
+    )
 
     args = ap.parse_args(argv)
 
@@ -100,6 +111,17 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"tickerlake-{args.cmd}")
     checkpoints = Checkpoints(os.path.join(catalog.root, "checkpoints.json"))
     try:
+        if args.cmd == "maintain":
+            from tickerlake_spark.storage.maintenance import compact_table
+
+            stats = compact_table(
+                spark,
+                args.table,
+                target_file_bytes=args.target_file_mb * 1024 * 1024,
+                zorder_by=args.zorder.split(",") if args.zorder else None,
+            )
+            print(json.dumps({"cmd": "maintain", "table": args.table, **stats}))
+            return 0
         if args.cmd == "curate":
             from tickerlake_spark.curation_pipeline import run_curation
 
