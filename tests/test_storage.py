@@ -641,3 +641,53 @@ def test_suppress_below_k_drops_small_classes(spark):
         ).collect()
     }
     assert prof == {("us", "A"): (5, 5), ("de", "B"): (1, 1)}
+
+
+def test_scd2_join_point_in_time_attribution(spark, tmp_path):
+    """Facts joined to the SCD2 dim pick the version valid at each fact
+    date (half-open ranges): one row per fact, no fan-out, correct
+    attribute per period, null enrich for unknown keys."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.storage.scd2 import scd2_apply, scd2_join
+
+    path = str(tmp_path / "dim")
+    schema = "ticker string, type string, effective_date date"
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 3, 1)
+    scd2_apply(
+        spark,
+        path,
+        spark.createDataFrame([("AAA", "CS", d1), ("BBB", "ETF", d1)], schema),
+        keys=["ticker"], tracked=["type"],
+    )
+    scd2_apply(
+        spark, path,
+        spark.createDataFrame([("AAA", "ETF", d2)], schema),
+        keys=["ticker"], tracked=["type"],
+    )
+
+    facts = spark.createDataFrame(
+        [
+            ("AAA", dt.date(2024, 2, 1), 1.0),   # before the change -> CS
+            ("AAA", dt.date(2024, 3, 1), 2.0),   # boundary day -> new version
+            ("AAA", dt.date(2024, 6, 1), 3.0),   # open version -> ETF
+            ("BBB", dt.date(2024, 2, 1), 4.0),
+            ("ZZZ", dt.date(2024, 2, 1), 5.0),   # unknown key -> null enrich
+            ("AAA", dt.date(2023, 12, 1), 6.0),  # before dim birth -> null
+        ],
+        "ticker string, date date, v double",
+    )
+    dim = spark.read.parquet(path)
+    out = scd2_join(facts, dim, keys=["ticker"], date_col="date")
+    assert out.count() == facts.count()  # no fan-out
+    got = {(r.ticker, str(r.date)): r.type for r in out.collect()}
+    assert got == {
+        ("AAA", "2024-02-01"): "CS",
+        ("AAA", "2024-03-01"): "ETF",
+        ("AAA", "2024-06-01"): "ETF",
+        ("BBB", "2024-02-01"): "ETF",
+        ("ZZZ", "2024-02-01"): None,
+        ("AAA", "2023-12-01"): None,
+    }

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from tickerlake_spark.storage.io import table_exists, write_table
 from tickerlake_spark.storage.upsert import replace_keys
 
-__all__ = ["scd2_apply", "scd2_current", "scd2_as_of"]
+__all__ = ["scd2_apply", "scd2_current", "scd2_as_of", "scd2_join"]
 
 
 def _with_scd2_cols(df: DataFrame, effective_col: str) -> DataFrame:
@@ -127,4 +127,41 @@ def scd2_as_of(spark: SparkSession, path: str, as_of) -> DataFrame:
     return df.filter(
         (F.col("valid_from") <= d)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+    )
+
+
+def scd2_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    date_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time enrich: join each fact row to the dimension VERSION
+    valid at its ``date_col`` (valid_from inclusive, valid_to exclusive).
+
+    The standard temporal-warehouse pattern ("what type was this ticker
+    when the bar printed"). Plan: equi-join on ``keys`` with the validity
+    range as a join-side residual predicate — each fact matches at most
+    one version, so no fan-out and no post-join dedup. At scale the dim is
+    usually broadcastable (versions-per-key is small); otherwise it
+    shuffles on the same keys as the fact join would anyway.
+    """
+    d = F.col(date_col)
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (facts[k] == dim[k])
+    cond = (
+        cond
+        & (dim["valid_from"] <= d)
+        & (dim["valid_to"].isNull() | (dim["valid_to"] > d))
+    )
+    out = facts.join(dim, cond, how)
+    return out.select(
+        *[facts[c] for c in facts.columns],
+        *[
+            dim[c]
+            for c in dim.columns
+            if c not in keys and c not in ("is_current",)
+        ],
     )
