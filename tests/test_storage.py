@@ -691,3 +691,23 @@ def test_scd2_join_point_in_time_attribution(spark, tmp_path):
         ("ZZZ", "2024-02-01"): None,
         ("AAA", "2023-12-01"): None,
     }
+
+
+def test_partition_fingerprints_detect_divergence_order_free(spark):
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.storage.diff import partition_fingerprints
+
+    rows = [(i % 3, i, f"v{i}") for i in range(300)]
+    a = spark.createDataFrame(rows, "p int, k long, s string")
+    # same rows, different physical order -> identical fingerprints
+    b = spark.createDataFrame(list(reversed(rows)), "p int, k long, s string").repartition(7)
+    fp = lambda df: {
+        r.p: (r.n_rows, r.fingerprint)
+        for r in partition_fingerprints(df, ["p"]).collect()
+    }
+    assert fp(a) == fp(b)
+    # one mutated row -> exactly that partition diverges
+    c = a.withColumn("s", F.when(F.col("k") == 100, "MUTATED").otherwise(F.col("s")))
+    d = {p for p in fp(a) if fp(a)[p] != fp(c)[p]}
+    assert d == {100 % 3}

@@ -214,6 +214,7 @@ _COST_RANK = [
     "q140_k_anonymity",
     "q141_snapshot_diff",
     "q142_semantic_decontamination",
+    "q143_partition_fingerprints",
     "q91_disjunctive_predicates",
     "q72_embedding_quantize",
     "q83_batch_sessionize",

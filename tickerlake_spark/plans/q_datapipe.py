@@ -1876,3 +1876,40 @@ def q141_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change")
     )
+
+
+@register(
+    "q143_partition_fingerprints",
+    doc="Anti-entropy partition checksums (storage/diff.py::"
+    "partition_fingerprints): an order-independent fingerprint per "
+    "order-month — sum of bounded row hashes (h60 of the canonical row "
+    "string mod 2^40) plus the row count. Replicas compare this tiny "
+    "table first and run q141's row-level snapshot_diff only on the "
+    "months that diverge. One map-side-combined hash agg; the shuffle "
+    "carries one row per partition. Cross-engine portable: the oracle "
+    "computes the identical checksum in DuckDB.",
+    oracle=f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM({_H60_SQL.format(
+           x="concat_ws('|', CAST(o_orderkey AS VARCHAR), "
+             "CAST(o_custkey AS VARCHAR), o_orderstatus, "
+             "CAST(o_totalprice AS VARCHAR))"
+       )} % 1099511627776) AS BIGINT) AS fingerprint
+FROM orders
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q143_partition_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.storage.diff import partition_fingerprints
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    return partition_fingerprints(
+        o, ["month"], cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    ).orderBy("month")

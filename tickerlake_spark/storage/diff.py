@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_diff"]
+__all__ = ["snapshot_diff", "partition_fingerprints"]
 
 
 def snapshot_diff(
@@ -59,3 +59,31 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("change") != "unchanged")
     return out
+
+
+def partition_fingerprints(
+    df: DataFrame,
+    partition_cols: list[str],
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """(partition_cols..., n_rows, fingerprint) — an ORDER-INDEPENDENT
+    checksum per partition: sum of bounded row hashes (md5-prefix ``h60``
+    of the '|'-joined canonical row string, reduced mod 2^40 so a 2^23-row
+    partition cannot overflow a long). Two replicas/snapshots agree on a
+    partition iff (n_rows, fingerprint) agree (up to hash collisions) —
+    the anti-entropy primitive that scopes ``snapshot_diff`` to only the
+    partitions that actually diverged, instead of a full-table outer join.
+
+    Cross-engine portable: the same expression runs in DuckDB (see
+    q143's oracle), so fingerprints can be compared across engines too.
+    """
+    from tickerlake_spark.functions.text import h60
+
+    if cols is None:
+        cols = [c for c in df.columns if c not in partition_cols]
+    row_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    row_hash = F.pmod(h60(row_str), F.lit(1 << 40))
+    return df.groupBy(*partition_cols).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(row_hash).cast("long").alias("fingerprint"),
+    )
