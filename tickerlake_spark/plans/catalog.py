@@ -215,6 +215,7 @@ _COST_RANK = [
     "q141_snapshot_diff",
     "q142_semantic_decontamination",
     "q143_partition_fingerprints",
+    "q144_equidepth_binning",
     "q91_disjunctive_predicates",
     "q72_embedding_quantize",
     "q83_batch_sessionize",

@@ -1913,3 +1913,50 @@ def q143_partition_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_fingerprints(
         o, ["month"], cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
     ).orderBy("month")
+
+
+@register(
+    "q144_equidepth_binning",
+    doc="Equi-depth feature discretization (decile binning of "
+    "l_extendedprice): cutpoints from exact interpolated percentiles "
+    "(collected — bounded, 9 doubles; approx_percentile is the drop-in "
+    "at 100 TB), then a map-side bin assignment and one hash agg. "
+    "Cutpoints and values are 6dp-stable-rounded on BOTH engines before "
+    "comparison so boundary membership is bit-deterministic. The "
+    "standard feature-engineering precursor for tree models and "
+    "calibration histograms.",
+    oracle="""
+WITH cuts AS (
+  SELECT ROUND(unnest(quantile_cont(l_extendedprice,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) + 5e-9, 6) AS c
+  FROM lineitem
+),
+binned AS (
+  SELECT (SELECT COUNT(*) FROM cuts
+          WHERE c < ROUND(l.l_extendedprice + 5e-9, 6)) AS bin,
+         l.l_extendedprice AS p
+  FROM lineitem l
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(p) + 5e-9, 6) AS avg_price
+FROM binned GROUP BY bin ORDER BY bin
+""",
+)
+def q144_equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    cuts_row = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array("
+            + ",".join(str(x / 10.0) for x in range(1, 10))
+            + "))"
+        ).alias("c")
+    ).first()["c"]
+    cuts = [round(float(c) + 5e-9, 6) for c in cuts_row]
+    v = stable_round(F.col("l_extendedprice"), 6)
+    bin_expr = sum((v > F.lit(c)).cast("int") for c in cuts)
+    return (
+        li.select(bin_expr.cast("long").alias("bin"), F.col("l_extendedprice").alias("p"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), stable_round(F.avg("p"), 6).alias("avg_price"))
+        .orderBy("bin")
+    )

@@ -175,6 +175,12 @@ def run(factor: int = 10, tickers: int = 100_000, skip_e2e: bool = False,
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 4)
 
+    # ANN quality/speed at 10x corpus density (20k vectors): the recall
+    # numbers published at sf0.1 (2k vectors) get their scale companion
+    from tools.bench_ann import run as ann_run
+
+    out_ann = ann_run(spark, dst)
+
     commit = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
         capture_output=True, text=True,
@@ -189,6 +195,7 @@ def run(factor: int = 10, tickers: int = 100_000, skip_e2e: bool = False,
         "gen_sec": gen_sec,
         "headline_queries_sec": timings,
         "headline_total_sec": round(sum(timings.values()), 4),
+        "ann_at_scale": out_ann,
     }
     if not keep_data:
         shutil.rmtree(dst, ignore_errors=True)
