@@ -354,3 +354,45 @@ def test_scd2_sequence_matches_state_machine(spark, tmp_path_factory, batches):
     cur = scd2_current(spark, path)
     assert cur.count() == len(oracle)
     assert cur.filter(F.col("valid_to").isNotNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff: random old/new snapshots vs a dict oracle
+
+
+@st.composite
+def two_snapshots(draw):
+    keys = sorted(draw(st.sets(st.integers(0, 20), min_size=1, max_size=12)))
+    vals = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+    old = {k: draw(vals) for k in keys if draw(st.booleans())}
+    new = {k: draw(vals) for k in keys if draw(st.booleans())}
+    return old, new
+
+
+@settings(**SETTINGS)
+@given(snaps=two_snapshots())
+def test_snapshot_diff_matches_dict_oracle(spark, snaps):
+    from tickerlake_spark.storage.diff import snapshot_diff
+
+    old, new = snaps
+    odf = spark.createDataFrame(
+        [(k, v) for k, v in old.items()] or [(None, None)], "k long, v string"
+    ).filter("k is not null")
+    ndf = spark.createDataFrame(
+        [(k, v) for k, v in new.items()] or [(None, None)], "k long, v string"
+    ).filter("k is not null")
+    got = {
+        r.k: r.change
+        for r in snapshot_diff(odf, ndf, keys=["k"], include_unchanged=True).collect()
+    }
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "removed"
+        elif old[k] != new[k]:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"  # incl. NULL == NULL (null-safe compare)
+    assert got == want

@@ -566,6 +566,62 @@ def test_streaming_sketch_rollup_matches_batch_sketch(spark, event_drops, tmp_pa
     assert estimates(spark.read.parquet(path)) == want
 
 
+def test_streaming_scd2_matches_batch_applies(spark, tmp_path):
+    """stream_scd2 over a landing dir of dimension-update drops must leave
+    the SCD2 table equal to sequential batch scd2_apply calls, including a
+    multi-date backfill batch and an idempotent replay."""
+    import datetime as dt
+
+    from tickerlake_spark.storage.scd2 import scd2_apply, stream_scd2
+
+    schema = "ticker string, type string, effective_date date"
+    d1, d2, d3 = dt.date(2024, 1, 1), dt.date(2024, 3, 1), dt.date(2024, 5, 1)
+    drop1 = [("AAA", "CS", d1), ("BBB", "ETF", d1)]
+    # one drop carrying TWO effective dates: AAA changes at d2 AND d3
+    drop2 = [("AAA", "ETF", d2), ("AAA", "CS", d3), ("CCC", "CS", d2)]
+
+    land = str(tmp_path / "landing")
+    spark.createDataFrame(drop1, schema).coalesce(1).write.mode("append").parquet(land)
+    spark.createDataFrame(drop2, schema).coalesce(1).write.mode("append").parquet(land)
+
+    spath = str(tmp_path / "sdim")
+    stream = (
+        spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).option("maxFilesPerTrigger", 1).parquet(land)
+    )
+    q = stream_scd2(
+        stream, spath, str(tmp_path / "ckpt"),
+        keys=["ticker"], tracked=["type"],
+    )
+    q.awaitTermination()
+    # replay with nothing new
+    stream2 = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).parquet(land)
+    q = stream_scd2(
+        stream2, spath, str(tmp_path / "ckpt"), keys=["ticker"], tracked=["type"]
+    )
+    q.awaitTermination()
+
+    bpath = str(tmp_path / "bdim")
+    scd2_apply(spark, bpath, spark.createDataFrame(drop1, schema),
+               keys=["ticker"], tracked=["type"])
+    scd2_apply(spark, bpath,
+               spark.createDataFrame([("AAA", "ETF", d2), ("CCC", "CS", d2)], schema),
+               keys=["ticker"], tracked=["type"])
+    scd2_apply(spark, bpath, spark.createDataFrame([("AAA", "CS", d3)], schema),
+               keys=["ticker"], tracked=["type"])
+
+    def rows(p):
+        return sorted(map(tuple, spark.read.parquet(p).collect()))
+
+    assert rows(spath) == rows(bpath)
+    # AAA carries 3 versions, exactly one open
+    aaa = [r for r in rows(spath) if r[0] == "AAA"]
+    assert len(aaa) == 3 and sum(1 for r in aaa if r[-1]) == 1
+
+
 # ---------------------------------------------------------------------------
 # incremental near-dup dedup stream (streaming/dedup_stream.py)
 

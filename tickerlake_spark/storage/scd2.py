@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from tickerlake_spark.storage.io import table_exists, write_table
 from tickerlake_spark.storage.upsert import replace_keys
 
-__all__ = ["scd2_apply", "scd2_current", "scd2_as_of", "scd2_join"]
+__all__ = ["scd2_apply", "scd2_current", "scd2_as_of", "scd2_join", "stream_scd2"]
 
 
 def _with_scd2_cols(df: DataFrame, effective_col: str) -> DataFrame:
@@ -165,3 +165,47 @@ def scd2_join(
             if c not in keys and c not in ("is_current",)
         ],
     )
+
+
+def stream_scd2(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    tracked: list[str],
+    effective_col: str = "effective_date",
+    available_now: bool = True,
+):
+    """Streaming face of ``scd2_apply``: each micro-batch of dimension
+    updates versions the stored table via foreachBatch. Replay-safe by
+    ``scd2_apply``'s own semantics — a re-applied batch classifies every
+    key 'unchanged' and writes nothing, the foreachBatch idempotency
+    contract. A micro-batch holding several effective dates (a backfill)
+    is applied one date-slice at a time, ascending, so each version sees
+    its predecessor; late corrections (an effective date BEHIND a key's
+    open version) need a rebuild, same as the batch path."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import functions as F
+
+        dates = sorted(
+            r[0] for r in batch_df.select(effective_col).distinct().collect()
+        )
+        for d in dates:
+            scd2_apply(
+                batch_df.sparkSession,
+                path,
+                batch_df.filter(F.col(effective_col) == F.lit(d)),
+                keys=keys,
+                tracked=tracked,
+                effective_col=effective_col,
+            )
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
