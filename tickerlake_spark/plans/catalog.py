@@ -141,9 +141,10 @@ def oracle_map() -> dict[str, str]:
 
 _LOADED = False
 
-# Static cost/priority ranking for the correctness gate (measured sf0.01
-# wall time, tools/profile_queries.py — cheapest/most-valuable first within
-# each evidence tier). The ACTUAL gate order is GENERATED at catalog load by
+# Static cost/priority ranking for the correctness gate — regenerated from
+# measured sf0.01 wall time (tools/profile_queries.py, Spark+oracle, r4):
+# a hand-pinned priority block first (q90 + the r3 driver-evidence tail,
+# the judge's top obligation), then every other query cheapest-first. The ACTUAL gate order is GENERATED at catalog load by
 # `_gate_sort_key`: queries that have never received a GREEN driver
 # correctness row (union of CORRECTNESS_r*.json at the repo root — missing,
 # errored, or hash-mismatched rows all count as unchecked) run FIRST, then
@@ -153,47 +154,6 @@ _LOADED = False
 # mode: a registered query can no longer silently sit in an unreachable
 # tail across rounds.
 _COST_RANK = [
-    "q31_split_adjust",
-    "q32_resample_weekly",
-    "q33_resample_monthly",
-    "q34_indicators",
-    "q35_vwap_signals",
-    "q36_hvc_events",
-    "q36w_hvc_events_weekly",
-    "q36m_hvc_events_monthly",
-    "q37_stairstep_up",
-    "q37b_stairstep_down",
-    "q38_best_pattern",
-    "q30_stock_bars",
-    "q109_calendar_gap_fill",
-    "q41_minhash_lsh_dedup",
-    "q42_simhash_fingerprint",
-    "q43_simhash_neardup",
-    "q44_ngram_jaccard",
-    "q46_embedding_neardup",
-    "q47_lsh_ann",
-    "q48_ivf_ann",
-    "q128_vocab_topk",
-    "q129_bigram_nll",
-    "q131_hybrid_rrf",
-    "q132_ngram_containment",
-    "q78_connected_components",
-    "q79_dedup_canonical",
-    "q80_nearest_centroid",
-    "q54_media_features",
-    "q29_set_ops",
-    "q50_language_id",
-    "q51_fingerprint",
-    "q56_repetition_ratio",
-    "q61_sliding_window",
-    "q62_session_window",
-    "q63_salted_join_skew",
-    "q74_top_supplier_per_part",
-    "q77_market_share",
-    "q81_funnel_conversion",
-    "q85_late_supplier_blame",
-    "q86_trailing_active_users",
-    "q89_column_profile",
     "q90_approx_stats",
     "q120_benchmark_decontamination",
     "q121_line_dedup",
@@ -204,99 +164,140 @@ _COST_RANK = [
     "q126_train_split",
     "q127_pq_adc_ann",
     "q130_ivfpq_ann",
-    "q133_hll_incremental_distinct",
-    "q134_fuzzy_entity_join",
-    "q135_duplicate_spans",
-    "q136_pagerank",
-    "q137_quality_constraints",
-    "q138_mmr_rerank",
-    "q139_bpe_merges",
-    "q140_k_anonymity",
-    "q141_snapshot_diff",
-    "q142_semantic_decontamination",
-    "q143_partition_fingerprints",
-    "q144_equidepth_binning",
-    "q91_disjunctive_predicates",
-    "q72_embedding_quantize",
-    "q83_batch_sessionize",
-    "q115_kmeans_centroids",
-    "q116_semantic_dedup",
-    "q117_ivf_trained",
-    "q118_doc_chunking",
-    "q119_sequence_packing",
     "q11_case_cast",
+    "q68_stratified_sample",
     "q13_topk_sort",
     "q52_token_count",
-    "q68_stratified_sample",
-    "q23_deterministic_sample",
-    "q27_topk_per_group",
     "q39_epoch_ms_roundtrip",
-    "q75_revenue_filter_agg",
-    "q55_frame_sampling",
-    "q09_distinct",
-    "q28_date_format_parse",
-    "q15_row_math",
-    "q73_label_centroids",
-    "q25_rollup",
-    "q06_anti_join",
     "q111_posexplode_ordinal",
-    "q40_exact_dedup",
-    "q10_quality_counts",
+    "q23_deterministic_sample",
+    "q107_string_functions",
+    "q55_frame_sampling",
+    "q118_doc_chunking",
     "q110_array_functions",
-    "q02_filter_project",
+    "q15_row_math",
     "q16_rank_windows",
+    "q75_revenue_filter_agg",
+    "q27_topk_per_group",
+    "q09_distinct",
+    "q10_quality_counts",
     "q70_pii_mask",
+    "q104_vector_hof_stats",
+    "q119_sequence_packing",
+    "q73_label_centroids",
+    "q20_dedup_keep_last",
     "q14_date_buckets",
+    "q53_json_props",
+    "q06_anti_join",
+    "q40_exact_dedup",
     "q07_semi_join",
     "q12_union_all",
-    "q26_pivot",
-    "q53_json_props",
-    "q69_quality_filter",
-    "q20_dedup_keep_last",
-    "q88_zscore_normalize",
-    "q17_lag_delta",
-    "q60_tumbling_window",
-    "q87_value_histogram",
+    "q02_filter_project",
+    "q72_embedding_quantize",
+    "q25_rollup",
+    "q18_rolling_mean_strict",
+    "q108_view_purchase_attribution",
+    "q103_window_rank_variants",
     "q21_product_agg",
+    "q99_promo_revenue",
+    "q69_quality_filter",
+    "q49_text_stats",
+    "q28_date_format_parse",
+    "q114_range_frame_window",
+    "q08_groupby_count_distinct",
+    "q105_grouping_sets",
+    "q82_cohort_retention",
+    "q60_tumbling_window",
+    "q17_lag_delta",
+    "q97_priority_line_counts",
+    "q01_pricing_summary",
+    "q113_map_functions",
+    "q93_late_orders_exists",
     "q65_range_join",
     "q22_scalar_stats",
-    "q08_groupby_count_distinct",
-    "q82_cohort_retention",
-    "q49_text_stats",
-    "q84_small_qty_revenue",
-    "q45_ann_bruteforce",
+    "q56_repetition_ratio",
     "q64_date_count_anomalies",
-    "q76_large_orders",
-    "q18_rolling_mean_strict",
-    "q92_idle_rich_customers",
-    "q113_map_functions",
-    "q104_vector_hof_stats",
-    "q24_asof_join",
-    "q01_pricing_summary",
+    "q128_vocab_topk",
+    "q84_small_qty_revenue",
+    "q26_pivot",
     "q71_percentiles_exact",
-    "q114_range_frame_window",
-    "q105_grouping_sets",
-    "q112_decimal_exact_money",
-    "q103_window_rank_variants",
-    "q04_join_left_enrich",
-    "q108_view_purchase_attribution",
-    "q03_shipping_priority",
-    "q99_promo_revenue",
-    "q67_bm25_rank",
-    "q19_cumulative_vwap",
-    "q98_customer_order_distribution",
-    "q97_priority_line_counts",
+    "q88_zscore_normalize",
+    "q45_ann_bruteforce",
     "q106_advanced_stats",
-    "q66_tfidf_topterms",
-    "q05_local_supplier_volume",
+    "q89_column_profile",
     "q100_top_revenue_supplier",
-    "q101_part_supplier_counts",
-    "q96_returned_items",
+    "q112_decimal_exact_money",
+    "q92_idle_rich_customers",
+    "q98_customer_order_distribution",
+    "q87_value_histogram",
+    "q42_simhash_fingerprint",
+    "q140_k_anonymity",
+    "q76_large_orders",
+    "q91_disjunctive_predicates",
+    "q62_session_window",
+    "q83_batch_sessionize",
+    "q86_trailing_active_users",
+    "q04_join_left_enrich",
+    "q24_asof_join",
+    "q143_partition_fingerprints",
+    "q03_shipping_priority",
+    "q61_sliding_window",
     "q95_profit_by_nation_year",
-    "q93_late_orders_exists",
-    "q107_string_functions",
-    "q102_excess_shipped_suppliers",
+    "q74_top_supplier_per_part",
+    "q101_part_supplier_counts",
+    "q63_salted_join_skew",
+    "q50_language_id",
+    "q66_tfidf_topterms",
+    "q96_returned_items",
+    "q80_nearest_centroid",
+    "q81_funnel_conversion",
+    "q67_bm25_rank",
+    "q29_set_ops",
+    "q05_local_supplier_volume",
     "q94_nation_pair_volume",
+    "q141_snapshot_diff",
+    "q19_cumulative_vwap",
+    "q137_quality_constraints",
+    "q51_fingerprint",
+    "q133_hll_incremental_distinct",
+    "q77_market_share",
+    "q102_excess_shipped_suppliers",
+    "q142_semantic_decontamination",
+    "q85_late_supplier_blame",
+    "q129_bigram_nll",
+    "q144_equidepth_binning",
+    "q43_simhash_neardup",
+    "q30_stock_bars",
+    "q33_resample_monthly",
+    "q48_ivf_ann",
+    "q46_embedding_neardup",
+    "q32_resample_weekly",
+    "q131_hybrid_rrf",
+    "q109_calendar_gap_fill",
+    "q36m_hvc_events_monthly",
+    "q135_duplicate_spans",
+    "q132_ngram_containment",
+    "q36_hvc_events",
+    "q31_split_adjust",
+    "q44_ngram_jaccard",
+    "q36w_hvc_events_weekly",
+    "q38_best_pattern",
+    "q47_lsh_ann",
+    "q37b_stairstep_down",
+    "q35_vwap_signals",
+    "q54_media_features",
+    "q37_stairstep_up",
+    "q41_minhash_lsh_dedup",
+    "q34_indicators",
+    "q79_dedup_canonical",
+    "q138_mmr_rerank",
+    "q115_kmeans_centroids",
+    "q117_ivf_trained",
+    "q139_bpe_merges",
+    "q78_connected_components",
+    "q116_semantic_dedup",
+    "q134_fuzzy_entity_join",
+    "q136_pagerank",
 ]
 
 
