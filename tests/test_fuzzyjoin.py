@@ -113,3 +113,37 @@ def test_mask_strategy_k1(spark):
     }
     # (0,1) hamming 1; (0,3) exact dup; (1,3) hamming 1; (2,*) hamming 2 -> out
     assert got == {(0, 1): 1, (0, 3): 0, (1, 3): 1}
+
+
+@settings(**SETTINGS)
+@given(words=corpora(), staged=st.booleans())
+def test_fuzzy_best_match_vs_bruteforce(spark, words, staged):
+    """fuzzy_best_match (staged and single-pass) == brute-force argmin over
+    the Hamming<=k candidate set, tie-broken by min right id; left records
+    with no candidate are absent."""
+    from tickerlake_spark.operators.fuzzyjoin import fuzzy_best_match
+
+    left = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "lid long, s string"
+    )
+    right = spark.createDataFrame(
+        [(i + 10_000, w) for i, w in enumerate(words)], "rid long, s string"
+    )
+    got = {
+        r.lid: (r.rid, r.distance)
+        for r in fuzzy_best_match(
+            left, right, col="s", left_id="lid", right_id="rid",
+            k=2, staged=staged,
+        ).collect()
+    }
+    want = {}
+    for i, a in enumerate(words):
+        cands = [
+            (_lev(a, b), j + 10_000)
+            for j, b in enumerate(words)
+            if _hamming(a, b) <= 2
+        ]
+        if cands:
+            d, rid = min(cands)
+            want[i] = (rid, d)
+    assert got == want

@@ -1675,7 +1675,7 @@ ORDER BY dirty_id
 )
 def q134_fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tickerlake_spark.functions.text import h60
-    from tickerlake_spark.operators.fuzzyjoin import fuzzy_substitution_join
+    from tickerlake_spark.operators.fuzzyjoin import fuzzy_best_match
 
     clean = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("k")
@@ -1693,20 +1693,12 @@ def q134_fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("k"),
     )
-    pairs = fuzzy_substitution_join(
+    best = fuzzy_best_match(
         dirty, clean, col="k", left_id="dirty_id", right_id="c_custkey", k=2
     )
-    w = Window.partitionBy("dirty_id").orderBy(
-        F.col("distance").asc(), F.col("c_custkey").asc()
-    )
-    return (
-        pairs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "dirty_id", F.col("c_custkey").alias("matched_custkey"), "distance"
-        )
-        .orderBy("dirty_id")
-    )
+    return best.select(
+        "dirty_id", F.col("c_custkey").alias("matched_custkey"), "distance"
+    ).orderBy("dirty_id")
 
 
 def _pagerank_oracle(iters: int = 5) -> str:
