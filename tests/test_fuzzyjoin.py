@@ -39,7 +39,10 @@ def _hamming(a: str, b: str) -> int:
 def corpora(draw):
     n = draw(st.integers(15, 40))
     base = [
-        "".join(draw(st.sampled_from("ab01")) for _ in range(9)) for _ in range(n)
+        "".join(
+            draw(st.sampled_from("ab01")) for _ in range(draw(st.sampled_from([8, 9])))
+        )
+        for _ in range(n)
     ]
     return sorted(set(base))
 
