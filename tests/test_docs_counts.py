@@ -36,3 +36,25 @@ def test_gen_coverage_check_mode_passes():
     import tools.gen_coverage as gc
 
     assert gc.apply(check=True) == 0
+
+
+def test_bench_headline_set_is_stable():
+    """BENCH_r{N} comparisons across rounds require the same 8 headline
+    queries; adding queries to the bench set silently inflates the total
+    and reads as a regression. New operators publish through SCALE_PROOF
+    / tools instead."""
+    from tickerlake_spark.plans import QUERIES
+    from tickerlake_spark.plans.catalog import _ensure_loaded
+
+    _ensure_loaded()
+    bench = {n for n, s in QUERIES.items() if s.bench}
+    assert bench == {
+        "q01_pricing_summary",
+        "q03_shipping_priority",
+        "q05_local_supplier_volume",
+        "q31_split_adjust",
+        "q34_indicators",
+        "q35_vwap_signals",
+        "q41_minhash_lsh_dedup",
+        "q45_ann_bruteforce",
+    }
