@@ -326,3 +326,23 @@ def test_quality_constraints_single_fact_aggregation(spark, sf_dir):
     assert plan.count("lineitem.parquet") <= 2, (
         "per-constraint rescans of the fact table"
     )
+
+
+def test_semantic_decontamination_broadcasts_benchmark(spark, sf_dir):
+    """q142's benchmark side must broadcast (the tiny matrix travels to the
+    train partitions); a shuffle of train vectors against it would be the
+    wrong plan at any scale."""
+    df = QUERIES["q142_semantic_decontamination"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partition_fingerprints_are_one_aggregation(spark, sf_dir):
+    """q143 is a single map-side-combined hash agg over the fact scan — no
+    joins, no sorts before the final presentation order."""
+    df = QUERIES["q143_partition_fingerprints"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in plan, op
+    assert "HashAggregate" in plan
