@@ -1,9 +1,15 @@
 #!/usr/bin/env python
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (the FINAL stdout line, kept well under 1.5 KB —
+the driver's tail capture truncates longer output, which voided round 4's
+bench signal):
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>, "e2e_reference_scale": {...}}
+
+Everything bulky — the full e2e record, the ANN recall/latency curve, the
+embedded 10x scale proof — goes to BENCH_DETAIL.json next to this script
+instead of stdout.
 
 Each query is executed to completion (foreachPartition no-op sink — forces
 full materialization without driver collect); timing includes plan + execute.
@@ -33,7 +39,12 @@ def main() -> None:
     from tickerlake_spark.session import get_spark
 
     _ensure_loaded()
-    spark = get_spark(app_name="tickerlake-bench")
+    spark = get_spark(
+        app_name="tickerlake-bench",
+        # progress bars share the captured output stream with the JSON line;
+        # keep the tail clean so the driver's parser sees only the payload
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     bench_queries = {n: s for n, s in QUERIES.items() if s.bench}
@@ -60,6 +71,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
+    detail = dict(out)
+
     # Reference-scale end-to-end run (~12.5M bars, the exact scale BASELINE.md
     # quotes): silver full rewrite + gold + one-day incremental append through
     # the real pipeline entry points — the no-extrapolation baseline
@@ -67,26 +80,42 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_E2E", "1") != "0":
         from tools.bench_e2e import run as e2e_run
 
-        out["e2e_reference_scale"] = e2e_run()
+        e2e = e2e_run()
+        detail["e2e_reference_scale"] = e2e
+        # compact summary only on stdout (full record incl. baseline ranges
+        # and row counts lives in BENCH_DETAIL.json)
+        out["e2e_reference_scale"] = {
+            "bars": e2e["bars"],
+            "silver_sec": e2e["silver_sec"],
+            "gold_sec": e2e["gold_sec"],
+            "silver_append_sec": e2e["silver_append_sec"],
+            "gold_incremental_sec": e2e["gold_incremental_sec"],
+        }
 
     # ANN quality/speed curve (VERDICT r3 item 5): recall@10 + latency for
     # every approximate index vs brute force, live at this sf. ~90s;
-    # SPARK_GRAFT_ANN=0 skips while iterating.
+    # SPARK_GRAFT_ANN=0 skips while iterating. Detail-file only.
     if os.environ.get("SPARK_GRAFT_ANN", "1") != "0":
         from tools.bench_ann import run as ann_run
 
-        out["ann_recall_latency"] = ann_run(spark, sf_dir)
+        detail["ann_recall_latency"] = ann_run(spark, sf_dir)
 
-    # Scale-headroom proof (VERDICT r3 item 4): cached one-off 10x run
-    # (sf1.0-equivalent corpus + ~125M-bar e2e), embedded verbatim — the
-    # commit field says which tree produced it; tools/bench_scale.py
-    # regenerates. Not re-run per-round: ~8 min of wall clock.
-    proof = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_PROOF.json")
+    # Scale-headroom proof: cached one-off 10x run (tools/bench_scale.py
+    # regenerates; ~8 min). Detail-file only — embedding it in stdout is what
+    # truncated round 4's bench line.
+    here = os.path.dirname(os.path.abspath(__file__))
+    proof = os.path.join(here, "SCALE_PROOF.json")
     if os.path.exists(proof):
         with open(proof) as f:
-            out["scale_proof"] = json.load(f)
+            detail["scale_proof"] = json.load(f)
 
-    print(json.dumps(out))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=2)
+
+    line = json.dumps(out)
+    assert len(line) < 1500, f"bench stdout line too long ({len(line)}B)"
+    sys.stdout.flush()
+    print(line, flush=True)
     spark.stop()
 
 

@@ -118,6 +118,95 @@ def test_mask_strategy_k1(spark):
     assert got == {(0, 1): 1, (0, 3): 0, (1, 3): 1}
 
 
+def test_mask_strategy_short_strings(spark):
+    """Strings shorter than k must still pair up (ADVICE r4: the k-subset
+    HOF emits no variants for length < k and explode dropped the row —
+    even exact duplicates went unmatched)."""
+    from tickerlake_spark.operators.fuzzyjoin import fuzzy_substitution_join
+
+    words = ["a", "b", "a", "", "", "xy", "xz"]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "lid long, s string"
+    )
+    got = {
+        (r.lid, r.rid): r.distance
+        for r in fuzzy_substitution_join(
+            df, df.selectExpr("lid as rid", "s"), "s", "lid", "rid",
+            k=2, strategy="masks",
+        )
+        .filter("lid < rid")
+        .collect()
+    }
+    # every equal-length pair with hamming <= 2 must appear, incl. the
+    # exact dups (0,2) and (3,4) that the unguarded HOF dropped
+    assert got == {(0, 1): 1, (0, 2): 0, (1, 2): 1, (3, 4): 0, (5, 6): 1}
+
+
+@st.composite
+def mixed_length_corpora(draw):
+    """Lengths 0-9: exercises insertions/deletions, not just substitutions."""
+    n = draw(st.integers(15, 40))
+    base = [
+        "".join(
+            draw(st.sampled_from("ab01")) for _ in range(draw(st.integers(0, 9)))
+        )
+        for _ in range(n)
+    ]
+    return sorted(set(base))
+
+
+@settings(**SETTINGS)
+@given(words=mixed_length_corpora(), k=st.sampled_from([1, 2]))
+def test_deletes_strategy_full_edit_distance(spark, words, k):
+    """strategy='deletes' finds EXACTLY the levenshtein<=k pairs — including
+    length-changing insert/delete edits the other strategies can't see."""
+    from tickerlake_spark.operators.fuzzyjoin import fuzzy_substitution_join
+
+    left = spark.createDataFrame([(i, w) for i, w in enumerate(words)], "lid long, s string")
+    right = spark.createDataFrame(
+        [(i + 10_000, w) for i, w in enumerate(words)], "rid long, s string"
+    )
+    got = {
+        (r.lid, r.rid): r.distance
+        for r in fuzzy_substitution_join(
+            left, right, col="s", left_id="lid", right_id="rid", k=k,
+            strategy="deletes",
+        ).collect()
+    }
+    want = {
+        (i, j + 10_000): _lev(a, b)
+        for i, a in enumerate(words)
+        for j, b in enumerate(words)
+        if _lev(a, b) <= k
+    }
+    assert got == want
+
+
+def test_deletes_best_match_insertions(spark):
+    """Best-match resolution across length-changing typos (the entity-
+    resolution case substitution-only blocking silently misses)."""
+    from tickerlake_spark.operators.fuzzyjoin import fuzzy_best_match
+
+    canon = [(1, "john smith"), (2, "jane smith"), (3, "bob jones")]
+    dirty = [
+        (10, "john smth"),   # deletion -> 1
+        (11, "jane smithh"), # insertion -> 2
+        (12, "bob joness"),  # insertion -> 3
+        (13, "completely different"),  # no match within k=2
+    ]
+    left = spark.createDataFrame(dirty, "lid long, s string")
+    right = spark.createDataFrame(canon, "rid long, s string")
+    for staged in (False, True):
+        got = {
+            r.lid: (r.rid, r.distance)
+            for r in fuzzy_best_match(
+                left, right, "s", "lid", "rid", k=2,
+                strategy="deletes", staged=staged,
+            ).collect()
+        }
+        assert got == {10: (1, 1), 11: (2, 1), 12: (3, 1)}, got
+
+
 @settings(**SETTINGS)
 @given(words=corpora(), staged=st.booleans())
 def test_fuzzy_best_match_vs_bruteforce(spark, words, staged):

@@ -24,9 +24,15 @@ candidates paying the levenshtein verify:
   characters — constant regions mask out and the remaining entropy keeps
   buckets tame. The robust default for fixed-format keys.
 
-General insert/delete support needs shifted segment probes (the full
-PassJoin); documented as the extension point rather than implemented —
-every downstream user here joins fixed-format keys.
+- ``strategy="deletes"`` — delete-neighborhood blocking (SymSpell; Garbe
+  2012): emit every variant reachable by deleting <= k characters. If
+  ``levenshtein(a, b) <= k`` then aligning the edit script shows a common
+  string reachable by <= k deletions from EACH side (a substitution is a
+  delete on both sides; an insert/delete is a delete on one), so the
+  variant sets intersect — exact recall for GENERAL edit distance,
+  including length-changing insertions/deletions, not just
+  substitutions. C(L, <=k) postings per record (46 for L=9, k=2),
+  deduped with array_distinct; the verify is full levenshtein.
 """
 
 from __future__ import annotations
@@ -37,6 +43,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "segment_postings",
     "mask_postings",
+    "delete_postings",
     "fuzzy_substitution_join",
     "fuzzy_best_match",
 ]
@@ -76,7 +83,15 @@ _SENTINEL = "\x01"
 
 def mask_postings(df: DataFrame, col: str, id_col: str, k: int) -> DataFrame:
     """(id, len, seg_i=-1, seg) — every k-subset-masked variant of the
-    string (positions replaced by a sentinel). Supports k in {1, 2}."""
+    string (positions replaced by a sentinel). Supports k in {1, 2}.
+
+    Strings shorter than k positions can't host a full k-subset; they get
+    the single fully-masked variant instead (all positions sentineled) —
+    any two equal-length strings of length < k are trivially within
+    Hamming distance k, and without this guard the HOF emits an empty
+    variants array and F.explode silently DROPS the row (even exact
+    duplicates would never pair up).
+    """
     c = F.col(col)
     length = F.length(c)
     if k == 1:
@@ -112,12 +127,65 @@ def mask_postings(df: DataFrame, col: str, id_col: str, k: int) -> DataFrame:
         )
     else:
         raise ValueError(f"mask strategy supports k in (1, 2), got {k}")
+    full_mask = F.array(F.expr(f"repeat(char(1), length({col}))"))
+    variants = F.when(length < k, full_mask).otherwise(variants)
     return df.select(
         F.col(id_col).alias("id"),
         length.alias("len"),
         F.lit(-1).alias("seg_i"),
         F.explode(variants).alias("seg"),
     )
+
+
+def delete_postings(df: DataFrame, col: str, id_col: str, k: int) -> DataFrame:
+    """(id, len, seg_i=-2, seg) — every variant reachable by deleting at
+    most ``k`` characters, deduped per record. Supports k in {1, 2}.
+
+    This is the blocking side of the SymSpell delete-neighborhood:
+    ``levenshtein(a, b) <= k`` implies the delete-variant sets of ``a``
+    and ``b`` intersect (substitution = one delete on each side;
+    insert/delete = one delete on one side), so an equi-join on the
+    variant string has exact recall for GENERAL edit distance — no
+    equal-length restriction. ``len`` carries the variant's own length
+    (redundant with string equality; kept so all posting shapes share one
+    join condition).
+    """
+    if k not in (1, 2):
+        raise ValueError(f"deletes strategy supports k in (1, 2), got {k}")
+    c = F.col(col)
+    length = F.length(c)
+    del1 = F.transform(
+        F.sequence(F.lit(1), F.greatest(length, F.lit(1))),
+        lambda i: F.concat(c.substr(F.lit(1), i - 1), c.substr(i + 1, length)),
+    )
+    variants = F.concat(F.array(c), del1)
+    if k == 2:
+        # delete positions i < j (positions in the ORIGINAL string); the
+        # j > i guard nulls the lower triangle, filtered before explode
+        del2 = F.filter(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(length, F.lit(1))),
+                    lambda i: F.transform(
+                        F.sequence(F.lit(1), F.greatest(length, F.lit(1))),
+                        lambda j: F.when(
+                            (j > i) & (j <= length),
+                            F.concat(
+                                c.substr(F.lit(1), i - 1),
+                                c.substr(i + 1, j - i - 1),
+                                c.substr(j + 1, length),
+                            ),
+                        ),
+                    ),
+                )
+            ),
+            lambda x: x.isNotNull(),
+        )
+        variants = F.concat(variants, del2)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(variants)).alias("seg"),
+    ).select("id", F.length("seg").alias("len"), F.lit(-2).alias("seg_i"), "seg")
 
 
 def fuzzy_substitution_join(
@@ -130,10 +198,12 @@ def fuzzy_substitution_join(
     strategy: str = "masks",
 ) -> DataFrame:
     """(left_id, right_id, distance): pairs within levenshtein distance
-    ``k`` (``strategy="segments"``) or Hamming distance ``k``
-    (``strategy="masks"`` — for equal lengths every Hamming<=k pair also
-    has levenshtein<=k, so the verify filters only sentinel collisions);
-    exact recall for substitution-only edits under both.
+    ``k``. Recall guarantee depends on the blocking strategy:
+    ``"segments"`` and ``"masks"`` are exact for substitution-only edits
+    (equal lengths — the dominant dirty-data mode for fixed-format keys);
+    ``"deletes"`` is exact for GENERAL edit distance, including
+    length-changing insertions and deletions (SymSpell delete
+    neighborhood — see module docstring).
 
     Plan: two posting projections -> equi-join on (seg_i, len, seg) ->
     distinct candidate pairs (ids only) -> fetch the two strings ->
@@ -146,6 +216,9 @@ def fuzzy_substitution_join(
     elif strategy == "masks":
         lp = mask_postings(left.select(left_id, col), col, left_id, k)
         rp = mask_postings(right.select(right_id, col), col, right_id, k)
+    elif strategy == "deletes":
+        lp = delete_postings(left.select(left_id, col), col, left_id, k)
+        rp = delete_postings(right.select(right_id, col), col, right_id, k)
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     cand = (
@@ -232,7 +305,11 @@ def fuzzy_best_match(
             out = out.unionByName(m)
         return out
 
-    post = mask_postings if strategy == "masks" else segment_postings
+    post = {
+        "masks": mask_postings,
+        "segments": segment_postings,
+        "deletes": delete_postings,
+    }[strategy]
     # ride the string along in the postings for free by packing (id, text)
     # into a struct used AS the id — no join-back, no extra shuffle
     lpk = left.select(
