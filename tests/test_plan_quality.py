@@ -297,10 +297,19 @@ def test_fuzzy_join_never_plans_a_cartesian(spark, sf_dir):
 
 
 def test_pagerank_reuses_persisted_edges(spark, sf_dir):
-    """q136's 5 iterations each reference the edge and degree tables; the
-    plan must read them from the persisted InMemory relation, not re-derive
-    the lineitem-orders join per iteration."""
-    df = QUERIES["q136_pagerank"].fn(spark, sf_dir)
+    """The 5 iterations each reference the edge and degree tables; the
+    (lazy, materialize=False) plan must read them from the persisted
+    InMemory relation, not re-derive the lineitem-orders join per
+    iteration."""
+    from tickerlake_spark.operators.graph import pagerank
+    from tickerlake_spark.plans.q_datapipe import purchase_graph_edges
+
+    df = pagerank(
+        purchase_graph_edges(spark, sf_dir),
+        iters=5,
+        normalize=True,
+        materialize=False,
+    )
     plan = _physical_plan(df)
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     # NOTE: no string-count assertions on the cached subtree — the
@@ -308,6 +317,24 @@ def test_pagerank_reuses_persisted_edges(spark, sf_dir):
     # source scans) renders differently depending on session cache state,
     # which made a count-based gate flaky across the full suite.
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_unpersists_graph_cache(spark, sf_dir):
+    """The default (materialized) call must not leak cached edge/degree
+    blocks into a long-lived session (ADVICE r4): the only storage the call
+    may add is the checkpointed rank vector itself."""
+    from tickerlake_spark.operators.graph import pagerank
+    from tickerlake_spark.plans.q_datapipe import purchase_graph_edges
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = {i.id() for i in jsc.getRDDStorageInfo()}
+    ranks = pagerank(purchase_graph_edges(spark, sf_dir), iters=2)
+    added = [i for i in jsc.getRDDStorageInfo() if i.id() not in before]
+    assert len(added) <= 1, (
+        f"pagerank leaked {len(added)} cached RDDs: "
+        f"{[i.name() for i in added]}"
+    )
+    assert ranks.count() > 0
 
 
 def test_duplicate_spans_topk_is_take_ordered(spark, sf_dir):

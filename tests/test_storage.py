@@ -643,6 +643,46 @@ def test_suppress_below_k_drops_small_classes(spark):
     assert prof == {("us", "A"): (5, 5), ("de", "B"): (1, 1)}
 
 
+def test_suppress_below_k_null_quasi_ids_match_profile(spark):
+    """Rows whose quasi-id is NULL form one equivalence class in the
+    profile; suppression must use the same class definition (null-safe
+    join) instead of unconditionally dropping them (ADVICE r4)."""
+    from tickerlake_spark.operators.privacy import (
+        k_anonymity_profile,
+        suppress_below_k,
+    )
+
+    rows = [(None, "A", i) for i in range(4)] + [("us", "A", 9), (None, "B", 7)]
+    df = spark.createDataFrame(rows, "country string, seg string, uid long")
+    prof = {
+        (r.country, r.seg): r.class_size
+        for r in k_anonymity_profile(df, ["country", "seg"]).collect()
+    }
+    assert prof == {(None, "A"): 4, ("us", "A"): 1, (None, "B"): 1}
+    kept = suppress_below_k(df, ["country", "seg"], k=3)
+    # the (NULL, A) class has 4 members >= k and must survive
+    assert kept.count() == 4
+    assert all(r.country is None and r.seg == "A" for r in kept.collect())
+
+
+def test_partition_fingerprints_distinguish_null_positions(spark):
+    """('a', NULL, 'b') and ('a', 'b', NULL) must fingerprint differently:
+    concat_ws silently skips NULLs, so without per-column NULL sentinels
+    these collide systematically (ADVICE r4)."""
+    from tickerlake_spark.storage.diff import partition_fingerprints
+
+    a = spark.createDataFrame(
+        [(1, "a", None, "b")], "p int, x string, y string, z string"
+    )
+    b = spark.createDataFrame(
+        [(1, "a", "b", None)], "p int, x string, y string, z string"
+    )
+    fa = partition_fingerprints(a, ["p"]).collect()[0]
+    fb = partition_fingerprints(b, ["p"]).collect()[0]
+    assert fa.n_rows == fb.n_rows == 1
+    assert fa.fingerprint != fb.fingerprint
+
+
 def test_scd2_join_point_in_time_attribution(spark, tmp_path):
     """Facts joined to the SCD2 dim pick the version valid at each fact
     date (half-open ranges): one row per fact, no fan-out, correct

@@ -115,6 +115,7 @@ def pagerank(
     damping: float = 0.85,
     iter_decimals: int = 10,
     normalize: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list: ``(node, rank)``.
 
@@ -125,11 +126,22 @@ def pagerank(
     rank_{t+1}(v) = (1-d)/N + d * sum_{u->v} rank_t(u) / outdeg(u)
 
     Every node must have out-edges (callers symmetrize the graph or add
-    self-loops for dangling nodes — the undirected use here has none).
+    self-loops for dangling nodes — the undirected use here has none); a
+    node with out-edges but NO in-edges receives the teleport term
+    ``(1-d)/N`` each iteration (the contribution sum left-joins onto the
+    full node universe), so the rank vector always covers every node in
+    the edge list rather than silently shrinking to the in-degree set.
     Per iteration: one join of the rank vector with the edge list + one
     hash agg on dst — the standard message-passing shape; the rank vector
     (2 narrow columns) is what shuffles, never adjacency payloads. Fixed
     ``iters`` keeps the plan bounded and the DuckDB oracle unrollable.
+
+    ``materialize=True`` (default) runs the chain eagerly (localCheckpoint
+    of the final ranks) and UNPERSISTS the edge/degree cache before
+    returning — without this every call in a long-lived session leaks the
+    cached graph blocks (ADVICE r4). Pass ``materialize=False`` to get the
+    fully lazy plan (plan-inspection tests; callers that manage the cache
+    lifetime themselves).
 
     Cross-engine determinism contract (same as k-means, plans/q_cluster.py):
     ranks are rounded to ``iter_decimals`` decimals (with a +5e-13 nudge off
@@ -149,14 +161,23 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    n_nodes = deg.agg(F.count("*").alias("n"), (1.0 / F.count("*")).alias("inv_n"))
+    # node universe = src ∪ dst; for the symmetrized graphs used here this
+    # equals deg's key set, but source-only / sink-only nodes in general
+    # graphs must still appear in every iteration's rank vector
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.agg(F.count("*").alias("n"), (1.0 / F.count("*")).alias("inv_n"))
     base = F.lit(1.0 - damping)
 
     def _stable(c):
         return F.round(c + F.lit(5e-13), iter_decimals)
 
-    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
-        F.col("src").alias("node"), _stable(F.col("inv_n")).alias("rank")
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", _stable(F.col("inv_n")).alias("rank")
     )
     for _ in range(iters):
         contrib = (
@@ -164,19 +185,24 @@ def pagerank(
             .join(deg, "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
         )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = (
-            contrib.groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+            nodes.join(sums, nodes["node"] == sums["dst"], "left")
             .crossJoin(F.broadcast(n_nodes))
             .select(
-                F.col("dst").alias("node"),
-                _stable(base * F.col("inv_n") + F.lit(damping) * F.col("s")).alias(
-                    "rank"
-                ),
+                "node",
+                _stable(
+                    base * F.col("inv_n")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
             )
         )
     if normalize:
         ranks = ranks.crossJoin(F.broadcast(n_nodes)).select(
             "node", "rank", (F.col("rank") * F.col("n")).alias("score")
         )
+    if materialize:
+        ranks = ranks.localCheckpoint(eager=True)
+        for cached in (e, deg, nodes):
+            cached.unpersist()
     return ranks

@@ -48,6 +48,12 @@ def suppress_below_k(
         .filter(F.col("__n") >= k)
         .drop("__n")
     )
-    # plain semi join: the class table's size is data-dependent (distinct
-    # quasi-id combos), so let AQE pick broadcast vs shuffle at runtime
-    return df.join(ok, quasi_ids, "left_semi")
+    # null-SAFE semi join: groupBy puts all NULL quasi-id rows in one
+    # equivalence class, so suppression must use the same class definition —
+    # a plain equi-join would drop every NULL-bearing row regardless of its
+    # class size (ADVICE r4). AQE still picks broadcast vs shuffle.
+    cond = None
+    for q in quasi_ids:
+        c = df[q].eqNullSafe(ok[q])
+        cond = c if cond is None else cond & c
+    return df.join(ok, cond, "left_semi")

@@ -1701,6 +1701,25 @@ def q134_fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dirty_id")
 
 
+def purchase_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer-supplier purchase graph edge list (q136's input;
+    also used directly by the plan-quality gate, which needs the lazy
+    ``materialize=False`` pagerank plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
 def _pagerank_oracle(iters: int = 5) -> str:
     """Unrolled PageRank CTE chain (same pattern as the k-means oracles in
     q_cluster: fixed iterations + per-iteration rounding = value-hashable)."""
@@ -1745,20 +1764,9 @@ ORDER BY score DESC, node ASC LIMIT 100"""
 def q136_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tickerlake_spark.operators.graph import pagerank
 
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    pairs = (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("b"),
-        )
-        .distinct()
+    ranks = pagerank(
+        purchase_graph_edges(spark, sf_dir), iters=5, damping=0.85, normalize=True
     )
-    e = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
-    ranks = pagerank(e, iters=5, damping=0.85, normalize=True)
     return (
         ranks.select("node", stable_round(F.col("score"), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col("node").asc())
@@ -1884,9 +1892,10 @@ def q141_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM({_H60_SQL.format(
-           x="concat_ws('|', CAST(o_orderkey AS VARCHAR), "
-             "CAST(o_custkey AS VARCHAR), o_orderstatus, "
-             "CAST(o_totalprice AS VARCHAR))"
+           x="concat_ws('|', COALESCE(CAST(o_orderkey AS VARCHAR), chr(2)), "
+             "COALESCE(CAST(o_custkey AS VARCHAR), chr(2)), "
+             "COALESCE(o_orderstatus, chr(2)), "
+             "COALESCE(CAST(o_totalprice AS VARCHAR), chr(2)))"
        )} % 1099511627776) AS BIGINT) AS fingerprint
 FROM orders
 GROUP BY 1 ORDER BY 1

@@ -81,7 +81,12 @@ def partition_fingerprints(
 
     if cols is None:
         cols = [c for c in df.columns if c not in partition_cols]
-    row_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    # concat_ws SKIPS nulls, which would make ('a', NULL, 'b') and
+    # ('a', 'b', NULL) collide systematically (ADVICE r4); a non-printing
+    # sentinel keeps every column position present in the canonical string
+    row_str = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x02")) for c in cols]
+    )
     row_hash = F.pmod(h60(row_str), F.lit(1 << 40))
     return df.groupBy(*partition_cols).agg(
         F.count("*").alias("n_rows"),

@@ -36,12 +36,24 @@ def sketch_rollup_batch(
     col: str,
     lgk: int = 12,
 ) -> None:
-    """Fold one micro-batch into the persisted per-``keys`` sketch rollup."""
+    """Fold one micro-batch into the persisted per-``keys`` sketch rollup.
+
+    The stored rollup is SEMI-JOINED to the delta's keys before the merge,
+    so both the HLL union and the subsequent upsert carry only the groups
+    this batch touched — merging the whole stored table each micro-batch
+    (ADVICE r4) would make every batch O(all groups) and contradict the
+    touch-only-changed-groups posture. Untouched groups are left on disk
+    unread; ``upsert_table`` keeps their rows as-is.
+    """
     if batch.isEmpty():
         return
     delta = sketch_distinct_delta(batch, keys, col, lgk=lgk)
     if table_exists(path):
-        delta = merge_distinct_sketches(spark.read.parquet(path), delta, keys)
+        touched = (
+            spark.read.parquet(path)
+            .join(delta.select(*keys), keys, "left_semi")
+        )
+        delta = merge_distinct_sketches(touched, delta, keys)
     upsert_table(spark, path, delta, keys=keys, validate_unique=False)
 
 
