@@ -441,6 +441,84 @@ def test_hll_sketch_incremental_matches_full(spark, sf_dir, tmp_path):
         assert abs(inc[et] - n) <= max(2, 0.05 * n), (et, inc[et], n)
 
 
+def test_kmv_sketch_exact_below_k_and_estimates_above(spark, sf_dir):
+    """KMV (the cross-engine-verifiable distinct sketch behind q90/q133):
+    exact when the group's cardinality < k; within ~3 sigma of
+    1/sqrt(k-2) relative error when above k (exercised with a small k so
+    the estimator branch actually runs — the test corpora sit below the
+    production k=2048)."""
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.operators.incremental_agg import (
+        kmv_delta,
+        kmv_estimates,
+    )
+    from tickerlake_spark.plans.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    big_k = {
+        r.event_type: r.approx_distinct
+        for r in kmv_estimates(
+            kmv_delta(events, ["event_type"], "user_id", k=100_000),
+            ["event_type"],
+            k=100_000,
+        ).collect()
+    }
+    assert big_k == exact  # below k the sketch IS the distinct set
+
+    small_k = 64
+    est = {
+        r.event_type: r.approx_distinct
+        for r in kmv_estimates(
+            kmv_delta(events, ["event_type"], "user_id", k=small_k),
+            ["event_type"],
+            k=small_k,
+        ).collect()
+    }
+    for et, n in exact.items():
+        if n >= small_k:  # estimator branch
+            tol = 3.0 / (small_k - 2) ** 0.5  # 3 sigma ~ 38%
+            assert abs(est[et] - n) <= max(2, tol * n), (et, est[et], n)
+
+
+def test_kmv_incremental_merge_matches_one_shot(spark, sf_dir):
+    """Maintaining the KMV sketch delta-by-delta (3 refreshes) must produce
+    a sketch BIT-IDENTICAL to one-shot: the merge (union -> distinct ->
+    re-rank <= k) is associative by construction. Note the rollup store
+    must REPLACE a group's sketch rows on refresh (hashes fall out of the
+    top-k as smaller ones arrive) — a per-(group, h) upsert would leave
+    stale rows behind."""
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.operators.incremental_agg import kmv_delta, kmv_merge
+    from tickerlake_spark.plans.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    k = 64  # small enough that ranks are truncated (the interesting case)
+    stored = None
+    for i in range(3):
+        delta = kmv_delta(
+            events.filter(F.col("event_id") % 3 == i), ["event_type"], "user_id", k=k
+        )
+        stored = (
+            delta
+            if stored is None
+            else kmv_merge(stored, delta, ["event_type"], k=k)
+        ).localCheckpoint(eager=True)
+
+    inc = sorted(map(tuple, stored.collect()))
+    full = sorted(
+        map(tuple, kmv_delta(events, ["event_type"], "user_id", k=k).collect())
+    )
+    assert len(full) > 0 and inc == full
+
+
 def test_pagerank_star_graph(spark):
     """Undirected star (hub + 4 leaves): ranks sum to ~1, hub dominates,
     leaves are symmetric-equal; normalize=True scales mean to 1."""

@@ -35,6 +35,9 @@ __all__ = [
     "sketch_distinct_delta",
     "merge_distinct_sketches",
     "sketch_estimates",
+    "kmv_delta",
+    "kmv_merge",
+    "kmv_estimates",
 ]
 
 _AGG = {
@@ -139,3 +142,78 @@ def sketch_estimates(
     return sketches.withColumn(out, F.hll_sketch_estimate(sketch_col)).drop(
         sketch_col
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch ---------------------------------
+#
+# The CROSS-ENGINE-VERIFIABLE sibling of the HLL rollup above (Beyer et al.,
+# SIGMOD 2007 "On synopses for distinct value estimation"): the sketch for a
+# group is simply the k smallest DISTINCT 60-bit hashes of its values —
+# expressible in portable SQL (hash -> distinct -> rank <= k), so a DuckDB
+# oracle can reproduce the estimate bit-for-bit, which no engine-internal
+# binary sketch state allows. Three properties make it hash-parity safe:
+#   1. below k the estimate is EXACT (the sketch holds every distinct hash);
+#   2. at or above k the estimator is (k-1) * 2^60 / h_(k) — one IEEE
+#      division/multiplication of exactly-known integers, no ln/log whose
+#      libm rounding could differ across engines;
+#   3. the aggregations involved (distinct, min-rank, max) are order-
+#      independent, so parallel execution cannot perturb the result.
+# Merge = union of sketches -> distinct -> re-rank: associative, O(k) state
+# per group, history never rescanned — same incremental contract as the HLL
+# path. Relative error ~ 1/sqrt(k-2); k=2048 -> ~2.2%.
+
+_KMV_SCALE = float(1 << 60)  # h60 hash space size
+
+
+def kmv_delta(
+    df: DataFrame, keys: list[str], col: str, k: int = 2048
+) -> DataFrame:
+    """(keys..., h) — the <= k smallest distinct h60 hashes per group over
+    the delta rows. One distinct shuffle + one bounded rank window."""
+    from pyspark.sql import Window
+
+    from tickerlake_spark.functions.text import h60
+
+    d = df.select(
+        *keys, h60(F.col(col).cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(
+    stored: DataFrame, delta: DataFrame, keys: list[str], k: int = 2048
+) -> DataFrame:
+    """Union two sketch tables and re-take the k smallest per group.
+    Associative: merging day-by-day equals sketching all rows at once."""
+    from pyspark.sql import Window
+
+    both = (
+        stored.select(*keys, "h").unionByName(delta.select(*keys, "h")).distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        both.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimates(
+    sketches: DataFrame,
+    keys: list[str],
+    k: int = 2048,
+    out: str = "approx_distinct",
+) -> DataFrame:
+    """Serve the sketch: exact count below k, else (k-1) * 2^60 / h_(k)."""
+    agg = sketches.groupBy(*keys).agg(
+        F.count("*").alias("__cnt"), F.max("h").alias("__kth")
+    )
+    est = F.when(F.col("__cnt") < k, F.col("__cnt").cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) / F.col("__kth") * F.lit(_KMV_SCALE))
+    )
+    return agg.select(*keys, est.cast("long").alias(out))
