@@ -1812,6 +1812,83 @@ def q134_fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dirty_id")
 
 
+@register(
+    "q145_fuzzy_join_edits",
+    doc="Entity resolution across LENGTH-CHANGING typos (the case q134's "
+    "substitution blocking cannot see): every customer key gets either a "
+    "hash-chosen digit DELETED (length 9 -> 8) or a digit INSERTED "
+    "(length 9 -> 10), mirrored in the oracle, then matched back with "
+    "fuzzy_best_match(strategy='deletes') — SymSpell delete-neighborhood "
+    "blocking with exact recall for general levenshtein <= 2 "
+    "(operators/fuzzyjoin.py). The plan stays an equi-join on delete-"
+    "variant postings + map-side-combined argmin; the oracle brute-forces "
+    "the same best match (exact recall makes the candidate sets equal).",
+    oracle=f"""
+WITH clean AS (
+  SELECT c_custkey, regexp_extract(c_name, '([0-9]+)$', 1) AS k FROM customer
+),
+base AS (
+  SELECT c_custkey, k,
+         {_H60_SQL.format(x="k")} % 9 AS p,
+         1 + c_custkey % 9 AS r,
+         {_H60_SQL.format(x="k")} % 2 AS op
+  FROM clean
+),
+dirty AS (
+  SELECT c_custkey + 2000000 AS dirty_id,
+         CASE WHEN op = 0
+              THEN substr(k, 1, CAST(p AS INT)) || substr(k, CAST(p + 2 AS INT), 9)
+              ELSE substr(k, 1, CAST(p AS INT))
+                   || CAST((CAST(substr(k, CAST(p + 1 AS INT), 1) AS INT) + r) % 10
+                           AS VARCHAR)
+                   || substr(k, CAST(p + 1 AS INT), 10)
+         END AS k
+  FROM base
+),
+cand AS (
+  SELECT d.dirty_id, c.c_custkey,
+         CAST(levenshtein(d.k, c.k) AS BIGINT) AS distance
+  FROM dirty d JOIN clean c ON levenshtein(d.k, c.k) <= 2
+)
+SELECT dirty_id, c_custkey AS matched_custkey, distance
+FROM (SELECT *, row_number() OVER (PARTITION BY dirty_id
+        ORDER BY distance ASC, c_custkey ASC) AS rn FROM cand)
+WHERE rn = 1
+ORDER BY dirty_id
+""",
+)
+def q145_fuzzy_join_edits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.fuzzyjoin import fuzzy_best_match
+
+    clean = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("k")
+    )
+    p = F.pmod(h60(F.col("k")), F.lit(9))
+    r = 1 + F.col("c_custkey") % 9
+    op = F.pmod(h60(F.col("k")), F.lit(2))
+    old_digit = F.substring(F.col("k"), (p + 1).cast("int"), F.lit(1)).cast("int")
+    deleted = F.concat(
+        F.substring(F.col("k"), F.lit(1), p.cast("int")),
+        F.substring(F.col("k"), (p + 2).cast("int"), F.lit(9)),
+    )
+    inserted = F.concat(
+        F.substring(F.col("k"), F.lit(1), p.cast("int")),
+        ((old_digit + r) % 10).cast("string"),
+        F.substring(F.col("k"), (p + 1).cast("int"), F.lit(10)),
+    )
+    dirty = clean.select(
+        (F.col("c_custkey") + 2000000).alias("dirty_id"),
+        F.when(op == 0, deleted).otherwise(inserted).alias("k"),
+    )
+    best = fuzzy_best_match(
+        dirty, clean, col="k", left_id="dirty_id", right_id="c_custkey",
+        k=2, strategy="deletes",
+    )
+    return best.select(
+        "dirty_id", F.col("c_custkey").alias("matched_custkey"), "distance"
+    ).orderBy("dirty_id")
+
+
 def purchase_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized customer-supplier purchase graph edge list (q136's input;
     also used directly by the plan-quality gate, which needs the lazy
