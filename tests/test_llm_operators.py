@@ -143,6 +143,106 @@ def test_multimodal_plumbing(spark, doc_corpus):
     assert frames.count() >= vid  # at least frame 0 per video
 
 
+def test_png_codec_roundtrip_all_filters():
+    """decode_png_gray must invert encode_png_gray AND unfilter scanlines
+    written with every PNG filter type (1=Sub, 2=Up, 3=Average, 4=Paeth),
+    not just the encoder's own filter 0 — conforming external encoders
+    emit all five."""
+    import struct
+    import zlib
+
+    from tickerlake_spark.operators.multimodal import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    pix = bytes((i * 37 + 11) % 256 for i in range(12 * 7))
+    assert decode_png_gray(encode_png_gray(12, 7, pix)) == (12, 7, pix)
+
+    # hand-build a PNG whose rows use filters 1-4 (reference-filter each
+    # scanline per the spec, then check the decoder reconstructs it)
+    w, h = 5, 4
+    rows = [bytes((x * 31 + y * 57) % 256 for x in range(w)) for y in range(h)]
+    raw = bytearray()
+    for y, ftype in zip(range(h), (1, 2, 3, 4)):
+        raw.append(ftype)
+        prev = rows[y - 1] if y > 0 else bytes(w)
+        for x in range(w):
+            a = rows[y][x - 1] if x > 0 else 0
+            b = prev[x]
+            c = prev[x - 1] if x > 0 else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((rows[y][x] - pred) & 0xFF)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png_gray(png) == (w, h, b"".join(rows))
+
+
+def test_binaryfile_ingest_decodes_real_pngs(spark, tmp_path):
+    """read_media_dir: actual PNG files on disk -> binaryFile scan ->
+    real decode in extract_features; features match the known pixels."""
+    from tickerlake_spark.operators.multimodal import (
+        encode_png_gray,
+        extract_features,
+        read_media_dir,
+    )
+
+    want = {}
+    for i in range(3):
+        pix = bytes((x * (i + 3)) % 256 for x in range(6 * 6))
+        (tmp_path / f"img_{i}.png").write_bytes(encode_png_gray(6, 6, pix))
+        want[f"img_{i}.png"] = (sum(pix) / 36.0, max(pix))
+    media = read_media_dir(spark, str(tmp_path))
+    assert {r.modality for r in media.select("modality").collect()} == {"image"}
+    feats = extract_features(media).collect()
+    assert len(feats) == 3
+    got = sorted((r.n_bytes, round(r.feat_mean, 6), r.feat_max) for r in feats)
+    exp = sorted((36, round(m, 6), mx) for m, mx in want.values())
+    assert got == exp
+
+
+def test_resize_images_real_nearest_neighbor(spark):
+    """PNG inputs get a REAL resample: a 4x4 gradient downsized to 2x2
+    must keep exactly the pixels at (0,0),(0,2),(2,0),(2,2) and re-encode
+    as a decodable 2x2 PNG."""
+    from tickerlake_spark.operators.multimodal import (
+        decode_png_gray,
+        encode_png_gray,
+        resize_images,
+    )
+
+    pix = bytes(range(16))  # 4x4: row y = [4y .. 4y+3]
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png_gray(4, 4, pix)))],
+        "media_id long, modality string, data binary",
+    )
+    out = resize_images(df, 2, 2).collect()[0]
+    assert (out.width, out.height) == (2, 2)
+    assert decode_png_gray(bytes(out.data)) == (2, 2, bytes([0, 2, 8, 10]))
+
+
 def test_text_stats_and_langid(spark, doc_corpus):
     stats = {r.doc_id: r for r in text_stats(doc_corpus).collect()}
     assert stats[1].n_tokens == len(BASE.split())

@@ -92,10 +92,11 @@ def test_split_adjust_stage_cost_vs_bars_alone(spark, sf_dir):
 
 
 def test_no_python_eval_in_hot_paths(spark, sf_dir):
-    """Every query except the deliberate Arrow/mapInPandas multimodal stubs
-    must stay JVM-side: no BatchEvalPython (row-at-a-time UDF) anywhere, and
-    ArrowEvalPython/MapInPandas only in q54/q55."""
-    allowed_arrow = {"q54_media_features", "q55_frame_sampling"}
+    """Every query except the deliberate Arrow/mapInPandas multimodal
+    kernels must stay JVM-side: no BatchEvalPython (row-at-a-time UDF)
+    anywhere, and ArrowEvalPython/MapInPandas only in q54/q55/q146 (the
+    image codec paths — Python is the codec host there by design)."""
+    allowed_arrow = {"q54_media_features", "q55_frame_sampling", "q146_png_roundtrip"}
     for name, spec in QUERIES.items():
         plan = _physical_plan(spec.fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"

@@ -14,10 +14,18 @@ from pyspark.sql import functions as F
 from tickerlake_spark.functions.core import stable_round
 from tickerlake_spark.operators.multimodal import (
     attach_fake_media,
+    encode_text_as_png,
     extract_features,
+    resize_images,
     sample_frames,
 )
 from tickerlake_spark.plans.catalog import load_table, register
+
+# nearest-neighbor 8x8 -> 4x4 keeps pixels at rows/cols 0,2,4,6: 1-based
+# flat positions into the original 64-byte pixel buffer (q146's oracle)
+_NN_4X4_POS = [
+    (2 * y) * 8 + 2 * x + 1 for y in range(4) for x in range(4)
+]
 
 
 @register(
@@ -67,3 +75,57 @@ WHERE doc_id % 3 = 2
 def q55_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_fake_media(load_table(spark, sf_dir, "documents"))
     return sample_frames(media, every_ms=1000)
+
+
+@register(
+    "q146_png_roundtrip",
+    doc="REAL image bytes end-to-end (VERDICT r4 item 6): each document's "
+    "first 64 utf-8 bytes become the pixels of an actual 8x8 grayscale "
+    "PNG (stdlib zlib deflate + PNG chunk framing), which is then DECODED "
+    "back by the pure-stdlib PNG decoder inside extract_features, "
+    "nearest-neighbor resized to 4x4 by resize_images (decode -> "
+    "resample -> re-encode), and decoded once more — three codec passes "
+    "over genuine compressed bytes, all via Arrow mapInPandas kernels "
+    "(operators/multimodal.py). Because the pixel values are the text's "
+    "character codes (ASCII corpus, zero-padded), the oracle predicts "
+    "every decoded statistic from the text alone: a corrupted encoder, "
+    "decoder, or resampler cannot hash-match.",
+    oracle=f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(1, least(length(text), 64) + 1),
+                        i -> ord(substr(text, i, 1))) AS vals,
+         list_transform({_NN_4X4_POS},
+                        p -> CASE WHEN p <= length(text)
+                             THEN ord(substr(text, CAST(p AS BIGINT), 1))
+                             ELSE 0 END) AS small
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(64 AS BIGINT) AS n_pixels,
+       ROUND(CAST(list_sum(vals) AS DOUBLE) / 64 + 5e-9, 6) AS pix_mean,
+       CAST(list_max(vals) AS BIGINT) AS pix_max,
+       ROUND(CAST(list_sum(small) AS DOUBLE) / 16 + 5e-9, 6) AS small_mean,
+       CAST(list_max(small) AS BIGINT) AS small_max
+FROM px
+ORDER BY media_id
+""",
+)
+def q146_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = encode_text_as_png(docs, width=8, height=8)
+    full = extract_features(media).select(
+        "media_id",
+        F.col("n_bytes").alias("n_pixels"),
+        stable_round(F.col("feat_mean"), 6).alias("pix_mean"),
+        F.col("feat_max").alias("pix_max"),
+    )
+    resized = resize_images(media, 4, 4).select(
+        "media_id", F.lit("image").alias("modality"), "data"
+    )
+    small = extract_features(resized).select(
+        "media_id",
+        stable_round(F.col("feat_mean"), 6).alias("small_mean"),
+        F.col("feat_max").alias("small_max"),
+    )
+    return full.join(small, "media_id").orderBy("media_id")

@@ -7,11 +7,13 @@ empirically inside the 128 GiB sandbox. The sf1.0 corpus is built by
 sharded replication of the driver's read-only sf0.1 tables: each copy
 offsets every join key by copy * max_key, so per-key cardinalities, join
 selectivities, and group sizes are preserved while totals grow 10x —
-lineitem reaches TPC-H sf1.0's ~6M rows. Text/vector tables are perturbed
-deterministically per copy (token mutation / hash noise) so the dedup and
-ANN workloads keep a natural near-dup rate instead of 9 exact twins per
-row. This corpus is for THROUGHPUT measurement only — correctness stays
-pinned to the driver's own tables via the DuckDB oracles.
+lineitem reaches TPC-H sf1.0's ~6M rows. Text tables are perturbed
+deterministically per copy (token mutation) so the dedup workloads keep a
+natural near-dup rate instead of 9 exact twins per row; embedding copies
+are INDEPENDENT hash-seeded unit vectors (not noisy replicas), so the
+ANN recall measured here follows the same methodology as the sf0.1
+curve. This corpus is for THROUGHPUT measurement only — correctness
+stays pinned to the driver's own tables via the DuckDB oracles.
 
 Writes SCALE_PROOF.json at the repo root (with the git commit); bench.py
 embeds it into its JSON line so BENCH_r{N}.json carries the numbers.
@@ -108,24 +110,41 @@ def build_scaled_dir(spark, src: str, dst: str, factor: int) -> dict[str, int]:
                     ),
                 )
             if t == "embeddings" and "embedding" in df.columns and c > 0:
-                # hash-noise perturbation (±2.5%) so vectors aren't twins
-                cp = cp.withColumn(
-                    "embedding",
-                    F.transform(
-                        F.col("embedding"),
-                        lambda x, i: (
-                            x
-                            + (
-                                F.pmod(
-                                    F.xxhash64(F.col("vec_id"), i, F.lit(c)),
-                                    F.lit(1000),
-                                )
-                                / 1000.0
-                                - 0.5
-                            ).cast("float")
-                            * F.lit(0.05)
-                        ).cast("float"),
-                    ),
+                # INDEPENDENT unit vectors per copy, hash-seeded from
+                # (vec_id, dim, copy) — NOT noisy replicas of the sf0.1
+                # vectors. VERDICT r4: replica+noise made every query's true
+                # neighbors its own near-twins, inflating recall@10 to ~1.0
+                # for free; with independent points the ANN indexes must
+                # find real structure, so the 10x recall numbers follow the
+                # same methodology as the honest sf0.1 curve.
+                cp = (
+                    cp.withColumn(
+                        "__raw",
+                        F.transform(
+                            F.col("embedding"),
+                            lambda _x, i: F.pmod(
+                                F.xxhash64(F.col("vec_id"), i, F.lit(c)),
+                                F.lit(100_000),
+                            )
+                            / 100_000.0
+                            - 0.5,
+                        ),
+                    )
+                    .withColumn(
+                        "__n",
+                        F.sqrt(
+                            F.aggregate(
+                                F.col("__raw"), F.lit(0.0), lambda a, x: a + x * x
+                            )
+                        ),
+                    )
+                    .withColumn(
+                        "embedding",
+                        F.transform(
+                            F.col("__raw"), lambda x: (x / F.col("__n")).cast("float")
+                        ),
+                    )
+                    .drop("__raw", "__n")
                 )
             copies.append(cp)
         big = copies[0]
