@@ -886,3 +886,73 @@ def test_streaming_medallion_full_rewrite_on_late_split(spark, tmp_path):
     # and the rewrite recorded the new fingerprint: one more quiet batch
     # stays incremental (checkpoint state settled)
     assert cp.get("silver_last_mode") == "full"
+
+
+def test_streaming_entity_resolution_matches_batch(spark, sf_dir, tmp_path):
+    """stream_entity_resolution over a landing dir of dirty-record drops
+    must leave the matches table equal to one batch fuzzy_best_match over
+    the concatenated input (every batch resolves against the same
+    persisted canonical table), with unmatched records kept as NULL
+    assignments; replaying an already-resolved drop changes nothing."""
+    from tickerlake_spark.operators.fuzzyjoin import fuzzy_best_match
+    from tickerlake_spark.streaming.entity_resolution import (
+        resolve_batch,
+        stream_entity_resolution,
+    )
+
+    canon = spark.createDataFrame(
+        [(1, "john smith"), (2, "jane smith"), (3, "bob jones"), (4, "ada lovelace")],
+        "canonical_id long, name string",
+    )
+    cpath = str(tmp_path / "canonical")
+    canon.write.parquet(cpath)
+
+    dirty = [
+        (10, "john smth"),            # deletion -> 1
+        (11, "jane smithh"),          # insertion -> 2
+        (12, "bob jones"),            # exact -> 3
+        (13, "ada lovelaec"),         # transposition (2 subs) -> 4
+        (14, "nothing like anyone"),  # unmatched -> NULL
+        (15, "jon smith"),            # deletion -> 1
+    ]
+    schema = "rec_id long, name string"
+    land = str(tmp_path / "landing")
+    half1 = spark.createDataFrame(dirty[:3], schema)
+    half2 = spark.createDataFrame(dirty[3:], schema)
+    half1.coalesce(1).write.mode("append").parquet(land)
+    half2.coalesce(1).write.mode("append").parquet(land)
+
+    mpath = str(tmp_path / "matches")
+    stream = (
+        spark.readStream.schema(half1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = stream_entity_resolution(
+        stream, cpath, mpath, str(tmp_path / "ckpt_er"),
+        col="name", id_col="rec_id",
+    )
+    q.awaitTermination()
+
+    got = {
+        r.rec_id: (r.canonical_id, r.distance)
+        for r in spark.read.parquet(mpath).collect()
+    }
+    batch_best = {
+        r.rec_id: (r.canonical_id, r.distance)
+        for r in fuzzy_best_match(
+            spark.createDataFrame(dirty, schema), canon, "name",
+            "rec_id", "canonical_id", k=2, strategy="deletes",
+        ).collect()
+    }
+    want = {rid: batch_best.get(rid, (None, None)) for rid, _ in dirty}
+    assert got == want
+    assert got[10] == (1, 1) and got[12] == (3, 0) and got[14] == (None, None)
+
+    # replay: re-resolving an already-folded drop is a no-op
+    resolve_batch(spark, cpath, mpath, half1, col="name", id_col="rec_id")
+    got2 = {
+        r.rec_id: (r.canonical_id, r.distance)
+        for r in spark.read.parquet(mpath).collect()
+    }
+    assert got2 == want
