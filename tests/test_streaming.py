@@ -956,3 +956,50 @@ def test_streaming_entity_resolution_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(mpath).collect()
     }
     assert got2 == want
+
+
+def test_streaming_kmv_rollup_matches_batch_sketch(spark, event_drops, tmp_path):
+    """Streaming KMV rollup: the persisted sketch after micro-batched
+    ingest must be BIT-IDENTICAL to a one-shot kmv_delta over the full
+    input (set-union merge is associative), estimates must match, and
+    replaying an already-folded batch must change nothing."""
+    from tickerlake_spark.operators.incremental_agg import (
+        kmv_delta,
+        kmv_estimates,
+    )
+    from tickerlake_spark.streaming.sketch_rollup import (
+        kmv_rollup_batch,
+        stream_kmv_rollup,
+    )
+    from tickerlake_spark.streaming.windows import stream_events
+
+    drop_dir, events = event_drops
+    k = 64  # below the per-type cardinality so ranks truncate
+    path = str(tmp_path / "kmv_rollup")
+    stream = stream_events(spark, drop_dir, events.schema, max_files_per_trigger=1)
+    q = stream_kmv_rollup(
+        spark, stream, path, str(tmp_path / "ckpt_kmv"),
+        keys=["event_type"], col="user_id", k=k,
+    )
+    q.awaitTermination()
+
+    got_sketch = sorted(map(tuple, spark.read.parquet(path).collect()))
+    want_sketch = sorted(
+        map(tuple, kmv_delta(events, ["event_type"], "user_id", k=k).collect())
+    )
+    assert len(want_sketch) > 0 and got_sketch == want_sketch
+
+    def estimates(df):
+        return {
+            r.event_type: r.approx_distinct
+            for r in kmv_estimates(df, ["event_type"], k=k).collect()
+        }
+
+    want = estimates(kmv_delta(events, ["event_type"], "user_id", k=k))
+    assert estimates(spark.read.parquet(path)) == want
+
+    kmv_rollup_batch(
+        spark, path, events.filter(F.col("event_id") % 2 == 0),
+        keys=["event_type"], col="user_id", k=k,
+    )
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want_sketch

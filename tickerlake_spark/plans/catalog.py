@@ -173,6 +173,7 @@ _COST_RANK = [
     "q23_deterministic_sample",
     "q107_string_functions",
     "q55_frame_sampling",
+    "q146_png_roundtrip",
     "q118_doc_chunking",
     "q110_array_functions",
     "q15_row_math",
@@ -297,6 +298,7 @@ _COST_RANK = [
     "q78_connected_components",
     "q116_semantic_dedup",
     "q134_fuzzy_entity_join",
+    "q145_fuzzy_join_edits",
     "q136_pagerank",
 ]
 

@@ -19,13 +19,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from tickerlake_spark.operators.incremental_agg import (
+    kmv_delta,
+    kmv_merge,
     merge_distinct_sketches,
     sketch_distinct_delta,
 )
 from tickerlake_spark.storage.io import table_exists
 from tickerlake_spark.storage.upsert import upsert_table
 
-__all__ = ["sketch_rollup_batch", "stream_distinct_rollup"]
+__all__ = [
+    "sketch_rollup_batch",
+    "stream_distinct_rollup",
+    "kmv_rollup_batch",
+    "stream_kmv_rollup",
+]
 
 
 def sketch_rollup_batch(
@@ -55,6 +62,58 @@ def sketch_rollup_batch(
         )
         delta = merge_distinct_sketches(touched, delta, keys)
     upsert_table(spark, path, delta, keys=keys, validate_unique=False)
+
+
+def kmv_rollup_batch(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    keys: list[str],
+    col: str,
+    k: int = 2048,
+) -> None:
+    """Fold one micro-batch into a persisted per-``keys`` KMV sketch — the
+    CROSS-ENGINE-VERIFIABLE sibling of :func:`sketch_rollup_batch` (see
+    ``operators/incremental_agg.py``'s KMV section). The sketch for a
+    group is its k smallest distinct hashes (multiple rows per group), so
+    the upsert keyed on the GROUP columns replaces each touched group's
+    row set wholesale — hashes that fell out of the top-k must not
+    survive. Same touched-groups-only discipline as the HLL path; replay
+    of an already-folded batch merges to the identical sketch (set union
+    is idempotent)."""
+    if batch.isEmpty():
+        return
+    delta = kmv_delta(batch, keys, col, k=k)
+    if table_exists(path):
+        touched = spark.read.parquet(path).join(
+            delta.select(*keys).distinct(), keys, "left_semi"
+        )
+        delta = kmv_merge(touched, delta, keys, k=k)
+    upsert_table(spark, path, delta, keys=keys, validate_unique=False)
+
+
+def stream_kmv_rollup(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    col: str,
+    k: int = 2048,
+    available_now: bool = True,
+):
+    """foreachBatch wrapper over ``kmv_rollup_batch``; serve estimates
+    with ``operators.incremental_agg.kmv_estimates`` over ``path``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        kmv_rollup_batch(batch_df.sparkSession, path, batch_df, keys, col, k)
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_distinct_rollup(
