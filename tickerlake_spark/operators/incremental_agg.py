@@ -163,26 +163,43 @@ def sketch_estimates(
 # path. Relative error ~ 1/sqrt(k-2); k=2048 -> ~2.2%.
 
 _KMV_SCALE = float(1 << 60)  # h60 hash space size
+_KMV_SHARDS = 64
+
+
+def _k_smallest(d: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """<= k smallest ``h`` per group, in two phases so no single sort
+    partition ever holds a whole group's distinct hashes: (1) rank within
+    (group, h mod 64) hash-shards and keep each shard's top-k — the global
+    top-k is necessarily a subset of that union; (2) rank the <= 64k
+    survivors per group. At 100 TB phase 1 bounds every window partition
+    to ~1/64 of a group and phase 2 to 64k rows; result is identical to
+    the single-window form."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(*keys, F.pmod(F.col("h"), F.lit(_KMV_SHARDS))).orderBy(
+        "h"
+    )
+    w2 = Window.partitionBy(*keys).orderBy("h")
+    return (
+        d.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def kmv_delta(
     df: DataFrame, keys: list[str], col: str, k: int = 2048
 ) -> DataFrame:
     """(keys..., h) — the <= k smallest distinct h60 hashes per group over
-    the delta rows. One distinct shuffle + one bounded rank window."""
-    from pyspark.sql import Window
-
+    the delta rows. One distinct shuffle + two bounded rank windows."""
     from tickerlake_spark.functions.text import h60
 
     d = df.select(
         *keys, h60(F.col(col).cast("string")).alias("h")
     ).distinct()
-    w = Window.partitionBy(*keys).orderBy("h")
-    return (
-        d.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _k_smallest(d, keys, k)
 
 
 def kmv_merge(
@@ -190,17 +207,10 @@ def kmv_merge(
 ) -> DataFrame:
     """Union two sketch tables and re-take the k smallest per group.
     Associative: merging day-by-day equals sketching all rows at once."""
-    from pyspark.sql import Window
-
     both = (
         stored.select(*keys, "h").unionByName(delta.select(*keys, "h")).distinct()
     )
-    w = Window.partitionBy(*keys).orderBy("h")
-    return (
-        both.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _k_smallest(both, keys, k)
 
 
 def kmv_estimates(
