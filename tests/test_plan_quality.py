@@ -297,6 +297,16 @@ def test_fuzzy_join_never_plans_a_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_fuzzy_join_edits_no_cartesian(spark, sf_dir):
+    """q145's delete-neighborhood candidate generation must stay an
+    equi-join on the variant key — never a nested-loop/cartesian (what a
+    naive general-edit-distance join degrades to)."""
+    df = QUERIES["q145_fuzzy_join_edits"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_pagerank_reuses_persisted_edges(spark, sf_dir):
     """The 5 iterations each reference the edge and degree tables; the
     (lazy, materialize=False) plan must read them from the persisted

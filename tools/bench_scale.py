@@ -177,6 +177,7 @@ def run(factor: int = 10, tickers: int = 100_000, skip_e2e: bool = False,
     # curation line dedup
     for extra in (
         "q134_fuzzy_entity_join",
+        "q145_fuzzy_join_edits",
         "q136_pagerank",
         "q128_vocab_topk",
         "q121_line_dedup",
