@@ -653,6 +653,65 @@ def q138_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def _bpe_oracle_sql(n_merges: int = 10) -> str:
+    """Unrolled cross-engine BPE oracle. The trick that makes the 'stateful
+    list rewrite' SQL-expressible: encode each word's symbol array as a
+    US-delimited string ``␟␟s1␟␟s2␟␟…␟␟`` (double separator between
+    symbols). Greedy left-to-right non-overlapping merge of adjacent
+    (a, b) — exactly ``operators/bpe.merge_pair_expr``'s fold semantics —
+    is then plain ``replace(s, '␟a␟␟b␟', '␟ab␟')``: forward-scanning
+    string replace never rescans its own output (so a freshly merged
+    symbol can't re-merge in the same pass, matching the fold), the single
+    separators flanking the pattern guarantee full-symbol matches, and the
+    double outer separators survive as the neighbors' inner ones so
+    consecutive pair occurrences all merge in one pass. Each of the
+    n_merges iterations is one MATERIALIZED CTE hop (pair explode via
+    lateral UNNEST + argmax + replace)."""
+    sep = chr(31)  # US control char — cannot appear in \\s+-split tokens
+    ctes = [
+        f"""w AS (
+  SELECT w0 AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_TOK_SQL}) AS w0 FROM documents)
+  WHERE w0 <> '' GROUP BY w0
+),
+v0 AS MATERIALIZED (
+  SELECT freq, '{sep}{sep}' || array_to_string(
+    list_append(regexp_extract_all(word, '.'), '</w>'), '{sep}{sep}')
+    || '{sep}{sep}' AS s
+  FROM w
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT syms[j] AS a, syms[j+1] AS b, CAST(SUM(freq) AS BIGINT) AS n
+  FROM (SELECT freq, list_filter(string_split(s, '{sep}'), x -> x <> '') AS syms
+        FROM v{i - 1}),
+       UNNEST(range(1, len(syms))) AS t(j)
+  GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (
+  SELECT a, b, n FROM p{i} ORDER BY n DESC, a ASC, b ASC LIMIT 1
+),
+v{i} AS MATERIALIZED (
+  SELECT freq, replace(s, '{sep}' || a || '{sep}{sep}' || b || '{sep}',
+                          '{sep}' || a || b || '{sep}') AS s
+  FROM v{i - 1} CROSS JOIN b{i}
+)"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT {i} AS i, a, b, n FROM b{i}" for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(i AS BIGINT) AS merge_rank, a AS "left", b AS "right",
+       n AS pair_freq
+FROM ({union}) ORDER BY merge_rank"""
+    )
+
+
 @register(
     "q139_bpe_merges",
     doc="BPE tokenizer training (Sennrich 2016; operators/bpe.py): the "
@@ -661,11 +720,12 @@ def q138_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(word-frequency agg); every merge iteration then runs on the "
     "distinct-word table — pair explode + one map-side-combined hash agg "
     "+ a 1-row argmax + a JVM aggregate-fold apply (no Python UDF). "
-    "Deterministic via the (freq desc, pair asc) tie-break. No SQL "
-    "oracle (20-deep stateful list-rewriting is not practical to unroll "
-    "in SQL); exact parity with a pure-Python reference implementation "
-    "is gated in test_llm_operators.py.",
-    oracle=None,
+    "Deterministic via the (freq desc, pair asc) tie-break. Cross-engine "
+    "oracle: the 10 iterations are unrolled as MATERIALIZED CTEs, with "
+    "the greedy merge-apply expressed as a delimiter-boundary string "
+    "replace (see _bpe_oracle_sql) — plus exact parity with a pure-Python "
+    "reference implementation in test_llm_operators.py.",
+    oracle=_bpe_oracle_sql(10),
 )
 def q139_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tickerlake_spark.operators.bpe import bpe_train
