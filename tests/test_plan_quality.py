@@ -384,3 +384,37 @@ def test_partition_fingerprints_are_one_aggregation(spark, sf_dir):
     for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert op not in plan, op
     assert "HashAggregate" in plan
+
+
+def test_cms_probe_join_broadcasts_the_sketch(spark, sf_dir):
+    """q147's point-estimate join must broadcast the bounded sketch
+    (depth x width cells) — shuffling candidates against it would add a
+    pointless exchange at 100 TB."""
+    df = QUERIES["q147_cms_heavy_hitters"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_prune_is_map_side_only(spark, sf_dir):
+    """bloom_prune's membership test must add ZERO exchanges over the fact
+    scan — the filter runs inside the scan stage, which is the entire
+    point of pre-shuffle semi-join reduction."""
+    from tickerlake_spark.operators.bloomjoin import bloom_prune
+    from tickerlake_spark.plans.catalog import load_table
+
+    sup = load_table(spark, sf_dir, "supplier")
+    dim = sup.filter(F.col("s_nationkey") <= 5).select("s_suppkey").distinct()
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pruned = bloom_prune(li, "l_suppkey", dim, "s_suppkey", m_bits=128, k=2)
+    assert _exchanges(_physical_plan(pruned)) == 0
+
+
+def test_bloom_audit_join_broadcasts(spark, sf_dir):
+    """q148's match-check join must broadcast the dim keys; the only
+    shuffles are the final groupBy (+ orderBy range partitioning)."""
+    df = QUERIES["q148_bloom_join_prune"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert _exchanges(plan) <= 2, plan

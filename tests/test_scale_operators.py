@@ -535,3 +535,101 @@ def test_pagerank_star_graph(spark):
     assert len(leaf_ranks) == 1  # symmetry -> identical
     assert ranks["h"] > max(leaf_ranks) * 2
     assert abs(sum(v[1] for v in out.values()) / 5 - 1.0) < 1e-6  # mean score 1
+
+
+def test_cms_never_underestimates_and_bounds_error(spark, sf_dir):
+    """Count-Min point estimates must be >= the exact count for EVERY
+    distinct item (the sketch's one-sided guarantee), and the worst
+    overcount must respect the union bound for this deterministic hash
+    family: depth=4 rows each over by < N/width w.h.p. -> allow 4x."""
+    from tickerlake_spark.operators.cms import cms_delta, cms_point_estimates
+    from tickerlake_spark.plans.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("string").alias("item")
+    )
+    n_total = li.count()
+    width = 256
+    sketch = cms_delta(li, [], "item", depth=4, width=width)
+    exact = li.groupBy("item").agg(F.count("*").cast("long").alias("exact_n"))
+    est = cms_point_estimates(sketch, exact, "item", depth=4, width=width)
+    rows = est.collect()
+    assert rows, "no items"
+    for r in rows:
+        assert r.cms_count >= r.exact_n, (r.item, r.cms_count, r.exact_n)
+        assert r.cms_count - r.exact_n <= 4 * n_total / width, (
+            r.item,
+            r.cms_count - r.exact_n,
+        )
+
+
+def test_cms_merge_matches_one_shot(spark, sf_dir):
+    """Merging per-batch sketches must be cell-identical to sketching the
+    concatenated input — the associativity the incremental rollup path
+    depends on."""
+    from tickerlake_spark.operators.cms import cms_delta, cms_merge
+    from tickerlake_spark.plans.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = cms_delta(d.filter(F.col("doc_id") % 2 == 0), [], "text", width=128)
+    b = cms_delta(d.filter(F.col("doc_id") % 2 == 1), [], "text", width=128)
+    merged = {
+        (r.r, r.c): r.n for r in cms_merge(a, b, []).collect()
+    }
+    oneshot = {
+        (r.r, r.c): r.n for r in cms_delta(d, [], "text", width=128).collect()
+    }
+    assert merged == oneshot and len(oneshot) > 0
+
+
+def test_bloom_has_no_false_negatives_and_prune_preserves_join(spark, sf_dir):
+    """Every dim key must pass its own bloom (zero false negatives — the
+    property that makes pre-shuffle pruning SAFE), and bloom_prune + join
+    must return exactly the rows of the plain join."""
+    from tickerlake_spark.operators.bloomjoin import (
+        bloom_literal,
+        bloom_might_contain,
+        bloom_prune,
+    )
+    from tickerlake_spark.plans.catalog import load_table
+
+    sup = load_table(spark, sf_dir, "supplier")
+    dim = sup.filter(F.col("s_nationkey") <= 5).select("s_suppkey").distinct()
+    words = bloom_literal(dim, "s_suppkey", m_bits=128, k=2)
+    misses = dim.filter(
+        ~bloom_might_contain(F.col("s_suppkey"), words, m_bits=128, k=2)
+    ).count()
+    assert misses == 0, "bloom false negative"
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    plain = li.join(dim, li["l_suppkey"] == dim["s_suppkey"]).drop("s_suppkey")
+    pruned = bloom_prune(li, "l_suppkey", dim, "s_suppkey", m_bits=128, k=2)
+    via_bloom = pruned.join(dim, pruned["l_suppkey"] == dim["s_suppkey"]).drop(
+        "s_suppkey"
+    )
+    assert via_bloom.count() == plain.count()
+    assert (
+        via_bloom.exceptAll(plain).count() == 0
+        and plain.exceptAll(via_bloom).count() == 0
+    )
+
+
+def test_bloom_fp_rate_bounded(spark, sf_dir):
+    """At m=128/k=2 with ~19 inserted keys the theoretical FP rate is
+    ~7%; assert the measured rate over the non-member keys stays under
+    3x that — a deterministic property of this hash family + data."""
+    from tickerlake_spark.operators.bloomjoin import (
+        bloom_literal,
+        bloom_might_contain,
+    )
+    from tickerlake_spark.plans.catalog import load_table
+
+    sup = load_table(spark, sf_dir, "supplier")
+    dim = sup.filter(F.col("s_nationkey") <= 5).select("s_suppkey").distinct()
+    non = sup.filter(F.col("s_nationkey") > 5).select("s_suppkey").distinct()
+    words = bloom_literal(dim, "s_suppkey", m_bits=128, k=2)
+    n_non = non.count()
+    fp = non.filter(
+        bloom_might_contain(F.col("s_suppkey"), words, m_bits=128, k=2)
+    ).count()
+    assert n_non > 0 and fp / n_non < 0.21, (fp, n_non)

@@ -2149,3 +2149,157 @@ def q144_equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), stable_round(F.avg("p"), 6).alias("avg_price"))
         .orderBy("bin")
     )
+
+
+@register(
+    "q147_cms_heavy_hitters",
+    doc="Count-Min sketch heavy hitters (operators/cms.py; Cormode & "
+    "Muthukrishnan 2005): a depth-4 x width-1024 counter sketch over all "
+    "corpus tokens, point-queried for the exact top-20 tokens — output is "
+    "(token, exact_n, cms_n, overcount), where cms_n >= exact_n always "
+    "and overcount <= N/width w.h.p. Plan: the explode(depth) collapses "
+    "via map-side combine to <= depth*width cells per task BEFORE the "
+    "shuffle (bounded sketch cells move, never the token multiset), the "
+    "probe join broadcasts the bounded sketch, and the top-20 is "
+    "TakeOrderedAndProject. Cross-engine: cells are sums over row-salted "
+    "h60 hashes — the oracle rebuilds the identical sketch in DuckDB.",
+    oracle=f"""
+WITH tw AS (
+  SELECT w FROM (SELECT unnest({_TOK_SQL}) AS w FROM documents)
+  WHERE w <> ''
+),
+cells AS (
+  SELECT r, CAST({_H60_SQL.format(
+      x="concat(CAST(r AS VARCHAR), ':', w)"
+  )} % 1024 AS INT) AS c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tw CROSS JOIN (SELECT unnest(range(4)) AS r)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM tw GROUP BY w ORDER BY exact_n DESC, w ASC LIMIT 20
+),
+probes AS (
+  SELECT e.w, e.exact_n, r, CAST({_H60_SQL.format(
+      x="concat(CAST(r AS VARCHAR), ':', e.w)"
+  )} % 1024 AS INT) AS c
+  FROM exact e CROSS JOIN (SELECT unnest(range(4)) AS r)
+),
+est AS (
+  SELECT w, exact_n, MIN(COALESCE(n, CAST(0 AS BIGINT))) AS cms_n
+  FROM probes LEFT JOIN cells USING (r, c) GROUP BY 1, 2
+)
+SELECT w AS token, exact_n, cms_n, cms_n - exact_n AS overcount
+FROM est ORDER BY exact_n DESC, token ASC
+""",
+)
+def q147_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.cms import cms_delta, cms_point_estimates
+
+    d = load_table(spark, sf_dir, "documents")
+    tw = d.select(F.explode(tokens("text")).alias("w")).filter(F.col("w") != "")
+    sketch = cms_delta(tw, [], "w", depth=4, width=1024)
+    exact = (
+        tw.groupBy("w")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("w").asc())
+        .limit(20)
+    )
+    est = cms_point_estimates(sketch, exact, "w", depth=4, width=1024, out="cms_n")
+    return est.select(
+        F.col("w").alias("token"),
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+    ).orderBy(F.col("exact_n").desc(), F.col("token").asc())
+
+
+@register(
+    "q148_bloom_join_prune",
+    doc="Bloom-filter semi-join reduction (operators/bloomjoin.py): the "
+    "dim side (suppliers with s_nationkey <= 5) folds into an m-bit "
+    "filter (bit_or of 32-bit words over k row-salted h60 probes); the "
+    "fact scan tests membership as a pure map-side JVM expression BEFORE "
+    "any exchange — the explicit, deterministic form of Spark's runtime "
+    "bloom pushdown. Output audits the filter per l_returnflag: rows, "
+    "bloom passes, true matches, false positives (m=128/k=2 chosen small "
+    "enough that FPs actually occur; correctness never depends on them — "
+    "the real join follows the bloom in production, see bloom_prune). "
+    "Plan: dim collect is bounded (m/32 longs), match check is one "
+    "broadcast semi-style join, one exchange total (the final groupBy).",
+    oracle=f"""
+WITH dim AS (
+  SELECT DISTINCT s_suppkey AS key FROM supplier WHERE s_nationkey <= 5
+),
+pos AS (
+  SELECT DISTINCT CAST({_H60_SQL.format(
+      x="concat(CAST(j AS VARCHAR), ':', CAST(key AS VARCHAR))"
+  )} % 128 AS BIGINT) AS p
+  FROM dim CROSS JOIN (SELECT unnest(range(2)) AS j)
+),
+wsparse AS (
+  SELECT CAST(p // 32 AS INT) AS wi,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+  FROM pos GROUP BY 1
+),
+words AS (
+  SELECT list(COALESCE(word, CAST(0 AS BIGINT)) ORDER BY g.i) AS arr
+  FROM (SELECT unnest(range(4)) AS i) g LEFT JOIN wsparse ON wi = g.i
+),
+probed AS (
+  SELECT l_returnflag,
+         CAST({_H60_SQL.format(
+             x="concat('0:', CAST(l_suppkey AS VARCHAR))"
+         )} % 128 AS BIGINT) AS p0,
+         CAST({_H60_SQL.format(
+             x="concat('1:', CAST(l_suppkey AS VARCHAR))"
+         )} % 128 AS BIGINT) AS p1,
+         l_suppkey IN (SELECT key FROM dim) AS m
+  FROM lineitem
+),
+flags AS (
+  SELECT l_returnflag, m,
+         ((arr[CAST(p0 // 32 AS INT) + 1]
+             & (CAST(1 AS BIGINT) << CAST(p0 % 32 AS INT))) <> 0
+          AND (arr[CAST(p1 // 32 AS INT) + 1]
+             & (CAST(1 AS BIGINT) << CAST(p1 % 32 AS INT))) <> 0) AS pass
+  FROM probed CROSS JOIN words
+)
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+       CAST(SUM(CASE WHEN pass AND NOT m THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos
+FROM flags GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def q148_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.bloomjoin import (
+        bloom_literal,
+        bloom_might_contain,
+    )
+
+    m_bits, k = 128, 2
+    sup = load_table(spark, sf_dir, "supplier")
+    # s_suppkey is the supplier PK — no distinct needed, which keeps the
+    # dim side exchange-free (the gate pins total exchanges <= 2)
+    dim = sup.filter(F.col("s_nationkey") <= 5).select("s_suppkey")
+    words = bloom_literal(dim, "s_suppkey", m_bits, k)
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_suppkey")
+    flagged = li.withColumn(
+        "pass", bloom_might_contain(F.col("l_suppkey"), words, m_bits, k)
+    ).join(
+        F.broadcast(dim.withColumn("__m", F.lit(True))),
+        li["l_suppkey"] == dim["s_suppkey"],
+        "left",
+    ).withColumn("m", F.coalesce(F.col("__m"), F.lit(False)))
+    return (
+        flagged.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("pass").cast("long")).alias("n_bloom_pass"),
+            F.sum(F.col("m").cast("long")).alias("n_matches"),
+            F.sum((F.col("pass") & ~F.col("m")).cast("long")).alias("n_false_pos"),
+        )
+        .orderBy("l_returnflag")
+    )
