@@ -1003,3 +1003,68 @@ def test_streaming_kmv_rollup_matches_batch_sketch(spark, event_drops, tmp_path)
         keys=["event_type"], col="user_id", k=k,
     )
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == want_sketch
+
+
+def test_streaming_cms_rollup_matches_batch_and_replay_safe(
+    spark, event_drops, tmp_path
+):
+    """Streaming CMS rollup: the SERVED sketch after micro-batched ingest
+    must be cell-identical to a one-shot cms_delta over the full input;
+    replaying an already-folded batch_id must change nothing (the replay
+    rewrites its own partition); compaction must fold old partitions
+    without changing the served sketch."""
+    from tickerlake_spark.operators.cms import cms_delta
+    from tickerlake_spark.streaming.sketch_rollup import (
+        cms_compact_rollup,
+        cms_rollup_batch,
+        cms_rollup_serve,
+        stream_cms_rollup,
+    )
+    from tickerlake_spark.streaming.windows import stream_events
+
+    drop_dir, events = event_drops
+    width = 128
+    path = str(tmp_path / "cms_rollup")
+    stream = stream_events(spark, drop_dir, events.schema, max_files_per_trigger=1)
+    q = stream_cms_rollup(
+        spark, stream, path, str(tmp_path / "ckpt_cms"),
+        keys=["event_type"], col="user_id", width=width,
+    )
+    q.awaitTermination()
+
+    def served():
+        return sorted(
+            map(tuple, cms_rollup_serve(spark, path, ["event_type"]).collect())
+        )
+
+    want = sorted(
+        map(
+            tuple,
+            cms_delta(events, ["event_type"], "user_id", width=width).collect(),
+        )
+    )
+    assert len(want) > 0 and served() == want
+
+    # the stream saw 2 drops -> batch ids 0 and 1; replaying batch 1's rows
+    # under the same batch_id must rewrite partition 1 in place, not add
+    replay = events.filter(F.col("event_id") % 2 == 1)
+    cms_rollup_batch(
+        spark, path, replay, ["event_type"], "user_id", batch_id=1, width=width
+    )
+    assert served() == want
+
+    # compaction folds batch 0 into the -1 baseline (keep_last=1 retains
+    # the replayable tail) and the served sketch is unchanged
+    cms_compact_rollup(spark, path, ["event_type"], keep_last=1)
+    ids = sorted(
+        r[0]
+        for r in spark.read.parquet(path).select("batch_id").distinct().collect()
+    )
+    assert ids == [-1, 1], ids
+    assert served() == want
+
+    # replaying the retained tail batch after compaction is still a no-op
+    cms_rollup_batch(
+        spark, path, replay, ["event_type"], "user_id", batch_id=1, width=width
+    )
+    assert served() == want

@@ -32,6 +32,10 @@ __all__ = [
     "stream_distinct_rollup",
     "kmv_rollup_batch",
     "stream_kmv_rollup",
+    "cms_rollup_batch",
+    "cms_rollup_serve",
+    "cms_compact_rollup",
+    "stream_cms_rollup",
 ]
 
 
@@ -131,6 +135,146 @@ def stream_distinct_rollup(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sketch_rollup_batch(batch_df.sparkSession, path, batch_df, keys, col, lgk)
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --- Count-Min rollup (frequency sketches) -----------------------------------
+#
+# CMS cells are COUNTS, so unlike the HLL/KMV set sketches above a replayed
+# micro-batch would double them — merge-into-stored is not replay-safe. The
+# streaming CMS therefore stores PER-BATCH cell deltas keyed on
+# (batch_id, keys, r, c) and partitioned by batch_id: a foreachBatch replay
+# rewrites its own partition with identical rows (idempotent BY CONSTRUCTION,
+# no watermark race), each batch's upsert prunes to exactly one partition
+# (O(batch), history never rescanned), and serving sums cells across batches
+# — associative, so the served sketch is cell-identical to sketching the
+# whole stream at once. ``cms_compact_rollup`` folds all but the trailing
+# (replayable) batch partitions into a batch_id=-1 baseline via an atomic
+# whole-dir swap (the table is bounded sketch cells, so the O(table) fold
+# is O(depth x width x groups), not O(history)).
+
+
+def cms_rollup_batch(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    keys: list[str],
+    col: str,
+    batch_id: int,
+    depth: int = 4,
+    width: int = 1024,
+) -> None:
+    """Fold one micro-batch's CMS cell delta into the persisted rollup."""
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.operators.cms import cms_delta
+
+    if batch.isEmpty():
+        return
+    delta = cms_delta(batch, keys, col, depth=depth, width=width).withColumn(
+        "batch_id", F.lit(int(batch_id)).cast("long")
+    )
+    upsert_table(
+        spark,
+        path,
+        delta,
+        keys=["batch_id", *keys, "r", "c"],
+        partition_by="batch_id",
+        validate_unique=False,
+    )
+
+
+def cms_rollup_serve(
+    spark: SparkSession, path: str, keys: list[str]
+) -> DataFrame:
+    """The current merged sketch: sum cells across all batch partitions."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .groupBy(*keys, "r", "c")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def cms_compact_rollup(
+    spark: SparkSession, path: str, keys: list[str], keep_last: int = 2
+) -> None:
+    """Fold old batch partitions into the batch_id=-1 baseline partition
+    via write-tmp + atomic dir swap. Serve results are unchanged (cell
+    sums are associative).
+
+    The ``keep_last`` most recent batch partitions are left UNFOLDED:
+    folding a batch and then replaying it would double-count (the replay
+    re-creates the batch's partition while its cells already live in the
+    baseline), and Structured Streaming only ever replays the trailing
+    uncommitted epoch(s) — so compacting everything older is replay-safe
+    while the recent tail keeps its rewrite-own-partition idempotence."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    stored = spark.read.parquet(path)
+    ids = sorted(
+        r[0] for r in stored.select("batch_id").distinct().collect() if r[0] >= 0
+    )
+    fold_ids = ids[: max(0, len(ids) - keep_last)]
+    if not fold_ids:
+        return
+    foldable = stored.filter(
+        (F.col("batch_id") == -1) | F.col("batch_id").isin(fold_ids)
+    )
+    folded = (
+        foldable.groupBy(*keys, "r", "c")
+        .agg(F.sum("n").alias("n"))
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+    )
+    tail = stored.filter(
+        (F.col("batch_id") >= 0) & ~F.col("batch_id").isin(fold_ids)
+    )
+    merged = folded.unionByName(tail.select(*folded.columns))
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    merged.write.partitionBy("batch_id").parquet(tmp)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+def stream_cms_rollup(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    available_now: bool = True,
+):
+    """foreachBatch wrapper over ``cms_rollup_batch``; serve point
+    estimates by feeding ``cms_rollup_serve`` to
+    ``operators.cms.cms_point_estimates``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cms_rollup_batch(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            keys,
+            col,
+            batch_id,
+            depth=depth,
+            width=width,
+        )
 
     writer = stream_df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
