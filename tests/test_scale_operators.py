@@ -633,3 +633,36 @@ def test_bloom_fp_rate_bounded(spark, sf_dir):
         bloom_might_contain(F.col("s_suppkey"), words, m_bits=128, k=2)
     ).count()
     assert n_non > 0 and fp / n_non < 0.21, (fp, n_non)
+
+
+def test_kmv_audience_overlap_tracks_exact(spark, sf_dir):
+    """q149's sketch-space union/intersection estimates must land within
+    KMV error (~1/sqrt(k-2), k=512 -> allow 3 sigma ~ 13%) of the exact
+    distinct-pair answers computed from raw history."""
+    from tickerlake_spark.plans import QUERIES
+    from tickerlake_spark.plans.catalog import _ensure_loaded, load_table
+
+    _ensure_loaded()
+    est = {
+        (r.type_a, r.type_b): r
+        for r in QUERIES["q149_kmv_audience_overlap"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    users = {
+        r.event_type: set(u.user_id for u in ev.filter(
+            F.col("event_type") == r.event_type
+        ).select("user_id").distinct().collect())
+        for r in ev.select("event_type").distinct().collect()
+    }
+    assert len(est) > 0
+    for (a, b), r in est.items():
+        exact_union = len(users[a] | users[b])
+        exact_inter = len(users[a] & users[b])
+        assert abs(r.est_union - exact_union) <= max(3, 0.13 * exact_union), (
+            a, b, r.est_union, exact_union,
+        )
+        # intersection error is relative to the UNION size (rho estimates
+        # inter/union, so absolute error scales with the union)
+        assert abs(r.est_intersection - exact_inter) <= max(
+            3, 0.13 * exact_union
+        ), (a, b, r.est_intersection, exact_inter)

@@ -38,6 +38,7 @@ __all__ = [
     "kmv_delta",
     "kmv_merge",
     "kmv_estimates",
+    "kmv_jaccard_pairs",
 ]
 
 _AGG = {
@@ -227,3 +228,68 @@ def kmv_estimates(
         F.round(F.lit(float(k - 1)) / F.col("__kth") * F.lit(_KMV_SCALE))
     )
     return agg.select(*keys, est.cast("long").alias(out))
+
+
+def kmv_jaccard_pairs(
+    sketches: DataFrame,
+    key: str,
+    k: int = 2048,
+    min_hash_col: str = "h",
+) -> DataFrame:
+    """Estimated set overlap for every unordered pair of groups from their
+    KMV sketches alone — the audience-overlap question ("how many distinct
+    users did types A and B share?") that exact computation would answer
+    with a full distinct-pair shuffle over raw history.
+
+    Beyer et al. 2007 §5: for a pair (A, B), take the k smallest hashes of
+    the UNION of the two sketches; the fraction rho of those that appear
+    in both sketches estimates the Jaccard similarity, and rho times the
+    union's KMV distinct estimate gives the intersection cardinality.
+    Below k the sketches hold every distinct hash, so both estimates
+    degenerate to EXACT values. All arithmetic is integer select/rank plus
+    the same single IEEE division as ``kmv_estimates`` — cross-engine
+    hash-parity safe.
+
+    Cost: pairs x sketch rows (sketches are <= k rows per group — the
+    pair fanout runs on sketch-sized data, never raw history)."""
+    from pyspark.sql import Window
+
+    groups = sketches.select(F.col(key).alias("g")).distinct()
+    pairs = (
+        groups.alias("x")
+        .join(groups.alias("y"), F.col("x.g") < F.col("y.g"))
+        .select(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+    )
+    s = sketches.select(F.col(key).alias("g"), F.col(min_hash_col).alias("h"))
+    tagged = (
+        pairs.join(s, s["g"] == pairs["ga"])
+        .select("ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(s, s["g"] == pairs["gb"]).select(
+                "ga", "gb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    top = tagged.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    agg = top.groupBy("ga", "gb").agg(
+        F.count("*").alias("kk"),
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("inter"),
+        F.max("h").alias("kth"),
+    )
+    union_est = F.when(
+        F.col("kk") < k, F.col("kk").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("kth") * F.lit(_KMV_SCALE))
+    return agg.select(
+        "ga",
+        "gb",
+        F.col("inter").cast("long").alias("shared_in_topk"),
+        F.round(union_est).cast("long").alias("est_union"),
+        F.round(F.col("inter") / F.col("kk") * union_est)
+        .cast("long")
+        .alias("est_intersection"),
+    )

@@ -2303,3 +2303,82 @@ def q148_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q149_kmv_audience_overlap",
+    doc="Sketch-space set overlap (Beyer et al. 2007 §5; operators/"
+    "incremental_agg.py::kmv_jaccard_pairs): estimated distinct-user "
+    "union and intersection for every pair of event types, computed from "
+    "the per-type KMV sketches ALONE — the audience-overlap question "
+    "answered on O(pairs x k) sketch rows instead of a distinct-pair "
+    "shuffle over raw history. Below k the estimates are exact; above, "
+    "the k-smallest-of-union rank plus the single-division KMV estimator "
+    "keep the whole chain portable integer arithmetic the DuckDB oracle "
+    "reproduces bit-for-bit. Plan: one distinct + two bounded rank "
+    "windows build the sketches (shuffle carries hashes, never users); "
+    "the pair fanout joins group-count-sized dims.",
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT event_type AS g,
+         {_H60_SQL.format(x="CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+),
+sk AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM d) WHERE rn <= 512
+),
+groups AS (SELECT DISTINCT g FROM sk),
+pairs AS (
+  SELECT x.g AS ga, y.g AS gb FROM groups x JOIN groups y ON x.g < y.g
+),
+tagged AS (
+  SELECT ga, gb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+    SELECT ga, gb, h, 1 AS in_a, 0 AS in_b
+    FROM pairs JOIN sk ON sk.g = pairs.ga
+    UNION ALL
+    SELECT ga, gb, h, 0 AS in_a, 1 AS in_b
+    FROM pairs JOIN sk ON sk.g = pairs.gb
+  ) GROUP BY ga, gb, h
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+    FROM tagged) WHERE rn <= 512
+),
+agg AS (
+  SELECT ga, gb, COUNT(*) AS kk, SUM(in_a * in_b) AS inter, MAX(h) AS kth
+  FROM top GROUP BY ga, gb
+)
+SELECT ga AS type_a, gb AS type_b,
+       CAST(inter AS BIGINT) AS shared_in_topk,
+       CAST(ROUND(CASE WHEN kk < 512 THEN CAST(kk AS DOUBLE)
+             ELSE 511.0 / kth * 1152921504606846976.0 END) AS BIGINT)
+         AS est_union,
+       CAST(ROUND(CAST(inter AS DOUBLE) / kk *
+             (CASE WHEN kk < 512 THEN CAST(kk AS DOUBLE)
+              ELSE 511.0 / kth * 1152921504606846976.0 END)) AS BIGINT)
+         AS est_intersection
+FROM agg ORDER BY type_a, type_b
+""",
+)
+def q149_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.incremental_agg import (
+        kmv_delta,
+        kmv_jaccard_pairs,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_delta(ev, ["event_type"], "user_id", k=512)
+    return (
+        kmv_jaccard_pairs(sk, "event_type", k=512)
+        .select(
+            F.col("ga").alias("type_a"),
+            F.col("gb").alias("type_b"),
+            "shared_in_topk",
+            "est_union",
+            "est_intersection",
+        )
+        .orderBy("type_a", "type_b")
+    )
