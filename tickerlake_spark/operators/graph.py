@@ -126,15 +126,21 @@ def pagerank(
     rank_{t+1}(v) = (1-d)/N + d * sum_{u->v} rank_t(u) / outdeg(u)
 
     Every node must have out-edges (callers symmetrize the graph or add
-    self-loops for dangling nodes — the undirected use here has none); a
-    node with out-edges but NO in-edges receives the teleport term
-    ``(1-d)/N`` each iteration (the contribution sum left-joins onto the
-    full node universe), so the rank vector always covers every node in
-    the edge list rather than silently shrinking to the in-degree set.
-    Per iteration: one join of the rank vector with the edge list + one
-    hash agg on dst — the standard message-passing shape; the rank vector
-    (2 narrow columns) is what shuffles, never adjacency payloads. Fixed
-    ``iters`` keeps the plan bounded and the DuckDB oracle unrollable.
+    self-loops for dangling nodes — the undirected use here has none). A
+    node with out-edges but NO in-edges never receives contributions, so
+    its rank is CONSTANT: 1/N initially, then the bare teleport term
+    ``(1-d)/N`` for every t >= 1. Rather than left-joining each
+    iteration's sums onto the full node universe (an extra node-sized
+    shuffle join per iteration — measured 2x on the 10x corpus), those
+    nodes ride along as a shuffle-free UNION of a precomputed
+    constant-rank table: the iterated vector covers exactly the in-edge
+    nodes (every one of which receives a sum every iteration, since all
+    edge sources always carry a rank), and the full vector is
+    ``iterated ∪ constants`` — algebraically identical values, r4-shape
+    cost. Per iteration: one join of the rank vector with the edge list
+    + one hash agg on dst; the rank vector (2 narrow columns) is what
+    shuffles, never adjacency payloads. Fixed ``iters`` keeps the plan
+    bounded and the DuckDB oracle unrollable.
 
     ``materialize=True`` (default) runs the chain eagerly (localCheckpoint
     of the final ranks) and UNPERSISTS the edge/degree cache before
@@ -176,33 +182,45 @@ def pagerank(
     def _stable(c):
         return F.round(c + F.lit(5e-13), iter_decimals)
 
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+    # in-edge nodes iterate; no-in-edge nodes have constant rank (see
+    # docstring) and union in without a per-iteration join
+    in_nodes = e.select(F.col("dst").alias("node")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    noin = nodes.join(in_nodes, "node", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    def _const_ranks(first: bool):
+        expr = F.col("inv_n") if first else base * F.col("inv_n")
+        return noin.crossJoin(F.broadcast(n_nodes)).select(
+            "node", _stable(expr).alias("rank")
+        )
+
+    ranks = in_nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", _stable(F.col("inv_n")).alias("rank")
     )
-    for _ in range(iters):
+    for it in range(iters):
+        full = ranks.unionByName(_const_ranks(first=(it == 0)))
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
+            e.join(full, e["src"] == full["node"])
             .join(deg, "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
         )
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(sums, nodes["node"] == sums["dst"], "left")
-            .crossJoin(F.broadcast(n_nodes))
-            .select(
-                "node",
-                _stable(
-                    base * F.col("inv_n")
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
-            )
+        ranks = sums.crossJoin(F.broadcast(n_nodes)).select(
+            F.col("dst").alias("node"),
+            _stable(base * F.col("inv_n") + F.lit(damping) * F.col("s")).alias(
+                "rank"
+            ),
         )
+    ranks = ranks.unionByName(_const_ranks(first=(iters == 0)))
     if normalize:
         ranks = ranks.crossJoin(F.broadcast(n_nodes)).select(
             "node", "rank", (F.col("rank") * F.col("n")).alias("score")
         )
     if materialize:
         ranks = ranks.localCheckpoint(eager=True)
-        for cached in (e, deg, nodes):
+        for cached in (e, deg, nodes, in_nodes, noin):
             cached.unpersist()
     return ranks

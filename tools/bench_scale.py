@@ -16,7 +16,8 @@ curve. This corpus is for THROUGHPUT measurement only — correctness
 stays pinned to the driver's own tables via the DuckDB oracles.
 
 Writes SCALE_PROOF.json at the repo root (with the git commit); bench.py
-embeds it into its JSON line so BENCH_r{N}.json carries the numbers.
+copies it into BENCH_DETAIL.json (never into its stdout line — embedding
+it there is what truncated round 4's bench signal).
 
 Usage: python tools/bench_scale.py [--factor 10] [--tickers 100000]
        [--skip-e2e] [--keep-data]
