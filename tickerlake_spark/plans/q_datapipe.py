@@ -2382,3 +2382,113 @@ def q149_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "q150_revenue_trend_ols",
+    doc="Per-nation OLS trend of daily revenue (slope dollars/day, "
+    "intercept, R^2) via one-pass sufficient statistics — the classic "
+    "'closed-form analytics in a single aggregation' shape: two hash "
+    "aggs (daily revenue, then per-nation moment sums) and a map-side "
+    "closed form; no window, no collect, no iteration. Cross-engine "
+    "determinism by EXACT ARITHMETIC, not rounding tolerance: daily "
+    "revenue rounds to whole dollars (a long), x is the day offset from "
+    "1995-01-01 (a long), so every moment sum (Sx, Sy, Sxx, Sxy, Syy) "
+    "is an exact integer in both engines regardless of partitioning or "
+    "sum order; the final slope/intercept/R^2 are a fixed chain of IEEE "
+    "ops on identical inputs. Valid while n*max(y)^2 < 2^63 (~4e17 here "
+    "at sf0.01) — at larger scale, change y's unit, not the algorithm.",
+    oracle="""
+WITH daily AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(datediff('day', DATE '1995-01-01', o.o_orderdate) AS BIGINT) AS x,
+         CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount))) AS BIGINT) AS y
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+mom AS (
+  SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM daily GROUP BY nk
+),
+fit AS (
+  SELECT nk, n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+         sx, sy
+  FROM mom
+)
+SELECT na.n_name AS nation, n AS n_days,
+       ROUND(num / denx + 5e-9, 6) AS slope,
+       ROUND((sy - num / denx * sx) / n + 5e-9, 6) AS intercept,
+       ROUND(num * num / (denx * deny) + 5e-9, 6) AS r2
+FROM fit JOIN nation na ON na.n_nationkey = fit.nk
+ORDER BY nation
+""",
+)
+def q150_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.round(F.sum("rev")).cast("long").alias("y"))
+    )
+    mom = daily.groupBy("nk").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    fit = mom.select(
+        "nk",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("denx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("deny"),
+        "sx",
+        "sy",
+    )
+    return (
+        fit.join(F.broadcast(na), na["n_nationkey"] == fit["nk"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").alias("n_days"),
+            stable_round(F.col("num") / F.col("denx"), 6).alias("slope"),
+            stable_round(
+                (F.col("sy") - F.col("num") / F.col("denx") * F.col("sx"))
+                / F.col("n"),
+                6,
+            ).alias("intercept"),
+            stable_round(
+                F.col("num") * F.col("num") / (F.col("denx") * F.col("deny")), 6
+            ).alias("r2"),
+        )
+        .orderBy("nation")
+    )
