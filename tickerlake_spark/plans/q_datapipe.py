@@ -1893,15 +1893,18 @@ def purchase_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized customer-supplier purchase graph edge list (q136's input;
     also used directly by the plan-quality gate, which needs the lazy
     ``materialize=False`` pagerank plan)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # distinct on the integer key pair BEFORE the string tagging: the
+    # dedup shuffle carries two longs per row instead of two strings
     pairs = (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("a"),
             F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("b"),
         )
-        .distinct()
     )
     return pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
