@@ -1068,3 +1068,50 @@ def test_streaming_cms_rollup_matches_batch_and_replay_safe(
         spark, path, replay, ["event_type"], "user_id", batch_id=1, width=width
     )
     assert served() == want
+
+
+def test_streaming_bloom_rollup_matches_batch_and_replay_safe(
+    spark, event_drops, tmp_path
+):
+    """Streaming bloom maintenance: the persisted word table after
+    micro-batched ingest must be bit-identical to a one-shot bloom_words
+    over the full input (bit_or is associative AND idempotent, so replay
+    is a no-op by algebra), and the served literal must prune facts
+    identically to a freshly-built filter."""
+    from tickerlake_spark.operators.bloomjoin import (
+        bloom_literal,
+        bloom_might_contain,
+    )
+    from tickerlake_spark.streaming.sketch_rollup import (
+        bloom_rollup_batch,
+        bloom_rollup_literal,
+        stream_bloom_rollup,
+    )
+    from tickerlake_spark.streaming.windows import stream_events
+
+    drop_dir, events = event_drops
+    m, k = 1 << 12, 3
+    path = str(tmp_path / "bloom_rollup")
+    stream = stream_events(spark, drop_dir, events.schema, max_files_per_trigger=1)
+    q = stream_bloom_rollup(
+        spark, stream, path, str(tmp_path / "ckpt_bloom"),
+        key_col="user_id", m_bits=m, k=k,
+    )
+    q.awaitTermination()
+
+    got = bloom_rollup_literal(spark, path, m_bits=m)
+    want = bloom_literal(events, "user_id", m_bits=m, k=k)
+    assert any(want) and got == want
+
+    # replay: re-ORing half the stream changes nothing
+    bloom_rollup_batch(
+        spark, path, events.filter(F.col("event_id") % 2 == 0),
+        key_col="user_id", m_bits=m, k=k,
+    )
+    assert bloom_rollup_literal(spark, path, m_bits=m) == want
+
+    # served filter admits every member (no false negatives)
+    misses = events.select("user_id").distinct().filter(
+        ~bloom_might_contain(F.col("user_id"), got, m_bits=m, k=k)
+    ).count()
+    assert misses == 0

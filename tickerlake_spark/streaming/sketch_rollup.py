@@ -1,4 +1,5 @@
-"""Streaming distinct-count maintenance: per-micro-batch HLL sketch merge.
+"""Streaming sketch maintenance: distinct (HLL/KMV), frequency (Count-Min)
+and membership (bloom) rollups, one micro-batch at a time.
 
 The streaming face of ``operators/incremental_agg``'s persisted-sketch
 rollup: each micro-batch's values are sketched (one map-side-combined agg
@@ -36,6 +37,9 @@ __all__ = [
     "cms_rollup_serve",
     "cms_compact_rollup",
     "stream_cms_rollup",
+    "bloom_rollup_batch",
+    "bloom_rollup_literal",
+    "stream_bloom_rollup",
 ]
 
 
@@ -275,6 +279,74 @@ def stream_cms_rollup(
             depth=depth,
             width=width,
         )
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --- Bloom-filter rollup (membership) ----------------------------------------
+#
+# The streaming face of operators/bloomjoin.py: maintain the dim side's
+# bloom words as keys stream in, so long-running fact pipelines can fetch a
+# current pre-shuffle prune filter without rescanning the dim history.
+# bit_or is IDEMPOTENT (unlike counts) and associative, so this follows the
+# HLL/KMV merge-into-stored pattern directly: replaying a batch ORs in bits
+# that are already set — a no-op. State is at most m/32 rows forever.
+
+
+def bloom_rollup_batch(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> None:
+    """OR one micro-batch's keys into the persisted bloom word table."""
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.operators.bloomjoin import bloom_words
+
+    if batch.isEmpty():
+        return
+    delta = bloom_words(batch, key_col, m_bits, k)
+    if table_exists(path):
+        stored = spark.read.parquet(path)
+        delta = (
+            stored.unionByName(delta)
+            .groupBy("wi")
+            .agg(F.bit_or("word").alias("word"))
+        )
+    upsert_table(spark, path, delta, keys=["wi"], validate_unique=False)
+
+
+def bloom_rollup_literal(spark: SparkSession, path: str, m_bits: int = 1 << 16) -> list[int]:
+    """Dense word list from the persisted rollup (bloomjoin.bloom_literal's
+    contract) — feed to ``bloom_might_contain`` for map-side fact pruning."""
+    dense = [0] * (m_bits // 32)
+    for row in spark.read.parquet(path).collect():
+        dense[row["wi"]] = int(row["word"])
+    return dense
+
+
+def stream_bloom_rollup(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    available_now: bool = True,
+):
+    """foreachBatch wrapper over ``bloom_rollup_batch``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        bloom_rollup_batch(batch_df.sparkSession, path, batch_df, key_col, m_bits, k)
 
     writer = stream_df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
