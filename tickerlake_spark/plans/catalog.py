@@ -267,6 +267,10 @@ _COST_RANK = [
     "q85_late_supplier_blame",
     "q129_bigram_nll",
     "q144_equidepth_binning",
+    "q150_revenue_trend_ols",
+    "q148_bloom_join_prune",
+    "q147_cms_heavy_hitters",
+    "q149_kmv_audience_overlap",
     "q43_simhash_neardup",
     "q30_stock_bars",
     "q33_resample_monthly",

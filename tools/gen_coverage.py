@@ -35,8 +35,8 @@ def counts() -> dict[str, int]:
 REWRITES = [
     (
         "README.md",
-        r"\*\*\d+ named queries, \d+ with DuckDB oracle SQL\*\*",
-        "**{queries} named queries, {oracles} with DuckDB oracle SQL**",
+        r"\*\*\d+ named queries, every one with DuckDB oracle SQL\*\*",
+        "**{queries} named queries, every one with DuckDB oracle SQL**",
     ),
     (
         "README.md",
