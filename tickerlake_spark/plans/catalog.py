@@ -299,6 +299,7 @@ _COST_RANK = [
     "q115_kmeans_centroids",
     "q117_ivf_trained",
     "q139_bpe_merges",
+    "q151_bpe_encode",
     "q78_connected_components",
     "q116_semantic_dedup",
     "q134_fuzzy_entity_join",

@@ -666,8 +666,25 @@ def _bpe_oracle_sql(n_merges: int = 10) -> str:
     double outer separators survive as the neighbors' inner ones so
     consecutive pair occurrences all merge in one pass. Each of the
     n_merges iterations is one MATERIALIZED CTE hop (pair explode via
-    lateral UNNEST + argmax + replace)."""
-    sep = chr(31)  # US control char — cannot appear in \\s+-split tokens
+    lateral UNNEST + argmax + replace). The chain carries each word
+    through, so ``v{{n}}``'s ``s`` column IS the trained tokenizer's
+    segmentation of that word — q151's encode oracle reads it directly."""
+    return _BPE_CHAIN + f"""
+SELECT CAST(i AS BIGINT) AS merge_rank, a AS "left", b AS "right",
+       n AS pair_freq
+FROM ({_bpe_merge_union(n_merges)}) ORDER BY merge_rank"""
+
+
+def _bpe_merge_union(n_merges: int) -> str:
+    return "\n  UNION ALL ".join(
+        f"SELECT {i} AS i, a, b, n FROM b{i}" for i in range(1, n_merges + 1)
+    )
+
+
+def _bpe_chain_sql(n_merges: int = 10) -> str:
+    """The shared WITH chain: w (word, freq), v0..v{n} (word, freq, s),
+    b1..b{n} (a, b, n) — see _bpe_oracle_sql for the replace trick."""
+    sep = chr(31)  # US control char — cannot appear in \s+-split tokens
     ctes = [
         f"""w AS (
   SELECT w0 AS word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -675,7 +692,7 @@ def _bpe_oracle_sql(n_merges: int = 10) -> str:
   WHERE w0 <> '' GROUP BY w0
 ),
 v0 AS MATERIALIZED (
-  SELECT freq, '{sep}{sep}' || array_to_string(
+  SELECT word, freq, '{sep}{sep}' || array_to_string(
     list_append(regexp_extract_all(word, '.'), '</w>'), '{sep}{sep}')
     || '{sep}{sep}' AS s
   FROM w
@@ -694,22 +711,16 @@ b{i} AS MATERIALIZED (
   SELECT a, b, n FROM p{i} ORDER BY n DESC, a ASC, b ASC LIMIT 1
 ),
 v{i} AS MATERIALIZED (
-  SELECT freq, replace(s, '{sep}' || a || '{sep}{sep}' || b || '{sep}',
+  SELECT word, freq, replace(s, '{sep}' || a || '{sep}{sep}' || b || '{sep}',
                           '{sep}' || a || b || '{sep}') AS s
   FROM v{i - 1} CROSS JOIN b{i}
 )"""
         )
-    union = "\n  UNION ALL ".join(
-        f"SELECT {i} AS i, a, b, n FROM b{i}" for i in range(1, n_merges + 1)
-    )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
-SELECT CAST(i AS BIGINT) AS merge_rank, a AS "left", b AS "right",
-       n AS pair_freq
-FROM ({union}) ORDER BY merge_rank"""
-    )
+    return "WITH " + ",\n".join(ctes)
+
+
+_BPE_SEP = chr(31)
+_BPE_CHAIN = _bpe_chain_sql(10)
 
 
 @register(
@@ -738,3 +749,42 @@ def q139_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "merge_rank long, left string, right string, pair_freq long"
     ).orderBy("merge_rank")
+
+
+@register(
+    "q151_bpe_encode",
+    doc="BPE tokenizer ENCODE path (the serving half of q139's training): "
+    "apply the 10 learned merges to the 20 most frequent corpus words and "
+    "emit each word's segmentation — chars+</w> folded through the merge "
+    "list in order via operators/bpe.bpe_segment's JVM aggregate folds, "
+    "map-side only. The oracle reuses q139's unrolled CTE chain: after "
+    "the 10th merge hop, v10's delimited string IS the trained "
+    "tokenizer's segmentation of every vocabulary word, so the encode "
+    "result is read straight out of the training state — one source of "
+    "truth for both halves.",
+    oracle=_BPE_CHAIN
+    + f"""
+SELECT word, freq AS n, array_to_string(
+    list_filter(string_split(s, '{_BPE_SEP}'), x -> x <> ''), ' ') AS pieces
+FROM v10 ORDER BY n DESC, word ASC LIMIT 20""",
+)
+def q151_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=10)
+    top = (
+        word_frequencies(docs)
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(20)
+    )
+    seg = bpe_segment(top, merges, word_col="word", out_col="syms")
+    return seg.select(
+        "word",
+        F.col("freq").cast("long").alias("n"),
+        F.array_join(F.col("syms"), " ").alias("pieces"),
+    ).orderBy(F.col("n").desc(), F.col("word").asc())
