@@ -418,3 +418,13 @@ def test_bloom_audit_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert _exchanges(plan) <= 2, plan
+
+
+def test_kmv_overlap_plans_only_equi_joins(spark, sf_dir):
+    """q149's pair fanout must never plan a nested-loop join: the pair dim
+    is a bounded driver-built broadcast, so every join in the plan is an
+    equi-join over sketch-sized data."""
+    df = QUERIES["q149_kmv_audience_overlap"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan

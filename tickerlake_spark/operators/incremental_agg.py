@@ -251,14 +251,25 @@ def kmv_jaccard_pairs(
     hash-parity safe.
 
     Cost: pairs x sketch rows (sketches are <= k rows per group — the
-    pair fanout runs on sketch-sized data, never raw history)."""
+    pair fanout runs on sketch-sized data, never raw history). The pair
+    dim is built from a bounded driver collect of the distinct group
+    values (the k-means-centroid contract; group count is by definition
+    small enough to pair quadratically) — a ``g1 < g2`` theta self-join
+    would plan a BroadcastNestedLoopJoin, and every join below stays an
+    equi-join instead."""
     from pyspark.sql import Window
 
-    groups = sketches.select(F.col(key).alias("g")).distinct()
-    pairs = (
-        groups.alias("x")
-        .join(groups.alias("y"), F.col("x.g") < F.col("y.g"))
-        .select(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+    spark = sketches.sparkSession
+    gvals = sorted(
+        r[0] for r in sketches.select(F.col(key).alias("g")).distinct().collect()
+    )
+    pairs = F.broadcast(
+        spark.createDataFrame(
+            [(a, b) for i, a in enumerate(gvals) for b in gvals[i + 1 :]],
+            sketches.select(
+                F.col(key).alias("ga"), F.col(key).alias("gb")
+            ).schema,
+        )
     )
     s = sketches.select(F.col(key).alias("g"), F.col(min_hash_col).alias("h"))
     tagged = (
