@@ -302,13 +302,20 @@ def test_append_path_matches_full_rewrite(spark, tmp_path):
 
     def collect(cat, table, layer="silver"):
         df = read_table(spark, cat.path(layer, table))
+        # column order varies with layout (a Hive partition column reads back
+        # last); nullable doubles need a None-safe sort key
         rounded = df.select(
             *[
                 F.round(c, 9).alias(c) if t == "double" else F.col(c)
-                for c, t in df.dtypes
+                for c, t in sorted(df.dtypes)
             ]
         )
-        return sorted(map(tuple, rounded.collect()))
+        return sorted(
+            map(tuple, rounded.collect()),
+            key=lambda row: tuple(
+                (v is not None, v if v is not None else 0) for v in row
+            ),
+        )
 
     stamp = dt.datetime(2024, 3, 1, 12, 0, 0)
 

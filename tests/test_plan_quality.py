@@ -428,3 +428,59 @@ def test_kmv_overlap_plans_only_equi_joins(spark, sf_dir):
     plan = _physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_incremental_watermark_read_prunes_partitions(spark, tmp_path):
+    """The incremental silver/gold reads filter a date-partitioned table on
+    `date > watermark`; that predicate must land in the scan's
+    PartitionFilters (directory-level pruning — O(delta) I/O), not merely
+    PushedFilters (row-group stats, useless when rows arrive ticker-clustered
+    so every row group's date min/max spans all of history)."""
+    from tickerlake_spark.storage import write_table
+
+    df = spark.createDataFrame(
+        [(f"2024-01-{d:02d}", "A", float(d)) for d in range(1, 9)],
+        "date string, ticker string, close double",
+    ).withColumn("date", F.to_date("date"))
+    path = str(tmp_path / "silver_daily")
+    write_table(df, path, partition_by="date")
+
+    filtered = spark.read.parquet(path).filter(F.col("date") > F.lit("2024-01-06").cast("date"))
+    plan = _physical_plan(filtered)
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "date" in pf and ">" in pf, f"watermark filter not in PartitionFilters: {pf}"
+    # and the pruning is real: only the 2 matching date directories are read
+    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert filtered.count() == 2
+    files = {f for f in filtered.inputFiles()}
+    assert all("date=" in f for f in files)
+
+
+def test_silver_tables_are_date_partitioned(spark, tmp_path):
+    """Pin the pipeline's storage layout: every silver table run_silver
+    writes must be Hive-partitioned on date, so the watermark and horizon
+    filters of the incremental paths prune at the directory level."""
+    import os
+
+    import tests.test_pipeline as tp
+    from tickerlake_spark.pipeline import run_bronze, run_silver
+    from tickerlake_spark.sources.calendar import trading_days
+    from tickerlake_spark.storage import Catalog, Checkpoints
+
+    days = trading_days(tp.D(2024, 1, 2), tp.D(2024, 1, 19))
+    cat = Catalog(root=str(tmp_path / "lake"))
+    cp = Checkpoints(str(tmp_path / "cp.json"))
+    run_bronze(spark, tp._source(days), cat, cp, days[0], days[-1])
+    assert run_silver(spark, cat, cp)["mode"] == "full"
+    for table in (
+        "daily_aggregates",
+        "weekly_aggregates",
+        "monthly_aggregates",
+        "daily_indicators",
+        "weekly_indicators",
+        "monthly_indicators",
+    ):
+        entries = os.listdir(cat.silver(table))
+        assert any(e.startswith("date=") for e in entries), (
+            f"silver.{table} is not date-partitioned: {entries[:5]}"
+        )

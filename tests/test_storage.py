@@ -98,6 +98,33 @@ def test_get_max_date(spark, tmp_path):
     assert get_max_date(spark, path) == "2024-03-04"
 
 
+def test_get_max_date_partitioned_is_a_listing(spark, tmp_path):
+    """On a Hive-partitioned table the watermark probe resolves from the
+    partition directory names alone: stale empty dirs (a dynamic-overwrite
+    delete can leave one) are skipped, and non-ISO dirs fall back to the
+    columnar aggregate path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "wmp")
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 2), 1.0), (dt.date(2024, 3, 4), 2.0)],
+        "date date, v double",
+    )
+    write_table(df, path, partition_by="date")
+    assert get_max_date(spark, path) == "2024-03-04"
+    # a stale empty partition dir past the real max must be skipped
+    os.makedirs(os.path.join(path, "date=2024-12-31"))
+    assert get_max_date(spark, path) == "2024-03-04"
+    # a table partitioned on a DIFFERENT column falls through to the scan
+    path2 = str(tmp_path / "wmp2")
+    write_table(
+        df.withColumn("ticker", F.lit("A")), path2, partition_by="ticker"
+    )
+    assert get_max_date(spark, path2) == "2024-03-04"
+
+
 def test_checkpoints_roundtrip(tmp_path):
     cp = Checkpoints(str(tmp_path / "cp.json"))
     assert cp.load() == {}

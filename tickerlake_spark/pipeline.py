@@ -225,18 +225,35 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
         schemas.conform(stocks, schemas.AGGREGATES), splits
     )
     daily = schemas.conform(adjusted, schemas.AGGREGATES)
-    write_table(daily, catalog.silver("daily_aggregates"), mode=mode)
+    # Every silver table is date-partitioned: the incremental paths filter on
+    # `date > watermark` / `date >= horizon`, and partition pruning is what
+    # makes those reads O(delta) instead of O(history) — an unpartitioned
+    # layout leaves the watermark filter a full-table scan because rows land
+    # ticker-clustered and per-row-group date min/max spans everything.
+    # apply_splits is shuffle-free, so the bronze date layout flows straight
+    # through to the silver write: each task holds whole dates and writes one
+    # file per date directory — no repartition needed here.
+    write_table(
+        daily, catalog.silver("daily_aggregates"), mode=mode, partition_by="date"
+    )
 
     full_daily = read_table(spark, catalog.silver("daily_aggregates"))
     if full:
-        # full rewrite: every downstream table recomputes from all history
+        # full rewrite: every downstream table recomputes from all history.
+        # resample/indicators emerge ticker-clustered from their window
+        # shuffle; repartition by date before the partitioned write so each
+        # date directory gets one file, not one per writer task.
         for period, table in (
             ("week", "weekly_aggregates"),
             ("month", "monthly_aggregates"),
         ):
+            resampled = schemas.conform(
+                resample_ohlcv(full_daily, period), schemas.AGGREGATES
+            )
             write_table(
-                schemas.conform(resample_ohlcv(full_daily, period), schemas.AGGREGATES),
+                resampled.repartition("date"),
                 catalog.silver(table),
+                partition_by="date",
             )
         for src_table, out_table in (
             ("daily_aggregates", "daily_indicators"),
@@ -245,7 +262,9 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
         ):
             ind = compute_indicators(read_table(spark, catalog.silver(src_table)))
             write_table(
-                schemas.conform(ind, schemas.INDICATORS), catalog.silver(out_table)
+                schemas.conform(ind, schemas.INDICATORS).repartition("date"),
+                catalog.silver(out_table),
+                partition_by="date",
             )
         checkpoints.set("silver_last_full_rewrite", dt.date.today().isoformat())
         checkpoints.set(
@@ -271,13 +290,20 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
     since = wm + dt.timedelta(days=1)
     new_ind = incremental_indicators(full_daily, since, horizon_days=600)
     write_table(
-        schemas.conform(new_ind, schemas.INDICATORS),
+        schemas.conform(new_ind, schemas.INDICATORS).repartition("date"),
         catalog.silver("daily_indicators"),
         mode="append",
+        partition_by="date",
     )
-    for period, agg_table, ind_table in (
-        ("week", "weekly_aggregates", "weekly_indicators"),
-        ("month", "monthly_aggregates", "monthly_indicators"),
+    for period, agg_table, ind_table, horizon in (
+        # horizon = 2x CONTEXT_ROWS buckets in calendar days, the same
+        # >=50%-density exactness assumption the daily path's 600-day horizon
+        # makes (incremental_indicators docstring): 400 weekly buckets = 2,800
+        # days, 400 monthly = 12,200. Prunes the context scan to the
+        # partitions that can actually hold context rows once history is
+        # deeper than the horizon.
+        ("week", "weekly_aggregates", "weekly_indicators", 2_800),
+        ("month", "monthly_aggregates", "monthly_indicators", 12_200),
     ):
         delta = schemas.conform(
             affected_resample(full_daily, period, wm), schemas.AGGREGATES
@@ -287,17 +313,21 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
             catalog.silver(agg_table),
             delta,
             keys=["ticker", "date"],
+            partition_by="date",  # rewrites only the touched bucket partitions
             validate_unique=False,  # (ticker, bucket) unique by construction
         )
         bucket_since = _bucket_start(period, wm)
         ind_delta = incremental_indicators(
-            read_table(spark, catalog.silver(agg_table)), bucket_since
+            read_table(spark, catalog.silver(agg_table)),
+            bucket_since,
+            horizon_days=horizon,
         )
         upsert_table(
             spark,
             catalog.silver(ind_table),
             schemas.conform(ind_delta, schemas.INDICATORS),
             keys=["ticker", "date"],
+            partition_by="date",
             validate_unique=False,
         )
     checkpoints.set("silver_splits_fingerprint", _splits_fingerprint(spark, catalog))

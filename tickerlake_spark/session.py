@@ -68,6 +68,17 @@ def get_spark(
         .config("spark.driver.memory", settings.driver_memory)
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local"):
+        # Partitioned tables here have O(1000) date directories. Above 32
+        # paths Spark ships directory listing to a distributed job — one task
+        # per directory — which on a single-machine local FS costs ~2s of
+        # scheduler overhead per (re-)listing for work os.listdir does in
+        # milliseconds. Keep listings on the driver locally; on a real
+        # cluster (master from spark-submit) the default distributed listing
+        # stands — against an object store it is the right call.
+        builder = builder.config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold", "10000"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

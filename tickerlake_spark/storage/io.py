@@ -130,9 +130,33 @@ def get_max_date(
     Unlike the reference (reads the whole table into memory then takes max),
     this is a single-column aggregate: Parquet column pruning + min/max
     row-group statistics make it metadata-cheap even on a 100 TB table.
+
+    When the table is Hive-partitioned on ``column`` the probe never touches
+    Parquet at all: partition values are the directory names, and ISO dates
+    sort lexicographically, so the watermark is a pure filesystem listing —
+    the right cost for a probe that runs at the top of every incremental job.
     """
     if not table_exists(path):
         return None
+    if os.path.isdir(path):
+        import re
+
+        prefix = f"{column}="
+        iso = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+        part_dirs = sorted(
+            (
+                d
+                for d in os.listdir(path)
+                if d.startswith(prefix)
+                and iso.match(d[len(prefix):])  # lexicographic max == date max
+                and os.path.isdir(os.path.join(path, d))
+            ),
+            reverse=True,
+        )
+        for d in part_dirs:
+            # skip stale empty dirs a dynamic-overwrite delete may leave
+            if table_exists(os.path.join(path, d)):
+                return d[len(prefix):]
     row = (
         spark.read.parquet(path)
         .agg(F.max(F.col(column).cast("string")).alias("mx"))

@@ -52,31 +52,61 @@ def upsert_table(
     — one extra keys-only aggregation; disable for very large batches where
     the producer already guarantees uniqueness). Returns
     {"inserted_or_updated": n, "mode": ...}.
+
+    The update lineage is MATERIALIZED once up front (staged to a temp
+    parquet dir) and every subsequent action — uniqueness check, count,
+    touched-partition discovery, the merge itself — reads the staged copy.
+    An incremental-maintenance delta is typically an expensive plan (window
+    over a horizon scan); without staging, each of those actions would
+    re-execute it from scratch. Staging also makes updates whose lineage
+    reads ``path`` itself safe across the swap/overwrite below.
     """
-    if validate_unique:
-        dup = (
-            updates.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    staged_dir = f"{path.rstrip('/')}__updates_{uuid.uuid4().hex[:8]}"
+    updates.write.parquet(staged_dir)
+    try:
+        updates = spark.read.parquet(staged_dir)
+        if validate_unique:
+            dup = (
+                updates.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(f"updates are not unique on {keys}")
+
+        n_updates = updates.count()
+        if not table_exists(path):
+            write_table(updates, path, partition_by=partition_by)
+            return {"inserted_or_updated": n_updates, "mode": "create"}
+
+        existing = spark.read.parquet(path)
+        if partition_by is None:
+            key_set = updates.select(*keys)
+            merged = existing.join(key_set, keys, "left_anti").unionByName(updates)
+            tmp = f"{path.rstrip('/')}__upsert_{uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").parquet(tmp)
+            old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+            return {"inserted_or_updated": n_updates, "mode": "rewrite"}
+        return _upsert_partitioned(
+            spark, path, existing, updates, keys, partition_by, n_updates
         )
-        if dup:
-            raise ValueError(f"updates are not unique on {keys}")
+    finally:
+        shutil.rmtree(staged_dir, ignore_errors=True)
 
-    n_updates = updates.count()
-    if not table_exists(path):
-        write_table(updates, path, partition_by=partition_by)
-        return {"inserted_or_updated": n_updates, "mode": "create"}
-
-    existing = spark.read.parquet(path)
-    if partition_by is None:
-        key_set = updates.select(*keys)
-        merged = existing.join(key_set, keys, "left_anti").unionByName(updates)
-        tmp = f"{path.rstrip('/')}__upsert_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
-        return {"inserted_or_updated": n_updates, "mode": "rewrite"}
-
+def _upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    partition_by: str,
+    n_updates: int,
+) -> dict:
     # Partitioned: rebuild only the touched partitions, then dynamic-overwrite
     # them. The isin filter prunes the existing scan to those partitions.
     #
