@@ -447,10 +447,10 @@ def test_incremental_watermark_read_prunes_partitions(spark, tmp_path):
 
     filtered = spark.read.parquet(path).filter(F.col("date") > F.lit("2024-01-06").cast("date"))
     plan = _physical_plan(filtered)
+    assert "PartitionFilters: [" in plan, f"scan has no PartitionFilters section:\n{plan}"
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "date" in pf and ">" in pf, f"watermark filter not in PartitionFilters: {pf}"
     # and the pruning is real: only the 2 matching date directories are read
-    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert filtered.count() == 2
     files = {f for f in filtered.inputFiles()}
     assert all("date=" in f for f in files)

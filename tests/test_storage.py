@@ -778,3 +778,101 @@ def test_partition_fingerprints_detect_divergence_order_free(spark):
     c = a.withColumn("s", F.when(F.col("k") == 100, "MUTATED").otherwise(F.col("s")))
     d = {p for p in fp(a) if fp(a)[p] != fp(c)[p]}
     assert d == {100 % 3}
+
+
+def test_upsert_infers_layout_when_caller_omits_partition_by(spark, tmp_path):
+    """ADVICE r6 (high): a partitioned table upserted with partition_by=None
+    must NOT be flattened — the layout is detected from the directories and
+    the merge stays a touched-partition dynamic overwrite, so no root-level
+    files ever land next to date=.../ dirs."""
+    import os
+
+    from tickerlake_spark.storage.upsert import upsert_table
+
+    path = str(tmp_path / "facts")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0)],
+        "id long, date string, v double",
+    )
+    upsert_table(spark, path, base, keys=["id", "date"], partition_by="date")
+    updates = spark.createDataFrame(
+        [(2, "2024-01-02", 200.0), (3, "2024-01-03", 30.0)],
+        "id long, date string, v double",
+    )
+    r = upsert_table(spark, path, updates, keys=["id", "date"])  # no partition_by
+    assert r["mode"] == "dynamic-partition"
+    assert not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ), "root-level files written next to partition dirs"
+    got = {row.id: row.v for row in spark.read.parquet(path).collect()}
+    assert got == {1: 10.0, 2: 200.0, 3: 30.0}
+
+
+def test_upsert_migrates_legacy_unpartitioned_table(spark, tmp_path):
+    """ADVICE r6 (medium): upserting with partition_by into a legacy flat
+    table must migrate it wholesale (atomic swap), never write partition dirs
+    next to the legacy root files."""
+    import os
+
+    from tickerlake_spark.storage.upsert import upsert_table
+
+    path = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0)],
+        "id long, date string, v double",
+    ).write.parquet(path)  # legacy: unpartitioned
+    updates = spark.createDataFrame(
+        [(3, "2024-01-03", 30.0)], "id long, date string, v double"
+    )
+    r = upsert_table(spark, path, updates, keys=["id", "date"], partition_by="date")
+    assert r["mode"] == "rewrite-migrate"
+    assert not any(f.endswith(".parquet") for f in os.listdir(path))
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("date=")
+    ) == ["date=2024-01-01", "date=2024-01-02", "date=2024-01-03"]
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_upsert_conflicting_partition_layout_raises(spark, tmp_path):
+    import pytest
+
+    from tickerlake_spark.storage.upsert import upsert_table
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", "x")], "id long, date string, k string"
+    )
+    upsert_table(spark, path, base, keys=["id"], partition_by="date")
+    with pytest.raises(ValueError, match="partitioned on 'date'"):
+        upsert_table(spark, path, base, keys=["id"], partition_by="k")
+
+
+def test_replace_keys_partitioned_touches_only_replaced_partitions(spark, tmp_path):
+    import os
+
+    from tickerlake_spark.storage.upsert import replace_keys, upsert_table
+
+    path = str(tmp_path / "hvc")
+    base = spark.createDataFrame(
+        [("A", "2024-01-01", 1.0), ("B", "2024-01-01", 2.0), ("A", "2024-01-02", 3.0)],
+        "ticker string, date string, v double",
+    )
+    upsert_table(spark, path, base, keys=["ticker", "date"], partition_by="date")
+
+    def mtime(d):
+        full = os.path.join(path, d)
+        return max(os.path.getmtime(os.path.join(full, f)) for f in os.listdir(full))
+
+    before = mtime("date=2024-01-01")
+    # replace day 2's row-set with an empty set -> partition dir must go away
+    r = replace_keys(
+        spark,
+        path,
+        spark.createDataFrame([("2024-01-02",)], "date string"),
+        spark.createDataFrame([], "ticker string, date string, v double"),
+        keys=["date"],
+    )
+    assert r["mode"] == "dynamic-partition"
+    assert not os.path.isdir(os.path.join(path, "date=2024-01-02"))
+    assert mtime("date=2024-01-01") == before, "untouched partition rewritten"
+    assert spark.read.parquet(path).count() == 2

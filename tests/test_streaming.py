@@ -393,13 +393,19 @@ def test_bronze_to_silver_stream_matches_batch(spark, tmp_path):
     q.awaitTermination()
 
     def rows_of(df):
+        # column order is storage-layout-dependent (a Hive-partitioned read
+        # surfaces the partition column last) - compare by sorted column name
+        df = df.select(*sorted(df.columns))
         rounded = df.select(
             *[
                 F.round(c, 9).alias(c) if t == "double" else F.col(c)
                 for c, t in df.dtypes
             ]
         )
-        return sorted(map(tuple, rounded.collect()))
+        return sorted(
+            map(tuple, rounded.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
 
     expected_daily = schemas.conform(
         apply_splits(schemas.conform(all_bars, schemas.AGGREGATES), splits),
@@ -498,13 +504,19 @@ def test_bronze_to_gold_stream_matches_batch(spark, tmp_path):
     run_gold(spark, bcat, calculated_at=stamp, checkpoints=bckpt)
 
     def rows_of(df):
+        # column order is storage-layout-dependent (a Hive-partitioned read
+        # surfaces the partition column last) - compare by sorted column name
+        df = df.select(*sorted(df.columns))
         rounded = df.select(
             *[
                 F.round(c, 9).alias(c) if t == "double" else F.col(c)
                 for c, t in df.dtypes
             ]
         )
-        return sorted(map(tuple, rounded.collect()))
+        return sorted(
+            map(tuple, rounded.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
 
     for table in (
         "vwap_signals",

@@ -58,8 +58,12 @@ def incremental_indicators(
     ``since - horizon_days`` before ranking (row-group / partition pruning —
     the 100 TB knob). Exactness then requires every ticker to have its last
     ``CONTEXT_ROWS`` bars inside the horizon; for daily bars, 600 days ≈ 410
-    sessions covers any ticker trading at least half the time. Leave ``None``
-    for the unconditionally-exact path (small tables: weekly/monthly).
+    sessions covers any ticker trading at least half the time. The pipeline
+    applies the same >=50%-bucket-density convention to the resampled tables
+    (2x CONTEXT_ROWS buckets in calendar days: 2,800 for weekly, 12,200 for
+    monthly — run_silver), which only starts pruning once history is deeper
+    than ~8 / ~33 years; ``None`` disables the scan bound entirely and is
+    unconditionally exact.
     """
     cutoff = F.lit(since).cast("date")
     hist = bars.filter(F.col("date") < cutoff)

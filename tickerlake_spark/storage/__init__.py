@@ -2,6 +2,7 @@ from tickerlake_spark.storage.bucketing import attach_bucketed, write_bucketed
 from tickerlake_spark.storage.catalog import Catalog, get_table_path
 from tickerlake_spark.storage.checkpoints import Checkpoints
 from tickerlake_spark.storage.io import (
+    detect_partition_column,
     drop_table,
     get_max_date,
     init_table,
@@ -21,6 +22,7 @@ __all__ = [
     "init_table",
     "table_exists",
     "get_max_date",
+    "detect_partition_column",
     "write_bucketed",
     "attach_bucketed",
     "upsert_table",

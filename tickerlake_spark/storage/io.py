@@ -30,6 +30,7 @@ __all__ = [
     "table_exists",
     "get_max_date",
     "drop_table",
+    "detect_partition_column",
 ]
 
 _VALID_MODES = ("overwrite", "append")
@@ -77,6 +78,13 @@ def write_table(
         writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
         writer = writer.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
     writer.parquet(path)
+    if partition_by and mode == "overwrite" and not dynamic and not table_exists(path):
+        # Partitioned overwrite of an EMPTY frame writes no data files, so
+        # the table would be unreadable (no schema to infer). Fall back to a
+        # flat zero-row file — full schema preserved; the first nonempty
+        # write re-establishes the partitioned layout (the mutation
+        # primitives detect the flat layout and migrate, never mix).
+        df.limit(0).write.mode("overwrite").parquet(path)
 
 
 def init_table(spark: SparkSession, path: str, schema: StructType) -> None:
@@ -100,6 +108,26 @@ def table_exists(path: str) -> bool:
         if any(f.endswith(".parquet") for f in files):
             return True
     return False
+
+
+def detect_partition_column(path: str) -> str | None:
+    """The Hive partition column of the table at ``path``, or None.
+
+    Detected from the directory layout (``<col>=<value>/`` children), not
+    from caller claims — the storage layer's source of truth for "is this
+    table partitioned, and on what". Mutation primitives consult this so a
+    caller passing the wrong ``partition_by`` (or none at all) can never
+    write a mixed root-files-plus-partition-dirs layout, which Spark's
+    partition discovery rejects as 'Conflicting directory structures'.
+    """
+    if not os.path.isdir(path):
+        return None
+    cols = {
+        d.split("=", 1)[0]
+        for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    }
+    return sorted(cols)[0] if cols else None
 
 
 def drop_table(path: str) -> None:

@@ -33,9 +33,39 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tickerlake_spark.storage.io import table_exists, write_table
+from tickerlake_spark.storage.io import (
+    detect_partition_column,
+    table_exists,
+    write_table,
+)
 
 __all__ = ["upsert_table", "replace_keys"]
+
+
+def _reconcile_layout(path: str, partition_by: str | None) -> str | None:
+    """Resolve the caller's ``partition_by`` against the table's ACTUAL
+    layout on disk.
+
+    - Table partitioned on X, caller passed None -> use X (a caller that
+      doesn't know the layout must not flatten it: appending root-level
+      files next to ``X=.../`` dirs makes the table unreadable).
+    - Table unpartitioned, caller passed X -> return X; the caller's merge
+      goes through the full-rewrite branch, which MIGRATES the legacy table
+      to the partitioned layout in one atomic swap.
+    - Both set and different -> error; silently preferring either side
+      would corrupt the layout or the caller's pruning assumptions.
+    """
+    detected = detect_partition_column(path) if table_exists(path) else None
+    if detected is None:
+        return partition_by
+    if partition_by is None:
+        return detected
+    if partition_by != detected:
+        raise ValueError(
+            f"table {path!r} is partitioned on {detected!r} but caller asked "
+            f"for {partition_by!r}"
+        )
+    return partition_by
 
 
 def upsert_table(
@@ -81,17 +111,30 @@ def upsert_table(
             write_table(updates, path, partition_by=partition_by)
             return {"inserted_or_updated": n_updates, "mode": "create"}
 
+        on_disk = detect_partition_column(path)
+        partition_by = _reconcile_layout(path, partition_by)
         existing = spark.read.parquet(path)
-        if partition_by is None:
+        if partition_by is None or on_disk is None:
+            # unpartitioned table: full rewrite + atomic swap. When the
+            # caller asked for a partitioned layout this same branch MIGRATES
+            # the legacy table — the swap replaces the flat layout wholesale,
+            # so no mixed root-files-plus-dirs state can ever exist.
             key_set = updates.select(*keys)
             merged = existing.join(key_set, keys, "left_anti").unionByName(updates)
             tmp = f"{path.rstrip('/')}__upsert_{uuid.uuid4().hex[:8]}"
-            merged.write.mode("overwrite").parquet(tmp)
+            writer = merged.write.mode("overwrite")
+            if partition_by is not None:
+                writer = writer.partitionBy(partition_by)
+            writer.parquet(tmp)
+            if not table_exists(tmp):
+                # empty merged set + partitioned write -> keep readable
+                merged.limit(0).write.mode("overwrite").parquet(tmp)
             old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
             os.rename(path, old)
             os.rename(tmp, path)
             shutil.rmtree(old)
-            return {"inserted_or_updated": n_updates, "mode": "rewrite"}
+            mode = "rewrite" if partition_by is None else "rewrite-migrate"
+            return {"inserted_or_updated": n_updates, "mode": mode}
         return _upsert_partitioned(
             spark, path, existing, updates, keys, partition_by, n_updates
         )
@@ -180,6 +223,7 @@ def replace_keys(
     key_values: DataFrame,
     updates: DataFrame,
     keys: list[str],
+    partition_by: str | None = None,
 ) -> dict:
     """Replace the full row-set of every key in ``key_values``: delete all
     stored rows matching those keys, then insert ``updates``.
@@ -190,17 +234,39 @@ def replace_keys(
     the min-step threshold) still has its stale rows removed. The group
     replacement primitive for derived tables whose rows have no stable
     identity.
+
+    When the table is Hive-partitioned on a column IN ``keys`` (declared or
+    detected from the layout), the replacement touches only the partitions
+    holding replaced keys: stored rows outside them provably don't match any
+    key in ``key_values``, so the rewrite is O(replaced partitions), not
+    O(table) — dynamic partition overwrite plus explicit removal of key
+    partitions whose recomputed row-set is empty.
     """
     key_values = key_values.select(*keys).distinct()
     if not table_exists(path):
-        write_table(updates, path)
+        write_table(updates, path, partition_by=partition_by)
         return {"inserted": updates.count(), "mode": "create"}
+    partition_by = _reconcile_layout(path, partition_by)
     existing = spark.read.parquet(path)
+    if (
+        partition_by in keys
+        and detect_partition_column(path) == partition_by
+    ):
+        return _replace_keys_partitioned(
+            spark, path, existing, key_values, updates, keys, partition_by
+        )
     merged = existing.join(key_values, keys, "left_anti").unionByName(
         updates.select(*existing.columns)
     )
     tmp = f"{path.rstrip('/')}__replace_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
+    writer = merged.write.mode("overwrite")
+    if partition_by is not None:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+    if not table_exists(tmp):
+        # empty merged set + partitioned write -> no data files; keep the
+        # table readable with a flat zero-row schema file (see write_table)
+        merged.limit(0).write.mode("overwrite").parquet(tmp)
     # Count BEFORE the swap: ``updates`` may derive from the very table
     # being replaced (e.g. storage/scd2.py closes rows it read from
     # ``path``), and its lineage re-executes here — after the rename the
@@ -211,3 +277,48 @@ def replace_keys(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return {"inserted": n_inserted, "mode": "rewrite"}
+
+
+def _replace_keys_partitioned(
+    spark: SparkSession,
+    path: str,
+    existing: DataFrame,
+    key_values: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    partition_by: str,
+) -> dict:
+    # Touched partitions: wherever a replaced key lives (partition value is
+    # part of the key, so key_values names them directly) plus wherever
+    # updates land. Stored rows elsewhere cannot match any replaced key.
+    touched = {
+        str(r[0]) for r in key_values.select(partition_by).distinct().collect()
+    } | {str(r[0]) for r in updates.select(partition_by).distinct().collect()}
+    touched = sorted(touched)
+    survivors = existing.filter(F.col(partition_by).isin(touched)).join(
+        key_values, keys, "left_anti"
+    )
+    merged = survivors.unionByName(updates.select(*existing.columns))
+    tmp = f"{path.rstrip('/')}__replace_{uuid.uuid4().hex[:8]}"
+    merged.write.parquet(tmp)
+    staged = spark.read.parquet(tmp)
+    n_inserted = updates.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        staged.write.mode("overwrite").partitionBy(partition_by).parquet(path)
+        written = {
+            str(r[0]) for r in staged.select(partition_by).distinct().collect()
+        }
+        for value in set(touched) - written:
+            part_dir = os.path.join(path, f"{partition_by}={value}")
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "inserted": n_inserted,
+        "mode": "dynamic-partition",
+        "touched_partitions": len(touched),
+    }

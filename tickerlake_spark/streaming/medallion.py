@@ -65,6 +65,7 @@ def silver_maintenance_batch(
         catalog.silver("daily_aggregates"),
         adjusted,
         keys=["ticker", "date"],
+        partition_by="date",  # silver tables are date-partitioned (pipeline.py)
         validate_unique=False,  # (ticker, date) unique per bronze contract
     )
 
@@ -76,6 +77,7 @@ def silver_maintenance_batch(
         catalog.silver("daily_indicators"),
         schemas.conform(ind, schemas.INDICATORS),
         keys=["ticker", "date"],
+        partition_by="date",
         validate_unique=False,
     )
     from tickerlake_spark.pipeline import _bucket_start
@@ -92,6 +94,7 @@ def silver_maintenance_batch(
             catalog.silver(agg_table),
             delta,
             keys=["ticker", "date"],
+            partition_by="date",
             validate_unique=False,
         )
         ind_delta = incremental_indicators(
@@ -103,6 +106,7 @@ def silver_maintenance_batch(
             catalog.silver(ind_table),
             schemas.conform(ind_delta, schemas.INDICATORS),
             keys=["ticker", "date"],
+            partition_by="date",
             validate_unique=False,
         )
 
@@ -143,12 +147,17 @@ def gold_maintenance_batch(
     """
     import datetime as _dt
 
+    from tickerlake_spark.operators.closes import (
+        read_closes_for,
+        with_ticker_bucket,
+        write_closes_extract,
+    )
     from tickerlake_spark.operators.hvc import (
         best_patterns,
         hvc_events,
         stairstep_patterns,
     )
-    from tickerlake_spark.operators.vwap import vwap_signals
+    from tickerlake_spark.operators.vwap import vwap_signals, vwap_state
     from tickerlake_spark.pipeline import _bucket_start
     from tickerlake_spark.storage import replace_keys, write_table
 
@@ -169,8 +178,47 @@ def gold_maintenance_batch(
         catalog.gold("vwap_signals"),
         schemas.conform(sig, schemas.VWAP_SIGNALS),
         keys=["ticker", "date"],
+        partition_by="date",
         validate_unique=False,
     )
+    # keep the batch pipeline's O(delta) companions in lockstep, so a lake
+    # alternating streaming and batch maintenance never forces run_gold back
+    # to a migrating full rebuild:
+    # - vwap_state rows for the batch tickers' touched years, recomputed
+    #   from the same year slice the signals came from (keyed upsert ->
+    #   replay-idempotent);
+    # - the ticker-hash closes extract, upserted on (tb, ticker, date) —
+    #   the partition column leads the key, so the merge rewrites only the
+    #   batch tickers' hash buckets, and a replayed batch converges.
+    state_path = catalog.gold("vwap_state")
+    if table_exists(state_path):
+        upsert_table(
+            spark,
+            state_path,
+            vwap_state(aff_daily.filter(F.col("date") >= F.lit(year_start))),
+            keys=["ticker", "year", "quarter"],
+            validate_unique=False,
+        )
+    else:
+        write_table(vwap_state(daily), state_path)
+    closes_path = catalog.gold("closes_by_ticker")
+    if table_exists(closes_path):
+        # the extract mirrors SILVER (split-adjusted) closes, so the delta
+        # comes from the just-maintained silver rows, not the raw batch
+        upsert_table(
+            spark,
+            closes_path,
+            with_ticker_bucket(
+                aff_daily.filter(F.col("date") >= F.lit(since)).select(
+                    "ticker", "date", "close"
+                )
+            ),
+            keys=["tb", "ticker", "date"],
+            partition_by="tb",
+            validate_unique=False,
+        )
+    else:
+        write_closes_extract(daily, closes_path)
 
     ind_slice = read_table(spark, catalog.silver("daily_indicators")).filter(
         F.col("date") >= F.lit(since)
@@ -184,6 +232,7 @@ def gold_maintenance_batch(
         ind_slice.select("date").distinct(),
         schemas.conform(ev, schemas.HVC_EVENTS),
         keys=["date"],
+        partition_by="date",
     )
 
     for period, ind_table, agg_table, out in (
@@ -204,13 +253,19 @@ def gold_maintenance_batch(
             p_ind.select("date").distinct(),
             schemas.conform(p_ev, schemas.HVC_EVENTS),
             keys=["date"],
+            partition_by="date",
         )
 
     all_events = read_table(spark, catalog.gold("hvc_daily"))
     aff_events = all_events.join(tickers, "ticker", "left_semi")
-    aff_closes = daily.select("ticker", "date", "close").join(
-        tickers, "ticker", "left_semi"
-    )
+    aff_list = sorted(r[0] for r in tickers.collect())
+    if len(aff_list) <= 2_000:
+        # extract read: bucket partition pruning + parquet In/bloom skipping
+        aff_closes = read_closes_for(spark, closes_path, aff_list)
+    else:
+        aff_closes = daily.select("ticker", "date", "close").join(
+            tickers, "ticker", "left_semi"
+        )
     for direction, table in (("up", "stairstep_up"), ("down", "stairstep_down")):
         pats = stairstep_patterns(
             aff_events.select("ticker", "date"),
