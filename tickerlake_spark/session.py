@@ -65,6 +65,13 @@ def get_spark(
         # Broadcast threshold: dimension tables (region/nation/tickers/splits)
         # are tiny even at 100 TB fact scale; 64m is a safe ceiling.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Push `col IN (<literals>)` to parquet well past the default of 10:
+        # the gold stair-step path filters the ticker-bucketed closes extract
+        # on a few hundred affected tickers, and row-group stats + bloom
+        # filters only engage when the In predicate actually reaches the
+        # reader (above the threshold Spark degrades it to a min/max range,
+        # which is useless across an alphabet of tickers).
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "2000")
         .config("spark.driver.memory", settings.driver_memory)
         .config("spark.ui.enabled", "false")
     )

@@ -23,8 +23,53 @@ from pyspark.sql import SparkSession
 __all__ = [
     "compact_table",
     "compact_ingest_partitions",
+    "compact_partition_dirs",
     "table_file_stats",
 ]
+
+
+def compact_partition_dirs(
+    spark: SparkSession,
+    path: str,
+    max_files_per_partition: int = 16,
+    sort_by: list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact ONLY the partition directories of a Hive-partitioned table
+    that accreted more than ``max_files_per_partition`` part files —
+    preserving the partition layout ``compact_table`` would erase.
+
+    Each overfull ``col=value/`` dir is rewritten in place (read -> coalesce
+    to ~``target_file_bytes`` files, optionally re-sorted so row-group
+    min/max pruning survives the appends) and atomically swapped. Untouched
+    partitions are never read: the maintenance cost tracks append churn,
+    not table size — the right shape for incremental extracts that append
+    a small delta per run.
+    """
+    compacted, skipped = 0, 0
+    for d in sorted(os.listdir(path)) if os.path.isdir(path) else []:
+        part_dir = os.path.join(path, d)
+        if "=" not in d or not os.path.isdir(part_dir):
+            continue
+        files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        if len(files) <= max_files_per_partition:
+            skipped += 1
+            continue
+        _n, total = table_file_stats(part_dir)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        df = spark.read.parquet(part_dir)
+        if sort_by:
+            df = df.coalesce(n_out).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(n_out)
+        tmp = f"{part_dir}__compact_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{part_dir}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(part_dir, old)
+        os.rename(tmp, part_dir)
+        shutil.rmtree(old)
+        compacted += 1
+    return {"compacted_partitions": compacted, "skipped_partitions": skipped}
 
 
 def table_file_stats(path: str) -> tuple[int, int]:
