@@ -59,3 +59,46 @@ def test_cost_rank_has_no_unknown_names():
     _ensure_loaded()
     stale = [n for n in _COST_RANK if n not in QUERIES]
     assert not stale, f"stale names in _COST_RANK: {stale}"
+
+
+def test_green_tier_rotates_least_recently_checked_first():
+    """VERDICT r6 item 2: within the green regression tier, a query whose
+    last driver check is older must run BEFORE one checked more recently —
+    the ~50-query budget then sweeps the whole catalog across rounds instead
+    of freezing on the cheap half."""
+    from tickerlake_spark.plans.catalog import driver_checked_rounds
+
+    _ensure_loaded()
+    green = driver_green_queries()
+    checked = driver_checked_rounds()
+    order = gate_order(list(QUERIES))
+    green_tail = [n for n in order if n in green]
+    rounds = [checked.get(n, 0) for n in green_tail]
+    assert rounds == sorted(rounds), (
+        "green tier is not least-recently-checked-first: a recently-checked "
+        "query is scheduled ahead of a staler one"
+    )
+    # the rotation must be live: with r1..r6 evidence on disk the green tier
+    # cannot be one flat recency class (that would mean the parse failed)
+    assert len(set(rounds)) > 1
+
+
+def test_next_driver_sample_mostly_differs_from_last_round():
+    """The concrete 'done' bar from VERDICT r6: the next round's ~50-query
+    prefix must contain >=40 queries NOT in the latest round's sample."""
+    import glob
+    import json
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    files = sorted(glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not files:
+        return
+    with open(files[-1]) as f:
+        last_sample = set(json.load(f))
+    _ensure_loaded()
+    prefix = gate_order(list(QUERIES))[:50]
+    fresh = [n for n in prefix if n not in last_sample]
+    assert len(fresh) >= 40, (
+        f"only {len(fresh)} of the next 50 are new vs the last driver sample"
+    )

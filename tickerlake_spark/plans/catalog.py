@@ -362,11 +362,54 @@ def driver_green_queries() -> set[str]:
     return green
 
 
+def driver_checked_rounds() -> dict[str, int]:
+    """name -> latest round number whose CORRECTNESS_r*.json holds a GREEN
+    row for it (same green definition as driver_green_queries)."""
+    import glob
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            if row.get("hash_match") is False or row.get("rows_match") is False:
+                continue
+            if row.get("schema_match") is False:
+                continue
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def gate_order(names: list[str]) -> list[str]:
     """Driver execution order: never-green-checked queries first (the driver
     samples ~50 queries/round in dict order under a time budget), then
-    green-checked regression fill; _COST_RANK breaks ties in both tiers."""
+    green-checked regression fill ordered LEAST-RECENTLY-CHECKED first, so
+    the driver's budget rotates through the whole catalog across rounds
+    instead of re-sampling the cheapest ~50 forever (VERDICT r5/r6 item:
+    93/151 queries had no driver evidence since r4 under the static order).
+    _COST_RANK breaks ties in both tiers."""
     green = driver_green_queries()
+    checked = driver_checked_rounds()
     rank = {n: i for i, n in enumerate(_COST_RANK)}
     reg = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (n in green, rank.get(n, -1), reg[n]))
+    return sorted(
+        names,
+        key=lambda n: (
+            n in green,
+            checked.get(n, 0) if n in green else 0,
+            rank.get(n, -1),
+            reg[n],
+        ),
+    )
