@@ -1,0 +1,108 @@
+"""Maintained purchase-graph edge table (VERDICT r6 item 5).
+
+Pins: incremental upserts of purchase batches converge to the one-shot
+batch build's exact edge set; replays are no-ops; the streaming maintainer
+matches batch; and PageRank over the prebuilt table equals PageRank over
+freshly-built edges (the serving contract that makes the table useful).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _purchases(spark, rows):
+    return spark.createDataFrame(rows, "o_custkey long, l_suppkey long")
+
+
+ROWS = [
+    (1, 10), (1, 11), (2, 10), (3, 12), (4, 13), (4, 10),
+    (5, 14), (1, 10),  # duplicate purchase -> one edge
+]
+
+
+def test_incremental_upserts_match_one_shot_build(spark, tmp_path):
+    from tickerlake_spark.operators.graph import read_edges, upsert_edges
+    from tickerlake_spark.streaming.graph_maintain import purchase_pairs
+
+    path = str(tmp_path / "edges")
+    for lo, hi in ((0, 3), (3, 6), (6, 8)):
+        upsert_edges(spark, path, purchase_pairs(_purchases(spark, ROWS[lo:hi])))
+    got = sorted(map(tuple, read_edges(spark, path).collect()))
+    want = sorted(
+        map(
+            tuple,
+            purchase_pairs(_purchases(spark, ROWS))
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(
+                purchase_pairs(_purchases(spark, ROWS)).select(
+                    F.col("b").alias("src"), F.col("a").alias("dst")
+                )
+            )
+            .distinct()
+            .collect(),
+        )
+    )
+    assert got == want
+    # layout: src-hash buckets, no root-level files
+    assert any(d.startswith("sb=") for d in os.listdir(path))
+    assert not any(f.endswith(".parquet") for f in os.listdir(path))
+
+
+def test_replayed_batch_is_a_noop(spark, tmp_path):
+    from tickerlake_spark.operators.graph import read_edges, upsert_edges
+    from tickerlake_spark.streaming.graph_maintain import purchase_pairs
+
+    path = str(tmp_path / "edges")
+    upsert_edges(spark, path, purchase_pairs(_purchases(spark, ROWS)))
+    before = sorted(map(tuple, read_edges(spark, path).collect()))
+    upsert_edges(spark, path, purchase_pairs(_purchases(spark, ROWS[3:6])))
+    assert sorted(map(tuple, read_edges(spark, path).collect())) == before
+
+
+def test_stream_matches_batch_edges(spark, tmp_path):
+    from tickerlake_spark.operators.graph import read_edges, upsert_edges
+    from tickerlake_spark.streaming.graph_maintain import (
+        purchase_pairs,
+        stream_purchases_to_edges,
+    )
+
+    src_dir = str(tmp_path / "purchases")
+    os.makedirs(src_dir)
+    for i, (lo, hi) in enumerate(((0, 3), (3, 6), (6, 8))):
+        _purchases(spark, ROWS[lo:hi]).coalesce(1).write.parquet(
+            os.path.join(src_dir, f"chunk={i}")
+        )
+    stream_path = str(tmp_path / "edges_stream")
+    q = stream_purchases_to_edges(
+        spark,
+        src_dir,
+        stream_path,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    batch_path = str(tmp_path / "edges_batch")
+    upsert_edges(spark, batch_path, purchase_pairs(_purchases(spark, ROWS)))
+    assert sorted(map(tuple, read_edges(spark, stream_path).collect())) == sorted(
+        map(tuple, read_edges(spark, batch_path).collect())
+    )
+
+
+def test_pagerank_over_maintained_table_matches_fresh(spark, tmp_path):
+    from tickerlake_spark.operators.graph import pagerank, read_edges, upsert_edges
+    from tickerlake_spark.streaming.graph_maintain import purchase_pairs
+
+    path = str(tmp_path / "edges")
+    upsert_edges(spark, path, purchase_pairs(_purchases(spark, ROWS)))
+    pairs = purchase_pairs(_purchases(spark, ROWS))
+    fresh = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    got = sorted(
+        map(tuple, pagerank(read_edges(spark, path), iters=3, normalize=True).collect())
+    )
+    want = sorted(map(tuple, pagerank(fresh, iters=3, normalize=True).collect()))
+    assert got == want

@@ -1,0 +1,94 @@
+"""Streaming maintenance of the purchase-graph edge table.
+
+The batch build (plans/q_datapipe.py::purchase_graph_edges) derives the
+symmetrized customer-supplier graph from ALL of orders x lineitem on every
+call — at 10x that join + distinct dominated q136's wall clock (VERDICT r5
+item 4). A deployment that keeps the graph current folds each arriving batch
+of purchase records into a persisted, src-hash-partitioned edge table
+instead (operators/graph.py::upsert_edges); PageRank / components then read
+prebuilt adjacency and pay only their supersteps.
+
+Delivery semantics: the sink is a keyed MERGE on (bucket, src, dst), so a
+replayed micro-batch (crash between sink and checkpoint commit) re-derives
+the same edges and converges — the standard foreachBatch idempotency
+contract, same as streaming/medallion.py.
+
+Scale posture: per batch, the work is O(batch pairs) derivation + a merge
+that rewrites only the hash buckets the batch touches. The stored table is
+pre-clustered on src, exactly the layout the PageRank contribution join
+wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from tickerlake_spark.operators.graph import upsert_edges
+
+__all__ = [
+    "PURCHASES_SCHEMA",
+    "purchase_pairs",
+    "purchase_edges_batch",
+    "stream_purchases_to_edges",
+]
+
+# one row per purchase fact: which customer bought from which supplier
+# (the already-joined shape an ingest pipeline lands — o_custkey from the
+# order header, l_suppkey from the line item)
+PURCHASES_SCHEMA = StructType(
+    [
+        StructField("o_custkey", LongType()),
+        StructField("l_suppkey", LongType()),
+    ]
+)
+
+
+def purchase_pairs(purchases: DataFrame) -> DataFrame:
+    """Distinct tagged (a, b) vertex pairs from raw purchase rows — the same
+    tagging the batch build uses ('c:' customers, 's:' suppliers), so the
+    two paths produce byte-identical edge sets."""
+    return (
+        purchases.select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+    )
+
+
+def purchase_edges_batch(spark: SparkSession, path: str, batch: DataFrame) -> None:
+    """Fold one micro-batch of purchase rows into the edge table."""
+    if batch.isEmpty():
+        return
+    upsert_edges(spark, path, purchase_pairs(batch))
+
+
+def stream_purchases_to_edges(
+    spark: SparkSession,
+    purchases_dir: str,
+    edges_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Watch a directory of purchase parquet files and keep the edge table
+    current; returns the streaming query."""
+    reader = spark.readStream.schema(PURCHASES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(purchases_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        purchase_edges_batch(batch_df.sparkSession, edges_path, batch_df)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
