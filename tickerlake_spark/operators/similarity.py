@@ -58,12 +58,15 @@ def _plane_coefs_py(plane: int, dim: int) -> list[float]:
     ]
 
 
-def hyperplane_bucket(vec: Column, n_planes: int, dim: int | None = None) -> Column:
+def hyperplane_bucket(
+    vec: Column, n_planes: int, dim: int | None = None, plane_offset: int = 0
+) -> Column:
     """Sign-pattern bucket id (long) of ``vec`` against ``n_planes``
     hash-derived hyperplanes. Plane loop unrolled in Python (shift amounts
     are literals). Pass ``dim`` when the vector width is known so plane
     coefficients become one literal array per plane instead of per-row md5
-    evaluation (see ``_plane_coefs_py``)."""
+    evaluation (see ``_plane_coefs_py``). ``plane_offset`` selects an
+    independent plane set (multi-table LSH: table t passes t*n_planes)."""
     # closure factory, NOT a default arg (PySpark binds lambda params to
     # lambda variables by arity — a `p=p` default would become the index arg)
     def coef_at(p: int):
@@ -72,9 +75,9 @@ def hyperplane_bucket(vec: Column, n_planes: int, dim: int | None = None) -> Col
     out: Column = F.lit(0).cast("long")
     for p in range(n_planes):
         if dim is None:
-            coefs = F.transform(F.sequence(F.lit(1), F.size(vec)), coef_at(p))
+            coefs = F.transform(F.sequence(F.lit(1), F.size(vec)), coef_at(plane_offset + p))
         else:
-            coefs = F.lit(_plane_coefs_py(p, dim))
+            coefs = F.lit(_plane_coefs_py(plane_offset + p, dim))
         proj = F.aggregate(
             F.zip_with(vec, coefs, lambda x, c: x * c),
             F.lit(0.0),
@@ -110,27 +113,48 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     n_planes: int = 8,
     multiprobe: bool = True,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k via hyperplane LSH bucket + exact re-rank.
 
     ``multiprobe`` also probes the n_planes buckets at Hamming distance 1
     from the query bucket (standard multi-probe LSH), trading k recall for
     n_planes+1 bucket lookups.
+
+    ``n_tables`` is the OR-amplification knob (Indyk-Motwani): each table
+    hashes with an INDEPENDENT plane set (planes t*n_planes..), a vector is
+    a candidate if it collides with the query in ANY table, and the miss
+    probability decays exponentially in the table count. This is how LSH
+    recall scales on weakly-clustered corpora — more tables, not more
+    probes; the candidate set stays the union of bucket lookups, never a
+    scan.
     """
     dim = len(query_vec)
     q = F.lit(query_vec).cast("array<double>")
-    bucketed = df.select(
+    base = df.select(
         F.col(id_col).alias("id"),
         as_double_array(vec_col).alias("__v"),
-    ).withColumn("__bucket", hyperplane_bucket(F.col("__v"), n_planes, dim=dim))
-
-    # same bucket expression, applied to the literal query vector
-    q_bucket = hyperplane_bucket(q, n_planes, dim=dim)
-    probes = [q_bucket]
-    if multiprobe:
-        probes += [q_bucket.bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), p)) for p in range(n_planes)]
-    probe_set = F.array(*probes)
-    cand = bucketed.filter(F.array_contains(probe_set, F.col("__bucket")))
+    )
+    hit = None
+    bucketed = base
+    for t in range(n_tables):
+        off = t * n_planes
+        bcol = f"__bucket_{t}"
+        bucketed = bucketed.withColumn(
+            bcol,
+            hyperplane_bucket(F.col("__v"), n_planes, dim=dim, plane_offset=off),
+        )
+        # same bucket expression, applied to the literal query vector
+        q_bucket = hyperplane_bucket(q, n_planes, dim=dim, plane_offset=off)
+        probes = [q_bucket]
+        if multiprobe:
+            probes += [
+                q_bucket.bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), p))
+                for p in range(n_planes)
+            ]
+        this = F.array_contains(F.array(*probes), F.col(bcol))
+        hit = this if hit is None else (hit | this)
+    cand = bucketed.filter(hit)
     return (
         cand.select("id", cosine_similarity(F.col("__v"), q).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("id").asc())
