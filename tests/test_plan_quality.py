@@ -484,3 +484,28 @@ def test_silver_tables_are_date_partitioned(spark, tmp_path):
         assert any(e.startswith("date=") for e in entries), (
             f"silver.{table} is not date-partitioned: {entries[:5]}"
         )
+
+
+def test_cms_candidate_verify_plans_no_joins(spark, sf_dir):
+    """q152's candidate pruning is a literal-sketch expression, not a join:
+    the plan must contain ZERO joins, and the candidate filter must sit
+    BELOW the exact-count aggregate so only plausibly-heavy tokens reach
+    the shuffle (the whole point of candidate+verify)."""
+    df = QUERIES["q152_cms_exact_heavy"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Join" not in plan, plan
+    # a Filter NODE evaluating the sketch probe (least over the depth rows)
+    # must exist, and it must print deeper in the tree (plans print
+    # top-down) than the first HashAggregate — i.e. candidates are pruned
+    # before the count shuffle. (least( also appears in the final
+    # projection, hence the node-level check.)
+    filter_lines = [
+        i
+        for i, line in enumerate(plan.splitlines())
+        if "Filter" in line and "least(" in line
+    ]
+    agg_line = next(
+        i for i, line in enumerate(plan.splitlines()) if "HashAggregate" in line
+    )
+    assert filter_lines, plan
+    assert max(filter_lines) > agg_line, plan

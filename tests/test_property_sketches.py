@@ -99,3 +99,36 @@ def test_bloom_words_match_python_reference_and_admit_all(spark, keys):
         ~bloom_might_contain(F.col("key"), words, m_bits=m, k=k)
     ).count()
     assert misses == 0
+
+
+def test_cms_candidate_verify_equals_exact_threshold(spark):
+    """candidate+verify is EXACT: for any multiset and threshold, its output
+    equals the brute-force 'count all, filter >= T' answer — CMS overcount
+    can only admit extra candidates (verified away), never drop a true
+    heavy hitter."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.operators.cms import cms_candidate_verify
+
+    rng = random.Random(7)
+    # skewed multiset over a domain wider than the sketch would like
+    items = [f"k{rng.randint(0, 400) ** 2 % 997}" for _ in range(6000)]
+    df = spark.createDataFrame([(w,) for w in items], "w string")
+    for t in (5, 25, 80):
+        got = {
+            (r.w, r.exact_n)
+            for r in cms_candidate_verify(df, "w", threshold=t, depth=4, width=64).collect()
+        }
+        want = {
+            (r.w, r.cnt)
+            for r in df.groupBy("w")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .filter(F.col("cnt") >= t)
+            .collect()
+        }
+        assert got == want, f"threshold {t}: {got ^ want}"
+        # and every returned cms_n dominates its exact_n (sketch invariant)
+        rows = cms_candidate_verify(df, "w", threshold=t, depth=4, width=64).collect()
+        assert all(r.cms_n >= r.exact_n for r in rows)

@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_delta", "cms_merge", "cms_point_estimates"]
+__all__ = [
+    "cms_delta",
+    "cms_merge",
+    "cms_point_estimates",
+    "cms_candidate_verify",
+]
 
 
 def _cell(r: Column, item: Column, width: int) -> Column:
@@ -120,4 +125,68 @@ def cms_point_estimates(
     return (
         joined.groupBy(*candidates.columns)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0).cast("long"))).alias(out))
+    )
+
+
+def cms_candidate_verify(
+    df: DataFrame,
+    col: str,
+    threshold: int | None = None,
+    threshold_den: int = 500,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """EXACT heavy hitters above a frequency threshold, for the price of one
+    sketch pass plus a candidate-pruned aggregation (VERDICT r5/r6 item:
+    the candidate+verify companion to the estimate-only q147 path).
+
+    Phase 1 builds the CMS and COLLECTS it (bounded: depth x width cells)
+    into per-row literal arrays. Phase 2 filters rows MAP-SIDE on the
+    sketch estimate ``min_r cells[r][h_r(item)] >= T`` — CMS never
+    underestimates, so no true heavy hitter is pruned (no false negatives)
+    — and only the surviving candidate rows reach the exact groupBy count,
+    whose result is then exactly thresholded (false positives verified
+    away). The expensive shuffle therefore carries only items that are
+    plausibly heavy (<= width/T-ish distinct keys) instead of the full
+    multiset: exact answers at sketch-pass cost.
+
+    ``threshold``: absolute count bound; default = total_adds //
+    ``threshold_den`` (total read off the collected sketch — row 0's cell
+    sum — so no extra pass). Returns (item col, exact_n, cms_n) for items
+    with exact_n >= T, exact.
+    """
+    cells = cms_delta(df.select(F.col(col)), [], col, depth=depth, width=width)
+    dense = [[0] * width for _ in range(depth)]
+    for row in cells.collect():
+        dense[row["r"]][row["c"]] = row["n"]
+    total = sum(dense[0])
+    t = threshold if threshold is not None else max(1, total // threshold_den)
+
+    item = F.col(col).cast("string")
+    est = F.least(
+        *[
+            F.element_at(
+                F.lit(dense[r]),
+                (_cell(F.lit(r), item, width) + F.lit(1)).cast("int"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.filter(est >= F.lit(t))
+        .groupBy(col)
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .filter(F.col("exact_n") >= F.lit(t))
+        .withColumn(
+            "cms_n",
+            F.least(
+                *[
+                    F.element_at(
+                F.lit(dense[r]),
+                (_cell(F.lit(r), item, width) + F.lit(1)).cast("int"),
+            )
+                    for r in range(depth)
+                ]
+            ).cast("long"),
+        )
     )

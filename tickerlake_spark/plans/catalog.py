@@ -270,6 +270,7 @@ _COST_RANK = [
     "q150_revenue_trend_ols",
     "q148_bloom_join_prune",
     "q147_cms_heavy_hitters",
+    "q152_cms_exact_heavy",
     "q149_kmv_audience_overlap",
     "q43_simhash_neardup",
     "q30_stock_bars",

@@ -2495,3 +2495,66 @@ def q150_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "q152_cms_exact_heavy",
+    doc="CMS candidate+verify EXACT heavy hitters (operators/cms.py::"
+    "cms_candidate_verify; VERDICT r5 item 7): tokens with exact frequency "
+    ">= total/30, computed as sketch pass -> map-side candidate filter -> "
+    "exact count of survivors. The collected sketch (4x1024 cells, bounded) "
+    "becomes literal arrays in the plan, so candidate pruning is a pure JVM "
+    "expression on the scan — no join anywhere — and the exact-count "
+    "shuffle carries only plausibly-heavy tokens. CMS never underestimates "
+    "(no false negatives); the exact threshold on the verified counts "
+    "removes the false positives. At 100 TB this turns 'exact counts of "
+    "the heavy tail' from a full-multiset shuffle into a sketch pass plus "
+    "a shuffle of the few candidate keys. Plan-gated: zero joins, candidate "
+    "filter below the aggregate.",
+    oracle=f"""
+WITH tw AS (
+  SELECT w FROM (SELECT unnest({_TOK_SQL}) AS w FROM documents)
+  WHERE w <> ''
+),
+cells AS (
+  SELECT r, CAST({_H60_SQL.format(
+      x="concat(CAST(r AS VARCHAR), ':', w)"
+  )} % 1024 AS INT) AS c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tw CROSS JOIN (SELECT unnest(range(4)) AS r)
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT GREATEST(CAST(1 AS BIGINT), CAST(SUM(n) // 30 AS BIGINT)) AS t
+  FROM cells WHERE r = 0
+),
+probes AS (
+  SELECT d.w, r, CAST({_H60_SQL.format(
+      x="concat(CAST(r AS VARCHAR), ':', d.w)"
+  )} % 1024 AS INT) AS c
+  FROM (SELECT DISTINCT w FROM tw) d
+  CROSS JOIN (SELECT unnest(range(4)) AS r)
+),
+est AS (
+  SELECT w, MIN(COALESCE(n, CAST(0 AS BIGINT))) AS cms_n
+  FROM probes LEFT JOIN cells USING (r, c) GROUP BY w
+),
+cand AS (SELECT w, cms_n FROM est, thr WHERE cms_n >= thr.t),
+exact AS (
+  SELECT tw.w, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM tw JOIN cand ON cand.w = tw.w GROUP BY tw.w
+)
+SELECT e.w AS token, e.exact_n, c.cms_n
+FROM exact e JOIN cand c ON c.w = e.w, thr
+WHERE e.exact_n >= thr.t
+ORDER BY e.exact_n DESC, token ASC
+""",
+)
+def q152_cms_exact_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.operators.cms import cms_candidate_verify
+
+    d = load_table(spark, sf_dir, "documents")
+    tw = d.select(F.explode(tokens("text")).alias("w")).filter(F.col("w") != "")
+    out = cms_candidate_verify(tw, "w", threshold_den=30, depth=4, width=1024)
+    return out.select(
+        F.col("w").alias("token"), "exact_n", "cms_n"
+    ).orderBy(F.col("exact_n").desc(), F.col("token").asc())
