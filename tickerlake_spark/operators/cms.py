@@ -100,13 +100,30 @@ def cms_point_estimates(
     depth: int = 4,
     width: int = 1024,
     out: str = "cms_count",
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Point-query the sketch for each candidate item: min over the
     ``depth`` rows of the item's cell counters (absent cell = 0).
 
+    ``keys`` must name the sketch's group columns when probing a KEYED
+    sketch (``cms_delta(keys=[...])``) — they join alongside (r, c), and
+    the candidate table must carry them too. Probing a keyed sketch
+    without them would silently SUM cells across all groups and return
+    garbage estimates, so extra sketch columns raise instead.
+
     The candidate table keeps its other columns. The join is an equi-join
-    on (r, c) against the bounded sketch — mark it broadcast at call site
-    when the sketch is a global one (it always fits)."""
+    on (keys..., r, c) against the bounded sketch — mark it broadcast at
+    call site when the sketch is a global one (it always fits)."""
+    keys = list(keys or [])
+    extra = set(sketch.columns) - {"r", "c", "n"} - set(keys)
+    if extra:
+        raise ValueError(
+            f"sketch carries group columns {sorted(extra)} not named in "
+            f"keys={keys}; probing would silently mix groups"
+        )
+    missing = [k for k in keys if k not in candidates.columns]
+    if missing:
+        raise ValueError(f"candidates lack the sketch group columns {missing}")
     probes = candidates.withColumn(
         "__p",
         F.explode(
@@ -121,7 +138,7 @@ def cms_point_estimates(
             )
         ),
     ).select(*candidates.columns, F.col("__p.r").alias("r"), F.col("__p.c").alias("c"))
-    joined = probes.join(F.broadcast(sketch), on=["r", "c"], how="left")
+    joined = probes.join(F.broadcast(sketch), on=[*keys, "r", "c"], how="left")
     return (
         joined.groupBy(*candidates.columns)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0).cast("long"))).alias(out))

@@ -2395,7 +2395,8 @@ def q149_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggs (daily revenue, then per-nation moment sums) and a map-side "
     "closed form; no window, no collect, no iteration. Cross-engine "
     "determinism by EXACT ARITHMETIC, not rounding tolerance: daily "
-    "revenue rounds to whole dollars (a long), x is the day offset from "
+    "revenue rounds to whole dollars (a long, +5e-7 boundary nudge in both "
+    "engines), x is the day offset from "
     "1995-01-01 (a long), so every moment sum (Sx, Sy, Sxx, Sxy, Syy) "
     "is an exact integer in both engines regardless of partitioning or "
     "sum order; the final slope/intercept/R^2 are a fixed chain of IEEE "
@@ -2405,7 +2406,7 @@ def q149_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT c.c_nationkey AS nk,
          CAST(datediff('day', DATE '1995-01-01', o.o_orderdate) AS BIGINT) AS x,
-         CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount))) AS BIGINT) AS y
+         CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 5e-7) AS BIGINT) AS y
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2453,7 +2454,12 @@ def q150_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("x"),
         )
-        .agg(F.round(F.sum("rev")).cast("long").alias("y"))
+        .agg(
+            # +5e-7 nudge mirrored in the oracle: a per-(nation, day) sum
+            # landing within fp-summation error of a .5-dollar boundary must
+            # round the same way in both engines (stable_round convention)
+            F.round(F.sum("rev") + F.lit(5e-7)).cast("long").alias("y")
+        )
     )
     mom = daily.groupBy("nk").agg(
         F.count("*").cast("long").alias("n"),

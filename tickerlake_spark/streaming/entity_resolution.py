@@ -53,7 +53,11 @@ def resolve_batch(
     if batch.isEmpty():
         return
     canonical = spark.read.parquet(canonical_path).select(canonical_id, col)
-    records = batch.select(id_col, col)
+    # dedupe on the record id: fuzzy_best_match groups per id, but the
+    # unmatched anti-join PRESERVES duplicates, and the keyed upsert runs
+    # with validate_unique=False — duplicate ids in one micro-batch would
+    # write duplicate match rows (ADVICE r5)
+    records = batch.select(id_col, col).dropDuplicates([id_col])
     best = fuzzy_best_match(
         records,
         canonical,

@@ -43,6 +43,49 @@ __all__ = [
 ]
 
 
+
+_PARAMS_FILE = "_sketch_params.json"
+
+
+def _record_params(path: str, **params) -> None:
+    """Persist the sketch's structural parameters as a sidecar inside the
+    table dir (underscore-prefixed: Spark readers ignore it). First writer
+    wins; later batches validate instead of overwriting."""
+    import json
+    import os
+
+    f = os.path.join(path, _PARAMS_FILE)
+    if os.path.isdir(path) and not os.path.exists(f):
+        with open(f, "w") as fh:
+            json.dump(params, fh)
+
+
+def read_sketch_params(path: str) -> dict | None:
+    import json
+    import os
+
+    f = os.path.join(path, _PARAMS_FILE)
+    if not os.path.exists(f):
+        return None
+    with open(f) as fh:
+        return json.load(fh)
+
+
+def _check_params(path: str, **expected) -> None:
+    """Raise when the caller's parameters disagree with the recorded ones —
+    a mismatched probe returns silently wrong estimates otherwise (an
+    IndexError only triggers when the caller's size exceeds the stored
+    one). Legacy tables without a sidecar pass (nothing to check)."""
+    stored = read_sketch_params(path)
+    if stored is None:
+        return
+    bad = {k: (stored.get(k), v) for k, v in expected.items() if stored.get(k) != v}
+    if bad:
+        raise ValueError(
+            f"sketch table {path!r} was built with {stored}; "
+            f"mismatched caller parameters: {bad}"
+        )
+
 def sketch_rollup_batch(
     spark: SparkSession,
     path: str,
@@ -98,6 +141,7 @@ def kmv_rollup_batch(
         )
         delta = kmv_merge(touched, delta, keys, k=k)
     upsert_table(spark, path, delta, keys=keys, validate_unique=False)
+    _record_params(path, kind="kmv", k=k)
 
 
 def stream_kmv_rollup(
@@ -181,6 +225,7 @@ def cms_rollup_batch(
 
     if batch.isEmpty():
         return
+    _check_params(path, depth=depth, width=width)
     delta = cms_delta(batch, keys, col, depth=depth, width=width).withColumn(
         "batch_id", F.lit(int(batch_id)).cast("long")
     )
@@ -192,6 +237,7 @@ def cms_rollup_batch(
         partition_by="batch_id",
         validate_unique=False,
     )
+    _record_params(path, kind="cms", depth=depth, width=width)
 
 
 def cms_rollup_serve(
@@ -211,8 +257,15 @@ def cms_compact_rollup(
     spark: SparkSession, path: str, keys: list[str], keep_last: int = 2
 ) -> None:
     """Fold old batch partitions into the batch_id=-1 baseline partition
-    via write-tmp + atomic dir swap. Serve results are unchanged (cell
+    via write-tmp + rename swap. Serve results are unchanged (cell
     sums are associative).
+
+    Atomicity caveat (same contract as ``storage.upsert_table``): the swap
+    is two renames, not one — a crash between them leaves the table absent
+    until the tmp dir is renamed back in, and a concurrent read during that
+    window fails. On an object store / table format this becomes a single
+    metadata commit; run compaction from the maintenance job that owns the
+    table, not concurrently with serving.
 
     The ``keep_last`` most recent batch partitions are left UNFOLDED:
     folding a batch and then replaying it would double-count (the replay
@@ -250,6 +303,10 @@ def cms_compact_rollup(
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)
+    # the params sidecar lives inside the table dir — carry it across
+    sidecar = os.path.join(old, _PARAMS_FILE)
+    if os.path.exists(sidecar):
+        shutil.copy(sidecar, os.path.join(path, _PARAMS_FILE))
     shutil.rmtree(old)
 
 
@@ -313,6 +370,7 @@ def bloom_rollup_batch(
 
     if batch.isEmpty():
         return
+    _check_params(path, m_bits=m_bits, k=k)
     delta = bloom_words(batch, key_col, m_bits, k)
     if table_exists(path):
         stored = spark.read.parquet(path)
@@ -322,11 +380,13 @@ def bloom_rollup_batch(
             .agg(F.bit_or("word").alias("word"))
         )
     upsert_table(spark, path, delta, keys=["wi"], validate_unique=False)
+    _record_params(path, kind="bloom", m_bits=m_bits, k=k)
 
 
 def bloom_rollup_literal(spark: SparkSession, path: str, m_bits: int = 1 << 16) -> list[int]:
     """Dense word list from the persisted rollup (bloomjoin.bloom_literal's
     contract) — feed to ``bloom_might_contain`` for map-side fact pruning."""
+    _check_params(path, m_bits=m_bits)
     dense = [0] * (m_bits // 32)
     for row in spark.read.parquet(path).collect():
         dense[row["wi"]] = int(row["word"])
