@@ -194,10 +194,16 @@ def test_silver_maintenance_batches_equal_full_recompute(spark, tmp_path_factory
         silver_maintenance_batch(spark, cat, bars(b))
 
     def rows_of(df):
+        # column order is storage-layout-dependent (partition column reads
+        # last on Hive-partitioned tables) - compare by sorted column name
+        df = df.select(*sorted(df.columns))
         rounded = df.select(
             *[F.round(c, 9).alias(c) if t == "double" else F.col(c) for c, t in df.dtypes]
         )
-        return sorted(map(tuple, rounded.collect()))
+        return sorted(
+            map(tuple, rounded.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
 
     from tickerlake_spark.operators.splits import apply_splits
 

@@ -72,6 +72,11 @@ def write_closes_extract(daily: DataFrame, path: str, mode: str = "overwrite") -
         mode=mode,
         partition_by="tb",
         bloom_cols={"ticker": 16_384},
+        # small row groups: the read path prunes on ticker min/max + bloom
+        # PER ROW GROUP, and a bucket compressed into one 128 MB group
+        # defeats that — 16 MB groups keep each one a narrow sorted ticker
+        # range, so an In-filter over the affected set skips precisely
+        options={"parquet.block.size": str(16 * 1024 * 1024)},
     )
 
 

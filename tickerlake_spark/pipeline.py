@@ -453,6 +453,8 @@ def run_gold(
             new_state,
             keys=["ticker", "year", "quarter"],
             validate_unique=False,  # unique per groupBy construction
+            stage_updates=False,  # delta-window lineage, cheap to re-run
+            with_count=False,
         )
         append_closes_extract(
             spark, delta.select("ticker", "date", "close"),
@@ -475,6 +477,8 @@ def run_gold(
             keys=["ticker", "date"],
             partition_by="date",
             validate_unique=False,
+            stage_updates=False,  # lineage reads silver only
+            with_count=False,
         )
         # weekly/monthly HVC: silver upserted every bucket from the
         # watermark's bucket onward, and a bucket's ratio can drop BELOW the
@@ -499,6 +503,7 @@ def run_gold(
                 schemas.conform(ev, schemas.HVC_EVENTS),
                 keys=["date"],
                 partition_by="date",
+                with_count=False,
             )
         # one bounded collect drives the stair-step scope: tickers with a
         # new event (~2% of ticker-days -> a small set per appended day)
@@ -523,21 +528,31 @@ def run_gold(
                 aff_closes = daily.select("ticker", "date", "close").join(
                     F.broadcast(affected), "ticker", "left_semi"
                 )
-            for direction, table in (
-                ("up", "stairstep_up"),
-                ("down", "stairstep_down"),
-            ):
-                pats = stairstep_patterns(
-                    aff_events.select("ticker", "date"), aff_closes,
-                    min_steps=min_steps, direction=direction,
-                )
-                replace_keys(
-                    spark,
-                    catalog.gold(table),
-                    affected,
-                    schemas.conform(pats, schemas.STAIRSTEP_PATTERNS),
-                    keys=["ticker"],
-                )
+            # both directions window the same two inputs — materialize them
+            # once (the extract read and the events semi-join are the
+            # expensive legs; the per-direction windows are trivial)
+            aff_events = aff_events.select("ticker", "date").persist()
+            aff_closes = aff_closes.persist()
+            try:
+                for direction, table in (
+                    ("up", "stairstep_up"),
+                    ("down", "stairstep_down"),
+                ):
+                    pats = stairstep_patterns(
+                        aff_events, aff_closes,
+                        min_steps=min_steps, direction=direction,
+                    )
+                    replace_keys(
+                        spark,
+                        catalog.gold(table),
+                        affected,
+                        schemas.conform(pats, schemas.STAIRSTEP_PATTERNS),
+                        keys=["ticker"],
+                        with_count=False,
+                    )
+            finally:
+                aff_events.unpersist()
+                aff_closes.unpersist()
     else:
         # gold fact tables are date-partitioned like silver: the watermark
         # probe at the top of every incremental run is then a directory

@@ -52,6 +52,7 @@ def write_table(
     partition_by: str | list[str] | None = None,
     dynamic: bool = False,
     bloom_cols: dict[str, int] | None = None,
+    options: dict[str, str] | None = None,
 ) -> None:
     """Write ``df`` as a Parquet table.
 
@@ -77,6 +78,8 @@ def write_table(
     for c, ndv in (bloom_cols or {}).items():
         writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
         writer = writer.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
     writer.parquet(path)
     if partition_by and mode == "overwrite" and not dynamic and not table_exists(path):
         # Partitioned overwrite of an EMPTY frame writes no data files, so

@@ -75,6 +75,8 @@ def upsert_table(
     keys: list[str],
     partition_by: str | None = None,
     validate_unique: bool = True,
+    stage_updates: bool = True,
+    with_count: bool = True,
 ) -> dict:
     """MERGE ``updates`` into the Parquet table at ``path`` on ``keys``.
 
@@ -90,11 +92,21 @@ def upsert_table(
     over a horizon scan); without staging, each of those actions would
     re-execute it from scratch. Staging also makes updates whose lineage
     reads ``path`` itself safe across the swap/overwrite below.
+
+    ``stage_updates=False`` skips the staging write: safe (and faster) when
+    the update lineage is cheap to re-execute — the unpartitioned branch
+    writes its merged output to a tmp dir BEFORE the swap and the
+    partitioned branch stages its merged output regardless, so neither ever
+    overwrites a path an unstaged lineage still reads. ``with_count=False``
+    skips the observability count (one action per call; the summary then
+    reports ``None``).
     """
     staged_dir = f"{path.rstrip('/')}__updates_{uuid.uuid4().hex[:8]}"
-    updates.write.parquet(staged_dir)
+    if stage_updates:
+        updates.write.parquet(staged_dir)
     try:
-        updates = spark.read.parquet(staged_dir)
+        if stage_updates:
+            updates = spark.read.parquet(staged_dir)
         if validate_unique:
             dup = (
                 updates.groupBy(*keys)
@@ -106,7 +118,7 @@ def upsert_table(
             if dup:
                 raise ValueError(f"updates are not unique on {keys}")
 
-        n_updates = updates.count()
+        n_updates = updates.count() if with_count else None
         if not table_exists(path):
             write_table(updates, path, partition_by=partition_by)
             return {"inserted_or_updated": n_updates, "mode": "create"}
@@ -200,9 +212,15 @@ def _upsert_partitioned(
         # Dynamic overwrite only replaces partitions present in the written
         # data: a touched partition whose every row was migrated away has no
         # output rows and would keep its stale files — drop it explicitly.
-        written = {
-            str(r[0]) for r in staged.select(partition_by).distinct().collect()
-        }
+        # When the partition column is part of the key, migration is
+        # impossible and every touched partition holds at least its own
+        # update rows, so written == touched and the probe is skipped.
+        if partition_by in keys:
+            written = set(touched)
+        else:
+            written = {
+                str(r[0]) for r in staged.select(partition_by).distinct().collect()
+            }
         for value in set(touched) - written:
             part_dir = os.path.join(path, f"{partition_by}={value}")
             if os.path.isdir(part_dir):
@@ -224,6 +242,7 @@ def replace_keys(
     updates: DataFrame,
     keys: list[str],
     partition_by: str | None = None,
+    with_count: bool = True,
 ) -> dict:
     """Replace the full row-set of every key in ``key_values``: delete all
     stored rows matching those keys, then insert ``updates``.
@@ -253,7 +272,8 @@ def replace_keys(
         and detect_partition_column(path) == partition_by
     ):
         return _replace_keys_partitioned(
-            spark, path, existing, key_values, updates, keys, partition_by
+            spark, path, existing, key_values, updates, keys, partition_by,
+            with_count,
         )
     merged = existing.join(key_values, keys, "left_anti").unionByName(
         updates.select(*existing.columns)
@@ -271,7 +291,7 @@ def replace_keys(
     # being replaced (e.g. storage/scd2.py closes rows it read from
     # ``path``), and its lineage re-executes here — after the rename the
     # source files are gone and the count dies with FILE_NOT_EXIST.
-    n_inserted = updates.count()
+    n_inserted = updates.count() if with_count else None
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)
@@ -287,14 +307,21 @@ def _replace_keys_partitioned(
     updates: DataFrame,
     keys: list[str],
     partition_by: str,
+    with_count: bool = True,
 ) -> dict:
     # Touched partitions: wherever a replaced key lives (partition value is
     # part of the key, so key_values names them directly) plus wherever
     # updates land. Stored rows elsewhere cannot match any replaced key.
-    touched = {
-        str(r[0]) for r in key_values.select(partition_by).distinct().collect()
-    } | {str(r[0]) for r in updates.select(partition_by).distinct().collect()}
-    touched = sorted(touched)
+    # One fused distinct-union collect, not two actions.
+    touched = sorted(
+        {
+            str(r[0])
+            for r in key_values.select(partition_by)
+            .unionByName(updates.select(partition_by))
+            .distinct()
+            .collect()
+        }
+    )
     survivors = existing.filter(F.col(partition_by).isin(touched)).join(
         key_values, keys, "left_anti"
     )
@@ -302,7 +329,7 @@ def _replace_keys_partitioned(
     tmp = f"{path.rstrip('/')}__replace_{uuid.uuid4().hex[:8]}"
     merged.write.parquet(tmp)
     staged = spark.read.parquet(tmp)
-    n_inserted = updates.count()
+    n_inserted = updates.count() if with_count else None
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -182,6 +182,13 @@ def run(factor: int = 10, tickers: int = 100_000, skip_e2e: bool = False,
         "q136_pagerank",
         "q128_vocab_topk",
         "q121_line_dedup",
+        # the r5 sketch/trend family (VERDICT r5 item 5) + r7's q152
+        "q147_cms_heavy_hitters",
+        "q148_bloom_join_prune",
+        "q149_kmv_audience_overlap",
+        "q150_revenue_trend_ols",
+        "q151_bpe_encode",
+        "q152_cms_exact_heavy",
     ):
         if extra in QUERIES:
             bench_queries[extra] = QUERIES[extra]
@@ -195,6 +202,41 @@ def run(factor: int = 10, tickers: int = 100_000, skip_e2e: bool = False,
             spec.fn(spark, dst).foreachPartition(lambda it: None)
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 4)
+
+    # maintained-adjacency PageRank (VERDICT r6 item 5): fold the scaled
+    # corpus's purchase pairs into the persisted edge table once (build,
+    # paid at ingest in a deployment), then time the query over PREBUILT
+    # edges — q136's honest serving cost without the per-call
+    # orders x lineitem join + distinct.
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.operators.graph import pagerank, read_edges, upsert_edges
+    from tickerlake_spark.streaming.graph_maintain import purchase_pairs
+
+    epath = os.path.join(dst, "_purchase_edges")
+    li = spark.read.parquet(os.path.join(dst, "lineitem.parquet")).select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = spark.read.parquet(os.path.join(dst, "orders.parquet")).select(
+        "o_orderkey", "o_custkey"
+    )
+    purchases = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "o_custkey", "l_suppkey"
+    )
+    t0 = time.perf_counter()
+    upsert_edges(spark, epath, purchase_pairs(purchases))
+    edges_build_sec = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    (
+        pagerank(read_edges(spark, epath), iters=5, damping=0.85, normalize=True)
+        .orderBy(F.col("score").desc(), F.col("node").asc())
+        .limit(100)
+        .foreachPartition(lambda it: None)
+    )
+    pagerank_prebuilt = {
+        "edges_build_sec": edges_build_sec,
+        "query_sec": round(time.perf_counter() - t0, 4),
+    }
 
     # ANN quality/speed at 10x corpus density (20k vectors): the recall
     # numbers published at sf0.1 (2k vectors) get their scale companion
@@ -216,6 +258,7 @@ def run(factor: int = 10, tickers: int = 100_000, skip_e2e: bool = False,
         "gen_sec": gen_sec,
         "headline_queries_sec": timings,
         "headline_total_sec": round(sum(timings.values()), 4),
+        "pagerank_prebuilt": pagerank_prebuilt,
         "ann_at_scale": out_ann,
     }
     if not keep_data:
