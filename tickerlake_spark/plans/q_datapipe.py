@@ -2416,15 +2416,15 @@ mom AS (
   SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
          CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(x * y) AS BIGINT) AS sxy,
-         CAST(SUM(y * y) AS BIGINT) AS syy
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
   FROM daily GROUP BY nk
 ),
 fit AS (
   SELECT nk, n,
-         CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+         CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
          CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
-         CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+         CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS deny,
          sx, sy
   FROM mom
 )
@@ -2461,24 +2461,31 @@ def q150_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("rev") + F.lit(5e-7)).cast("long").alias("y")
         )
     )
+    # y*y (and the cross moments at larger y) exceed int64 once daily
+    # revenue grows past ~3e9 — the 10x corpus does. decimal(38,0) keeps the
+    # sums EXACT integers (the determinism contract), mirrored as HUGEINT in
+    # the oracle; both engines then cast the identical exact integer to
+    # double in the closed form.
+    y_dec = F.col("y").cast("decimal(38,0)")
     mom = daily.groupBy("nk").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * y_dec).cast("decimal(38,0)").alias("sxy"),
+        F.sum(y_dec * y_dec).cast("decimal(38,0)").alias("syy"),
     )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     fit = mom.select(
         "nk",
         "n",
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        (F.col("n") * F.col("sxy") - dec("sx") * F.col("sy"))
         .cast("double")
         .alias("num"),
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         .cast("double")
         .alias("denx"),
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        (dec("n") * F.col("syy") - dec("sy") * F.col("sy"))
         .cast("double")
         .alias("deny"),
         "sx",
