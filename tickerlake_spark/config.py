@@ -81,7 +81,12 @@ class Settings:
     # Spark runtime (this engine's additions; session.py)
     cpus: int = 32
     shuffle_partitions: int | None = None
-    driver_memory: str = "8g"
+    # local[N] puts driver AND all executor threads in ONE JVM: this is the
+    # whole cluster's memory, not a driver heap. 8g starved 32 concurrent
+    # partitioned-write tasks at the 125M-row scale (execution pool
+    # exhausted under the per-task dynamic-partition sort); the harness box
+    # has 128 GiB — size for it. Override with SPARK_GRAFT_DRIVER_MEM.
+    driver_memory: str = "32g"
 
     def __post_init__(self) -> None:
         if isinstance(self.polygon_api_key, str):  # convenience coercion
@@ -139,7 +144,7 @@ class Settings:
             bronze_parallel_requests=get_int("TICKERLAKE_BRONZE_PARALLEL_REQUESTS", 4),
             cpus=get_int("SPARK_GRAFT_CPUS", 32),
             shuffle_partitions=int(shuffle_raw) if shuffle_raw else None,
-            driver_memory=get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            driver_memory=get("SPARK_GRAFT_DRIVER_MEM", "32g"),
         )
 
 
