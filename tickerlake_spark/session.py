@@ -65,13 +65,16 @@ def get_spark(
         # Broadcast threshold: dimension tables (region/nation/tickers/splits)
         # are tiny even at 100 TB fact scale; 64m is a safe ceiling.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Push `col IN (<literals>)` to parquet well past the default of 10:
-        # the gold stair-step path filters the ticker-bucketed closes extract
-        # on a few hundred affected tickers, and row-group stats + bloom
+        # Push `col IN (<literals>)` to parquet past the default of 10: the
+        # gold stair-step path filters the ticker-bucketed closes extract on
+        # a few hundred affected tickers, and row-group stats + bloom
         # filters only engage when the In predicate actually reaches the
-        # reader (above the threshold Spark degrades it to a min/max range,
-        # which is useless across an alphabet of tickers).
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "2000")
+        # reader (above the threshold Spark degrades it to a min/max range).
+        # Bounded at 300: parquet-mr evaluates the pushed filter as a
+        # RECURSIVE or-chain, and a ~2000-literal chain overflowed the
+        # executor thread stack at the 10x scale run. Spark-side filtering
+        # is InSet (hash) either way, so correctness never depends on this.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "300")
         .config("spark.driver.memory", settings.driver_memory)
         .config("spark.ui.enabled", "false")
     )
