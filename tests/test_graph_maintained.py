@@ -106,3 +106,32 @@ def test_pagerank_over_maintained_table_matches_fresh(spark, tmp_path):
     )
     want = sorted(map(tuple, pagerank(fresh, iters=3, normalize=True).collect()))
     assert got == want
+
+
+def test_int_keyed_graph_gives_identical_scores(spark):
+    """The int-encoded purchase graph (the deployment layout the 10x proof
+    benches) is isomorphic to the tagged-string one: PageRank scores match
+    exactly and the label decode restores the string node names."""
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.operators.graph import pagerank
+    from tickerlake_spark.streaming.graph_maintain import (
+        decode_purchase_node,
+        purchase_pairs,
+        purchase_pairs_int,
+    )
+
+    pur = _purchases(spark, ROWS)
+
+    def sym(pairs):
+        return pairs.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+    str_ranks = pagerank(sym(purchase_pairs(pur)), iters=4, normalize=True)
+    int_ranks = pagerank(sym(purchase_pairs_int(pur)), iters=4, normalize=True).select(
+        decode_purchase_node(F.col("node")).alias("node"), "score"
+    )
+    assert sorted(map(tuple, str_ranks.select("node", "score").collect())) == sorted(
+        map(tuple, int_ranks.collect())
+    )

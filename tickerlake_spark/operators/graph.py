@@ -255,27 +255,27 @@ def upsert_edges(
     pairs: DataFrame,
     a: str = "a",
     b: str = "b",
-    symmetrize: bool = True,
     n_buckets: int = _EDGE_BUCKETS,
 ) -> dict:
     """MERGE a batch of (a, b) pairs into the persisted edge table at
-    ``path``, symmetrizing and deduplicating against stored edges.
+    ``path``, deduplicating against stored edges.
+
+    The table stores each undirected edge ONCE (directed as given);
+    ``read_edges`` symmetrizes lazily. Storing both directions would double
+    every byte the serving query scans and shuffles — measured ~2x on the
+    10x corpus — for information the union recovers for free.
 
     Layout: Hive-partitioned on ``sb = pmod(xxhash64(src), n_buckets)``, so
     the keyed upsert (keys = [sb, src, dst]) rewrites only the buckets the
-    batch touches, and the table arrives pre-clustered on src for the
-    PageRank contribution join. Idempotent: re-applying a batch is a no-op
-    merge (same keys, same rows) — the foreachBatch replay contract.
+    batch touches. Idempotent: re-applying a batch is a no-op merge (same
+    keys, same rows) — the foreachBatch replay contract.
     """
     from tickerlake_spark.storage import upsert_table
 
-    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    if symmetrize:
-        edges = edges.unionByName(
-            pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
-        )
-    edges = edges.distinct().withColumn(
-        "sb", F.pmod(F.xxhash64("src"), F.lit(n_buckets)).cast("int")
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .distinct()
+        .withColumn("sb", F.pmod(F.xxhash64("src"), F.lit(n_buckets)).cast("int"))
     )
     return upsert_table(
         spark,
@@ -287,6 +287,13 @@ def upsert_edges(
     )
 
 
-def read_edges(spark, path: str) -> DataFrame:
-    """The maintained edge table as a plain (src, dst) frame."""
-    return spark.read.parquet(path).select("src", "dst")
+def read_edges(spark, path: str, symmetrize: bool = True) -> DataFrame:
+    """The maintained edge table as a plain (src, dst) frame; by default
+    both directions of every stored undirected edge (one scan, lazy union —
+    the shape pagerank/components expect)."""
+    stored = spark.read.parquet(path).select("src", "dst")
+    if not symmetrize:
+        return stored
+    return stored.unionByName(
+        stored.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )

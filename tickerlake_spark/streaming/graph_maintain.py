@@ -30,6 +30,8 @@ from tickerlake_spark.operators.graph import upsert_edges
 __all__ = [
     "PURCHASES_SCHEMA",
     "purchase_pairs",
+    "purchase_pairs_int",
+    "decode_purchase_node",
     "purchase_edges_batch",
     "stream_purchases_to_edges",
 ]
@@ -56,6 +58,34 @@ def purchase_pairs(purchases: DataFrame) -> DataFrame:
             F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("a"),
             F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("b"),
         )
+    )
+
+
+def purchase_pairs_int(purchases: DataFrame) -> DataFrame:
+    """The same bipartite pairs under compact INT node ids (customer
+    2*custkey, supplier 2*suppkey+1) — the encoding a deployment actually
+    keys the graph on: an 8-byte long shuffles ~3x cheaper than a tagged
+    string, and every PageRank superstep shuffles the rank vector. The
+    graph is isomorphic to the tagged-string form, so rank values are
+    identical; only the final (tiny) result needs the label decode
+    (``decode_purchase_node``)."""
+    return (
+        purchases.select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("a"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("b"),
+        )
+    )
+
+
+def decode_purchase_node(col):
+    """int node id -> the tagged-string label ('c:<custkey>' / 's:<suppkey>')."""
+    return F.when(
+        F.pmod(col, F.lit(2)) == 0,
+        F.concat(F.lit("c:"), (col / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s:"), ((col - 1) / 2).cast("long").cast("string"))
     )
 
 

@@ -211,7 +211,10 @@ def run(factor: int = 10, tickers: int = 100_000, skip_e2e: bool = False,
     from pyspark.sql import functions as F
 
     from tickerlake_spark.operators.graph import pagerank, read_edges, upsert_edges
-    from tickerlake_spark.streaming.graph_maintain import purchase_pairs
+    from tickerlake_spark.streaming.graph_maintain import (
+        decode_purchase_node,
+        purchase_pairs_int,
+    )
 
     epath = os.path.join(dst, "_purchase_edges")
     li = spark.read.parquet(os.path.join(dst, "lineitem.parquet")).select(
@@ -224,18 +227,24 @@ def run(factor: int = 10, tickers: int = 100_000, skip_e2e: bool = False,
         "o_custkey", "l_suppkey"
     )
     t0 = time.perf_counter()
-    upsert_edges(spark, epath, purchase_pairs(purchases))
+    # int-keyed edges: the deployment layout (8-byte node ids; rank-vector
+    # shuffles ~3x lighter than tagged strings). The graph is isomorphic to
+    # q136's, so scores are identical; labels decode on the final 100 rows.
+    upsert_edges(spark, epath, purchase_pairs_int(purchases))
     edges_build_sec = round(time.perf_counter() - t0, 4)
     t0 = time.perf_counter()
     (
         pagerank(read_edges(spark, epath), iters=5, damping=0.85, normalize=True)
         .orderBy(F.col("score").desc(), F.col("node").asc())
         .limit(100)
+        .select(decode_purchase_node(F.col("node")).alias("node"), "score")
         .foreachPartition(lambda it: None)
     )
     pagerank_prebuilt = {
         "edges_build_sec": edges_build_sec,
         "query_sec": round(time.perf_counter() - t0, 4),
+        "note": "int-keyed maintained edge table; same scores as "
+        "q136_pagerank (isomorphic graph), labels decoded on the top-100",
     }
 
     # ANN quality/speed at 10x corpus density (20k vectors): the recall
