@@ -19,7 +19,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["vwap_signals", "vwap_state", "vwap_incremental"]
+__all__ = ["vwap_signals", "vwap_state", "vwap_incremental", "vwap_full"]
 
 # Running-sum state for O(delta) gold maintenance: one row per
 # (ticker, year, quarter) holding the EXACT cumulative sums as of the last
@@ -209,6 +209,10 @@ def vwap_incremental(
     start their fold from zero, exactly like the full computation.
     """
     aug = _augment(_base(delta), state)
+    return _signals_of(aug, calculated_at), _state_of(aug)
+
+
+def _signals_of(aug: DataFrame, calculated_at: dt.datetime | None) -> DataFrame:
     stamp = (
         F.lit(calculated_at).cast("timestamp")
         if calculated_at is not None
@@ -216,7 +220,7 @@ def vwap_incremental(
     )
     ytd_vwap = F.col("__ytd_pv_c") / F.col("__ytd_vol_c")
     qtd_vwap = F.col("__qtd_pv_c") / F.col("__qtd_vol_c")
-    signals = aug.filter(~F.col("__seed")).select(
+    return aug.filter(~F.col("__seed")).select(
         "ticker",
         "date",
         "close",
@@ -229,4 +233,15 @@ def vwap_incremental(
         ),
         stamp.alias("calculated_at"),
     )
-    return signals, _state_of(aug)
+
+
+def vwap_full(
+    daily: DataFrame, calculated_at: dt.datetime | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(signals, state, shared_frame) for a FULL rebuild, all built over ONE
+    augmented lineage: persist ``shared_frame`` before triggering the two
+    writes and unpersist after, and the history pays a single window pass
+    instead of one per output. Values are identical to
+    ``vwap_signals``/``vwap_state`` (same windows, same fold order)."""
+    aug = _augment(_base(daily), None)
+    return _signals_of(aug, calculated_at), _state_of(aug), aug

@@ -34,7 +34,6 @@ from tickerlake_spark.operators.incremental_silver import (
 from tickerlake_spark.operators.indicators import compute_indicators
 from tickerlake_spark.operators.resample import resample_ohlcv
 from tickerlake_spark.operators.splits import apply_splits
-from tickerlake_spark.operators.vwap import vwap_signals
 from tickerlake_spark.sources.calendar import trading_days
 from tickerlake_spark.sources.market import MarketSource, fetch_dates_parallel
 from tickerlake_spark.storage import (
@@ -394,7 +393,7 @@ def run_gold(
         read_closes_for,
         write_closes_extract,
     )
-    from tickerlake_spark.operators.vwap import vwap_incremental, vwap_state
+    from tickerlake_spark.operators.vwap import vwap_full, vwap_incremental
 
     daily = read_table(spark, catalog.silver("daily_aggregates"))
     gold_exists = all(
@@ -559,13 +558,20 @@ def run_gold(
         # listing, appends write only new date dirs, and date-ranged reads
         # prune. The window outputs emerge ticker-clustered; repartition by
         # date so each directory gets one file.
-        signals = vwap_signals(daily, calculated_at=calculated_at)
-        write_table(
-            schemas.conform(signals, schemas.VWAP_SIGNALS).repartition("date"),
-            catalog.gold("vwap_signals"),
-            partition_by="date",
-        )
-        write_table(vwap_state(daily), catalog.gold("vwap_state"))
+        # signals and the running-sum state derive from ONE augmented window
+        # pass (vwap_full): persist it across the two writes so full history
+        # is windowed once, not once per output
+        signals, state, shared = vwap_full(daily, calculated_at=calculated_at)
+        shared.persist()
+        try:
+            write_table(
+                schemas.conform(signals, schemas.VWAP_SIGNALS).repartition("date"),
+                catalog.gold("vwap_signals"),
+                partition_by="date",
+            )
+            write_table(state, catalog.gold("vwap_state"))
+        finally:
+            shared.unpersist()
         write_closes_extract(daily, catalog.gold("closes_by_ticker"))
         ind = read_table(spark, catalog.silver("daily_indicators"))
         events = hvc_events(ind, daily, threshold=hvc_threshold)
