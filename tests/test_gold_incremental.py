@@ -210,3 +210,63 @@ def test_compact_partition_dirs_touches_only_overfull(spark, tmp_path):
     x_files = [f for f in os.listdir(os.path.join(path, "part=x")) if f.endswith(".parquet")]
     assert len(x_files) == 1
     assert spark.read.parquet(path).count() == 51
+
+
+def test_repair_closes_extract_sweeps_past_watermark(spark, tmp_path):
+    """Crash-recovery sweep (ADVICE r7 medium): rows dated past the signals
+    watermark — orphans of a gold run that died between its extract append
+    and its committing signals append — are removed; buckets that existed
+    only because of the crashed append disappear entirely."""
+    from tickerlake_spark.operators.closes import (
+        repair_closes_extract,
+        write_closes_extract,
+    )
+
+    path = str(tmp_path / "extract")
+    hist = _bars(
+        spark,
+        [("A", D(2024, 1, 2), 10.0, 100), ("B", D(2024, 1, 2), 20.0, 100)],
+    ).select("ticker", "date", "close")
+    write_closes_extract(hist, path)
+    # crashed append: two days past the watermark, including a NEW ticker
+    # whose hash bucket did not exist before
+    orphan = _bars(
+        spark,
+        [
+            ("A", D(2024, 1, 3), 11.0, 100),
+            ("ZZTOP", D(2024, 1, 3), 1.0, 100),
+        ],
+    ).select("ticker", "date", "close")
+    write_closes_extract(orphan, path, mode="append")
+    out = repair_closes_extract(spark, path, D(2024, 1, 2))
+    assert out["repaired_buckets"] >= 1
+    got = sorted(
+        map(tuple, spark.read.parquet(path).select("ticker", "date").collect())
+    )
+    assert got == [("A", D(2024, 1, 2)), ("B", D(2024, 1, 2))]
+
+
+def test_repair_then_retry_has_no_duplicates(spark, tmp_path):
+    from tickerlake_spark.operators.closes import (
+        append_closes_extract,
+        repair_closes_extract,
+        write_closes_extract,
+    )
+
+    path = str(tmp_path / "extract")
+    hist = _bars(spark, [("A", D(2024, 1, 2), 10.0, 100)]).select(
+        "ticker", "date", "close"
+    )
+    write_closes_extract(hist, path)
+    delta = _bars(spark, [("A", D(2024, 1, 3), 11.0, 100)]).select(
+        "ticker", "date", "close"
+    )
+    # crashed append, then the retry path: repair + re-append
+    write_closes_extract(delta, path, mode="append")
+    repair_closes_extract(spark, path, D(2024, 1, 2))
+    append_closes_extract(spark, delta, path)
+    rows = spark.read.parquet(path).select("ticker", "date").collect()
+    assert sorted(map(tuple, rows)) == [
+        ("A", D(2024, 1, 2)),
+        ("A", D(2024, 1, 3)),
+    ]

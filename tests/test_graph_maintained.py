@@ -135,3 +135,34 @@ def test_int_keyed_graph_gives_identical_scores(spark):
     assert sorted(map(tuple, str_ranks.select("node", "score").collect())) == sorted(
         map(tuple, int_ranks.collect())
     )
+
+
+def test_reversed_orientation_does_not_double_store(spark, tmp_path):
+    """ADVICE r7: a non-bipartite caller feeding both orientations of the
+    same undirected edge must merge to ONE stored row (least/greatest
+    canonicalization in upsert_edges)."""
+    from tickerlake_spark.operators.graph import read_edges, upsert_edges
+
+    path = str(tmp_path / "edges")
+    fwd = spark.createDataFrame([("n1", "n2"), ("n3", "n4")], "a string, b string")
+    rev = fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    upsert_edges(spark, path, fwd)
+    upsert_edges(spark, path, rev)
+    stored = spark.read.parquet(path).select("src", "dst").collect()
+    assert sorted(map(tuple, stored)) == [("n1", "n2"), ("n3", "n4")]
+    # and the served symmetrized view has exactly both directions once
+    served = sorted(map(tuple, read_edges(spark, path).collect()))
+    assert served == [
+        ("n1", "n2"), ("n2", "n1"), ("n3", "n4"), ("n4", "n3"),
+    ]
+
+
+def test_mixed_orientation_within_one_batch(spark, tmp_path):
+    from tickerlake_spark.operators.graph import upsert_edges
+
+    path = str(tmp_path / "edges")
+    both = spark.createDataFrame(
+        [("n1", "n2"), ("n2", "n1"), ("n2", "n1")], "a string, b string"
+    )
+    upsert_edges(spark, path, both)
+    assert spark.read.parquet(path).count() == 1

@@ -876,3 +876,53 @@ def test_replace_keys_partitioned_touches_only_replaced_partitions(spark, tmp_pa
     assert not os.path.isdir(os.path.join(path, "date=2024-01-02"))
     assert mtime("date=2024-01-01") == before, "untouched partition rewritten"
     assert spark.read.parquet(path).count() == 2
+
+
+def test_detect_partition_column_ignores_underscore_dirs_and_raises_on_conflict(
+    spark, tmp_path
+):
+    """ADVICE r7 lows: crash-leftover staging dirs must never read as
+    partition values, and a genuinely conflicting root layout must raise
+    instead of silently picking the alphabetically-first column."""
+    import os
+
+    from tickerlake_spark.storage import detect_partition_column
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "2024-01-01")], "id long, date string")
+    df.write.partitionBy("date").parquet(path)
+    # leftovers a crashed compaction could leave (post-fix naming): ignored
+    os.makedirs(os.path.join(path, "_compact_ab12=stale"))
+    os.makedirs(os.path.join(path, ".hidden=x"))
+    assert detect_partition_column(path) == "date"
+    # a second real partition column at the root = corrupted layout
+    os.makedirs(os.path.join(path, "tb=3"))
+    import pytest
+
+    with pytest.raises(ValueError, match="conflicting root partition columns"):
+        detect_partition_column(path)
+
+
+def test_compact_partition_dirs_staging_names_invisible_to_spark(spark, tmp_path):
+    """The compaction staging/old dirs are '_'-prefixed siblings inside the
+    table root: simulate a crash mid-swap and check a plain read neither
+    duplicates rows nor fails partition-type inference."""
+    import os
+
+    from tickerlake_spark.storage.maintenance import compact_partition_dirs
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(50)], "id long, part string"
+    ).repartition(8)
+    df.write.partitionBy("part").parquet(path)
+    out = compact_partition_dirs(spark, path, max_files_per_partition=4)
+    assert out["compacted_partitions"] == 1
+    # no Hive-parseable residue at the root besides the real partition
+    residue = [d for d in os.listdir(path) if "=" in d and not d.startswith("_")]
+    assert residue == ["part=x"]
+    # a crash leftover (staged copy that never got renamed) is ignored
+    spark.read.parquet(os.path.join(path, "part=x")).write.parquet(
+        os.path.join(path, "_compact_deadbeef")
+    )
+    assert spark.read.parquet(path).count() == 50

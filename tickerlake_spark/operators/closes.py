@@ -38,6 +38,7 @@ __all__ = [
     "write_closes_extract",
     "append_closes_extract",
     "read_closes_for",
+    "repair_closes_extract",
 ]
 
 # 64 buckets: at 100 TB / ~10k tickers a bucket holds ~150 tickers' history
@@ -95,6 +96,54 @@ def append_closes_extract(
         max_files_per_partition=max_files_per_partition,
         sort_by=["ticker", "date"],
     )
+
+
+def repair_closes_extract(spark: SparkSession, path: str, watermark) -> dict:
+    """Remove extract rows dated past ``watermark`` — the crash-recovery
+    sweep for a gold incremental run that appended its closes delta but died
+    before the committing ``vwap_signals`` append (pipeline.run_gold sets a
+    write-ahead intent in the checkpoint store before the extract append;
+    intent > signals-watermark on the next run means exactly this state).
+
+    Without the sweep, retrying the delta append would double-store those
+    rows. Only buckets actually holding too-new rows are rewritten (found by
+    one date-filtered scan — rare-path cost, bounded by one run's append
+    footprint plus the touched buckets' history), swapped in atomically with
+    '_'-prefixed staging dirs Spark's file index ignores.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    from tickerlake_spark.storage.maintenance import table_file_stats
+
+    wm = F.lit(watermark).cast("date")
+    ext = spark.read.parquet(path)
+    touched = sorted(
+        r[0] for r in ext.filter(F.col("date") > wm).select("tb").distinct().collect()
+    )
+    for b in touched:
+        part_dir = os.path.join(path, f"tb={b}")
+        _n, total = table_file_stats(part_dir)
+        n_out = max(1, math.ceil(total / (64 * 1024 * 1024)))
+        kept = (
+            spark.read.parquet(part_dir)
+            .filter(F.col("date") <= wm)
+            .coalesce(n_out)
+            .sortWithinPartitions("ticker", "date")
+        )
+        tmp = os.path.join(path, f"_repair_{uuid.uuid4().hex[:8]}")
+        kept.write.parquet(tmp)
+        old = os.path.join(path, f"_old_{uuid.uuid4().hex[:8]}")
+        os.rename(part_dir, old)
+        if table_exists(tmp):
+            os.rename(tmp, part_dir)
+        else:
+            # the bucket existed only because of the crashed append
+            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old)
+    return {"repaired_buckets": len(touched)}
 
 
 def read_closes_for(

@@ -260,10 +260,16 @@ def upsert_edges(
     """MERGE a batch of (a, b) pairs into the persisted edge table at
     ``path``, deduplicating against stored edges.
 
-    The table stores each undirected edge ONCE (directed as given);
-    ``read_edges`` symmetrizes lazily. Storing both directions would double
-    every byte the serving query scans and shuffles — measured ~2x on the
-    10x corpus — for information the union recovers for free.
+    The table stores each undirected edge ONCE, direction-CANONICALIZED to
+    ``src = least(a, b), dst = greatest(a, b)``; ``read_edges`` symmetrizes
+    lazily. Canonicalizing (rather than storing "directed as given") means
+    a caller feeding both orientations of the same undirected edge — which
+    a bipartite purchase graph never does, but a general graph source can —
+    merges to one stored row instead of silently double-storing. Storing
+    both directions would double every byte the serving query scans and
+    shuffles — measured ~2x on the 10x corpus — for information the union
+    recovers for free. (Edge tables written by pre-canonicalization builds
+    should be rebuilt once; a mixed table would keep reversed duplicates.)
 
     Layout: Hive-partitioned on ``sb = pmod(xxhash64(src), n_buckets)``, so
     the keyed upsert (keys = [sb, src, dst]) rewrites only the buckets the
@@ -272,8 +278,9 @@ def upsert_edges(
     """
     from tickerlake_spark.storage import upsert_table
 
+    lo, hi = F.least(F.col(a), F.col(b)), F.greatest(F.col(a), F.col(b))
     edges = (
-        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        pairs.select(lo.alias("src"), hi.alias("dst"))
         .distinct()
         .withColumn("sb", F.pmod(F.xxhash64("src"), F.lit(n_buckets)).cast("int"))
     )

@@ -391,6 +391,7 @@ def run_gold(
     from tickerlake_spark.operators.closes import (
         append_closes_extract,
         read_closes_for,
+        repair_closes_extract,
         write_closes_extract,
     )
     from tickerlake_spark.operators.vwap import vwap_full, vwap_incremental
@@ -435,26 +436,35 @@ def run_gold(
             incremental = False
 
     if incremental:
+        # Crash-safety contract (ADVICE r7 medium): the vwap_signals append
+        # is the run's COMMIT POINT — it advances the watermark that defines
+        # the next run's delta, so it must come after every write that the
+        # delta's retry would need to redo. Ordering:
+        #   1. closes-extract append, protected by a write-ahead intent in
+        #      the checkpoint store (the one non-idempotent pre-commit
+        #      write: a crashed run's partial rows are swept by
+        #      repair_closes_extract on the retry);
+        #   2. the keyed HVC / stair-step / best-pattern writes — all
+        #      idempotent re-derivations of the same delta;
+        #   3. the signals append (commit);
+        #   4. the vwap_state upsert — last, because its directory swap
+        #      would invalidate the already-planned signals lineage that
+        #      reads the state table, and because a crash between 3 and 4
+        #      leaves state_wm != watermark, which the incremental gate
+        #      already detects and migrates via one full rebuild. No crash
+        #      window leaves silently-missing extract/HVC history.
         wm = dt.date.fromisoformat(watermark)
         delta = daily.filter(F.col("date") > F.lit(wm))  # partition-pruned
-        new_signals, new_state = vwap_incremental(
-            delta, state, calculated_at=calculated_at
-        )
-        write_table(
-            schemas.conform(new_signals, schemas.VWAP_SIGNALS).repartition("date"),
-            catalog.gold("vwap_signals"),
-            mode="append",
-            partition_by="date",
-        )
-        upsert_table(
-            spark,
-            catalog.gold("vwap_state"),
-            new_state,
-            keys=["ticker", "year", "quarter"],
-            validate_unique=False,  # unique per groupBy construction
-            stage_updates=False,  # delta-window lineage, cheap to re-run
-            with_count=False,
-        )
+        silver_wm = get_max_date(spark, catalog.silver("daily_aggregates"))
+        intent = checkpoints.get("gold_closes_intent")
+        if intent is not None and str(intent) > watermark:
+            # a previous run died between its extract append and its
+            # signals append: sweep the orphaned too-new rows before
+            # re-appending them
+            repair_closes_extract(
+                spark, catalog.gold("closes_by_ticker"), watermark
+            )
+        checkpoints.set("gold_closes_intent", silver_wm)
         append_closes_extract(
             spark, delta.select("ticker", "date", "close"),
             catalog.gold("closes_by_ticker"),
@@ -620,11 +630,39 @@ def run_gold(
             write_table(
                 schemas.conform(best, schemas.STAIRSTEP_PATTERNS), catalog.gold(out)
             )
+    if incremental:
+        # commit point (see ordering comment above): everything before this
+        # append is retry-idempotent against the same delta
+        new_signals, new_state = vwap_incremental(
+            delta, state, calculated_at=calculated_at
+        )
+        write_table(
+            schemas.conform(new_signals, schemas.VWAP_SIGNALS).repartition("date"),
+            catalog.gold("vwap_signals"),
+            mode="append",
+            partition_by="date",
+        )
+        upsert_table(
+            spark,
+            catalog.gold("vwap_state"),
+            new_state,
+            keys=["ticker", "year", "quarter"],
+            validate_unique=False,  # unique per groupBy construction
+            stage_updates=False,  # delta-window lineage, cheap to re-run
+            with_count=False,
+        )
     if checkpoints is not None and not incremental:
-        # full gold build: record which silver history generation it saw
+        # full gold build: record which silver history generation it saw,
+        # and re-base the closes-extract intent (the rebuilt extract is
+        # consistent with silver by construction; a stale intent from a
+        # pre-rebuild crash must not trigger a spurious repair later)
         checkpoints.set(
             "gold_silver_generation",
             int(checkpoints.get("silver_generation") or 0),
+        )
+        checkpoints.set(
+            "gold_closes_intent",
+            get_max_date(spark, catalog.silver("daily_aggregates")),
         )
     summary = {"mode": "incremental" if incremental else "full"}
     if with_counts:

@@ -128,9 +128,20 @@ def detect_partition_column(path: str) -> str | None:
     cols = {
         d.split("=", 1)[0]
         for d in os.listdir(path)
-        if "=" in d and os.path.isdir(os.path.join(path, d))
+        if "=" in d
+        and not d.startswith(("_", "."))  # staging/marker dirs Spark ignores
+        and os.path.isdir(os.path.join(path, d))
     }
-    return sorted(cols)[0] if cols else None
+    if len(cols) > 1:
+        # more than one '<col>=' prefix at the root is not a layout this
+        # storage layer ever writes — returning an arbitrary winner would
+        # make _reconcile_layout/should_full_rewrite validate against the
+        # wrong column and corrupt the table on the next mutation
+        raise ValueError(
+            f"table {path!r} has conflicting root partition columns: "
+            f"{sorted(cols)}"
+        )
+    return next(iter(cols)) if cols else None
 
 
 def drop_table(path: str) -> None:

@@ -62,9 +62,15 @@ def compact_partition_dirs(
             df = df.coalesce(n_out).sortWithinPartitions(*sort_by)
         else:
             df = df.coalesce(n_out)
-        tmp = f"{part_dir}__compact_{uuid.uuid4().hex[:8]}"
+        # staging/old dirs are '_'-prefixed SIBLINGS inside the table root:
+        # Spark's file index ignores '_'- and '.'-prefixed paths, so a crash
+        # between write and the renames can never leave a directory that
+        # partition discovery parses as a partition value (a leftover
+        # 'tb=3__compact_x' name would read as tb='3__compact_x' and either
+        # duplicate rows or break partition-type inference)
+        tmp = os.path.join(path, f"_compact_{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(tmp)
-        old = f"{part_dir}__old_{uuid.uuid4().hex[:8]}"
+        old = os.path.join(path, f"_old_{uuid.uuid4().hex[:8]}")
         os.rename(part_dir, old)
         os.rename(tmp, part_dir)
         shutil.rmtree(old)
