@@ -1127,3 +1127,86 @@ def test_streaming_bloom_rollup_matches_batch_and_replay_safe(
         ~bloom_might_contain(F.col("user_id"), got, m_bits=m, k=k)
     ).count()
     assert misses == 0
+
+
+def test_streaming_extract_append_replay_converges(spark, tmp_path):
+    """ADVICE r7 low: with replay tracking (batch_id + checkpoints), the
+    streaming closes-extract maintenance APPENDS forward batches (O(delta))
+    instead of rewriting every touched hash bucket, bootstraps safely via
+    the replace path, and a replayed batch id converges without duplicate
+    extract rows."""
+    import datetime as dt
+
+    from tickerlake_spark import schemas
+    from tickerlake_spark.pipeline import run_gold, run_silver
+    from tickerlake_spark.sources.calendar import trading_days
+    from tickerlake_spark.storage import Catalog, Checkpoints, read_table, write_table
+    from tickerlake_spark.streaming.medallion import (
+        gold_maintenance_batch,
+        silver_maintenance_batch,
+    )
+
+    days = trading_days(dt.date(2024, 1, 2), dt.date(2024, 2, 16))
+    schema = (
+        "ticker string, volume long, open float, close float, high float, "
+        "low float, date date, transactions long"
+    )
+
+    def bars(day_slice):
+        rows = []
+        for t in ("AAA", "BBB"):
+            for i, d in enumerate(day_slice):
+                c = 100.0 + i
+                rows.append((t, 1000 + i, c - 1, c, c + 1, c - 2, d, 5))
+        return spark.createDataFrame(rows, schema)
+
+    cat = Catalog(root=str(tmp_path / "data"))
+    cp = Checkpoints(path=str(tmp_path / "cp.json"))
+    stamp = dt.datetime(2024, 4, 1, 12, 0, 0)
+    write_table(
+        schemas.conform(bars(days[:-2]), schemas.STOCKS).repartition("date"),
+        cat.bronze("stocks"),
+        partition_by="date",
+    )
+    run_silver(spark, cat, cp)
+    run_gold(spark, cat, calculated_at=stamp, checkpoints=cp)
+
+    def one_batch(day, batch_id):
+        b = schemas.conform(bars([day]), schemas.STOCKS)
+        silver_maintenance_batch(spark, cat, b)
+        gold_maintenance_batch(
+            spark, cat, b, calculated_at=stamp, batch_id=batch_id, checkpoints=cp
+        )
+
+    one_batch(days[-2], 0)  # bootstrap: no recorded wm -> replace path
+    assert cp.get("gold_closes_stream_wm") == days[-2].isoformat()
+    extract = cat.gold("closes_by_ticker")
+    files_before = {
+        (r, f)
+        for r, _d, fs in __import__("os").walk(extract)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    one_batch(days[-1], 1)  # forward batch -> append path
+    # append: every pre-existing extract file is still there untouched
+    files_after = {
+        (r, f)
+        for r, _d, fs in __import__("os").walk(extract)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert files_before <= files_after, "append path rewrote old buckets"
+    one_batch(days[-1], 1)  # replay of the same batch id -> replace path
+    ext = read_table(spark, extract)
+    assert ext.count() == ext.select("ticker", "date").distinct().count()
+    # content mirrors silver closes exactly
+    want = sorted(
+        map(
+            tuple,
+            read_table(spark, cat.silver("daily_aggregates"))
+            .select("ticker", "date")
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, ext.select("ticker", "date").collect()))
+    assert got == want

@@ -82,9 +82,11 @@ def silver_maintenance_batch(
     )
     from tickerlake_spark.pipeline import _bucket_start
 
-    for period, agg_table, ind_table in (
-        ("week", "weekly_aggregates", "weekly_indicators"),
-        ("month", "monthly_aggregates", "monthly_indicators"),
+    for period, agg_table, ind_table, horizon in (
+        # same horizon convention as the batch append (pipeline.run_silver):
+        # 2x CONTEXT_ROWS buckets in calendar days
+        ("week", "weekly_aggregates", "weekly_indicators", 2_800),
+        ("month", "monthly_aggregates", "monthly_indicators", 12_200),
     ):
         delta = schemas.conform(
             affected_resample(full_daily, period, since), schemas.AGGREGATES
@@ -100,6 +102,7 @@ def silver_maintenance_batch(
         ind_delta = incremental_indicators(
             read_table(spark, catalog.silver(agg_table)),
             _bucket_start(period, since),
+            horizon_days=horizon,
         )
         upsert_table(
             spark,
@@ -118,6 +121,8 @@ def gold_maintenance_batch(
     hvc_threshold: float = 3.0,
     min_steps: int = 3,
     calculated_at=None,
+    batch_id: int | None = None,
+    checkpoints=None,
 ) -> None:
     """Advance every gold table for one micro-batch (VERDICT r3 item 6).
 
@@ -202,23 +207,78 @@ def gold_maintenance_batch(
     else:
         write_table(vwap_state(daily), state_path)
     closes_path = catalog.gold("closes_by_ticker")
-    if table_exists(closes_path):
-        # the extract mirrors SILVER (split-adjusted) closes, so the delta
-        # comes from the just-maintained silver rows, not the raw batch
+    # the extract mirrors SILVER (split-adjusted) closes, so the delta
+    # comes from the just-maintained silver rows, not the raw batch
+    ext_delta = aff_daily.filter(F.col("date") >= F.lit(since)).select(
+        "ticker", "date", "close"
+    )
+    if not table_exists(closes_path):
+        write_closes_extract(daily, closes_path)
+    elif batch_id is not None and checkpoints is not None:
+        # O(delta) maintenance (ADVICE r7 low): a keyed upsert on the
+        # tb-partitioned extract rewrites every touched hash bucket's
+        # ENTIRE history — a broad micro-batch (one trading day across the
+        # universe) hashes into all 64 buckets, making every batch O(table).
+        # Instead: APPEND the batch's extract rows (cost = delta + the
+        # bounded compaction), and make replays safe with a write-ahead
+        # batch-id marker — a batch id at or below the recorded one means a
+        # crashed attempt may have already appended partial rows, so that
+        # (rare) path scope-replaces the batch's exact (tb, ticker, date)
+        # keys instead of appending. Note: re-pointing a FRESH stream
+        # (new checkpointLocation, batch ids restart at 0) at an existing
+        # lake keeps correctness but takes the replace path until the new
+        # ids pass the recorded one — clear the marker key when migrating.
+        from tickerlake_spark.operators.closes import append_closes_extract
+        from tickerlake_spark.storage import get_max_date, replace_keys
+
+        recorded = checkpoints.get("gold_closes_stream_batch")
+        recorded_wm = checkpoints.get("gold_closes_stream_wm")
+        replayed = recorded is not None and int(recorded) >= int(batch_id)
+        # append is only duplicate-free when every batch date is strictly
+        # NEW to the extract: a batch revising an already-extracted date
+        # (late/corrected rows — since <= the recorded extract watermark)
+        # must replace, not append. recorded_wm is None on the first
+        # tracked batch (or a lake bootstrapped by the batch pipeline):
+        # bootstrap conservatively via the replace path, then the marker
+        # makes subsequent forward batches O(delta) appends.
+        forward = recorded_wm is not None and str(since) > str(recorded_wm)
+        if replayed or not forward:
+            keyed = with_ticker_bucket(ext_delta)
+            replace_keys(
+                spark,
+                closes_path,
+                keyed.select("tb", "ticker", "date"),
+                keyed,
+                keys=["tb", "ticker", "date"],
+                partition_by="tb",
+                with_count=False,
+            )
+            checkpoints.set("gold_closes_stream_batch", int(batch_id))
+            checkpoints.set(
+                "gold_closes_stream_wm",
+                get_max_date(spark, catalog.silver("daily_aggregates")),
+            )
+        else:
+            # write-ahead markers: a crash after the markers but before (or
+            # during) the append replays this batch_id, which routes the
+            # retry through the scope-replace above and converges
+            checkpoints.set("gold_closes_stream_batch", int(batch_id))
+            checkpoints.set(
+                "gold_closes_stream_wm",
+                get_max_date(spark, catalog.silver("daily_aggregates")),
+            )
+            append_closes_extract(spark, ext_delta, closes_path)
+    else:
+        # no replay tracking available: the keyed MERGE — idempotent but
+        # O(touched bucket history) per batch
         upsert_table(
             spark,
             closes_path,
-            with_ticker_bucket(
-                aff_daily.filter(F.col("date") >= F.lit(since)).select(
-                    "ticker", "date", "close"
-                )
-            ),
+            with_ticker_bucket(ext_delta),
             keys=["tb", "ticker", "date"],
             partition_by="tb",
             validate_unique=False,
         )
-    else:
-        write_closes_extract(daily, closes_path)
 
     ind_slice = read_table(spark, catalog.silver("daily_indicators")).filter(
         F.col("date") >= F.lit(since)
@@ -371,6 +431,8 @@ def stream_bronze_to_silver(
                 hvc_threshold=hvc_threshold,
                 min_steps=min_steps,
                 calculated_at=calculated_at,
+                batch_id=batch_id,
+                checkpoints=checkpoints,
             )
 
     writer = (
