@@ -15,14 +15,18 @@ def test_e2e_bench_tool_runs_and_reports(tmp_path):
     out = run(n_tickers=25, years=1, data_dir=str(tmp_path / "e2e"))
 
     n_days = out["bars"] // 25
-    assert n_days > 240  # a year of NYSE sessions minus the appended day
-    # full rewrite covered initial days; the append added exactly one more,
-    # and the incremental gold run caught vwap_signals up to it
-    assert out["silver_daily_rows"] == out["bars"] + 25
-    assert out["gold_vwap_rows"] == out["bars"] + 25
+    assert n_days > 240  # a year of NYSE sessions minus the two appended days
+    # full rewrite covered initial days; the two appends added exactly one
+    # day each (migration + steady state), and the incremental gold runs
+    # caught vwap_signals up to them
+    assert out["silver_daily_rows"] == out["bars"] + 2 * 25
+    assert out["gold_vwap_rows"] == out["bars"] + 2 * 25
     assert out["gold_hvc_rows"] > 0  # volume spikes must trigger HVC events
     assert out["silver_append_sec"] > 0  # append path engaged (asserted inside)
     assert out["gold_incremental_sec"] > 0  # incremental gold engaged
+    assert out["silver_append_migrate_sec"] > 0  # the tail-install append
+    # the steady-state append took the tail path: no horizon scan stage
+    assert out["stages"]["silver_append"]["indicator_tails"] >= 0
     assert set(out["baseline"]) == {
         "silver_sec", "gold_sec", "silver_append_sec", "gold_incremental_sec"
     }

@@ -94,3 +94,85 @@ def test_affected_resample_matches_full_buckets(spark, bars):
         assert _collect(delta) == _collect(full)
         # and nothing earlier leaks into the delta
         assert delta.filter(F.col("date") < bucket).count() == 0
+
+
+def test_indicators_from_tail_equals_full_recompute(spark, bars):
+    """The tail-state path (VERDICT r7 item 5): indicators computed from
+    (stored 205-row tail + delta) must byte-equal the full recompute — the
+    same contract as the horizon path, with O(tickers x 205) input."""
+    from tickerlake_spark.operators.indicator_state import (
+        build_tail,
+        indicators_from_tail,
+    )
+
+    df, days = bars
+    since = days[250]
+    # the tail as a prior run would have stored it: last rows BEFORE since
+    tail = build_tail(df.filter(F.col("date") < F.lit(since)))
+    delta = df.filter(F.col("date") >= F.lit(since))
+    full = compute_indicators(df).filter(F.col("date") >= F.lit(since))
+    got = indicators_from_tail(tail, delta, since)
+    assert _collect(got) == _collect(full)
+    assert got.filter(F.col("sma_200").isNotNull()).count() > 0
+    # IPO ticker (absent from the tail entirely) matches too
+    assert got.filter(F.col("ticker") == "IPO").count() == len(days) - 255
+
+
+def test_indicators_from_tail_open_bucket_replacement(spark, bars):
+    """Weekly-grain shape: the cutoff sits INSIDE the last stored bucket, so
+    the tail contains one row (the open bucket) that the delta replaces —
+    the filter must drop it and the result must still byte-equal full."""
+    from tickerlake_spark.operators.indicator_state import (
+        build_tail,
+        indicators_from_tail,
+    )
+
+    df, days = bars
+    weekly = resample_ohlcv(df, "week")
+    watermark = days[-2]
+    bs = (watermark - dt.timedelta(days=watermark.weekday()))
+    # tail built from the PRE-append weekly table (history through watermark,
+    # including the then-open bucket row at bs with stale values)
+    pre = resample_ohlcv(df.filter(F.col("date") <= F.lit(watermark)), "week")
+    tail = build_tail(pre)
+    assert tail.filter(F.col("date") >= F.lit(bs)).count() >= 1
+    # the post-append recomputed buckets >= bs
+    delta = weekly.filter(F.col("date") >= F.lit(bs))
+    full = compute_indicators(weekly).filter(F.col("date") >= F.lit(bs))
+    got = indicators_from_tail(tail, delta, bs)
+    assert _collect(got) == _collect(full)
+
+
+def test_advance_tail_chains_equal_fresh_build(spark, bars):
+    """Folding two successive deltas through advance_tail must equal a
+    fresh build over the final table — the no-drift invariant."""
+    from tickerlake_spark.operators.indicator_state import (
+        advance_tail,
+        build_tail,
+    )
+
+    df, days = bars
+    c1, c2 = days[250], days[255]
+    t0 = build_tail(df.filter(F.col("date") < F.lit(c1)))
+    t1 = advance_tail(
+        t0, df.filter((F.col("date") >= F.lit(c1)) & (F.col("date") < F.lit(c2)))
+    )
+    t2 = advance_tail(t1, df.filter(F.col("date") >= F.lit(c2)))
+    fresh = build_tail(df)
+    assert _collect(t2) == _collect(fresh)
+
+
+def test_advance_tail_replaces_open_bucket_row(spark, bars):
+    from tickerlake_spark.operators.indicator_state import (
+        advance_tail,
+        build_tail,
+    )
+
+    df, days = bars
+    weekly = resample_ohlcv(df, "week")
+    watermark = days[-2]
+    bs = watermark - dt.timedelta(days=watermark.weekday())
+    pre = resample_ohlcv(df.filter(F.col("date") <= F.lit(watermark)), "week")
+    t0 = build_tail(pre)
+    t1 = advance_tail(t0, weekly.filter(F.col("date") >= F.lit(bs)))
+    assert _collect(t1) == _collect(build_tail(weekly))

@@ -616,3 +616,199 @@ def test_gold_never_incremental_after_unconsumed_full_rewrite(spark, env):
     assert run_silver(spark, cat, cp)["mode"] == "append"
     g = run_gold(spark, cat, hvc_threshold=0.5, min_steps=2, checkpoints=cp)
     assert g["mode"] == "incremental"
+
+
+def test_gold_incremental_crash_retry_converges(spark, tmp_path):
+    """ADVICE r7 medium: a gold incremental run that appended its closes
+    delta (and some idempotent HVC writes) but died BEFORE the committing
+    vwap_signals append must, on retry, converge to the clean-run tables —
+    no duplicated extract rows, no silently-missing HVC/extract history."""
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.operators.closes import append_closes_extract
+    from tickerlake_spark.storage import get_max_date, upsert_table
+    from tickerlake_spark import schemas as _schemas
+    from tickerlake_spark.operators.hvc import hvc_events
+
+    days = trading_days(D(2024, 1, 2), D(2024, 2, 20))
+    n = len(days)
+    spikes = {25, 26, 27, n - 2, n - 1}
+    bars = {}
+    for i, d in enumerate(days):
+        if i in spikes:
+            rows = _bars_for(d, price=150.0 + 2.0 * i)
+            for r in rows:
+                r["volume"] *= 12
+        else:
+            rows = _bars_for(d, price=100.0 + 3 * (i % 7) - 0.5 * (i % 3))
+        bars[d] = rows
+
+    def src(dates):
+        s = _source(dates)
+        s._bars = {d: bars[d] for d in dates}
+        return s
+
+    def collect(cat, table):
+        df = read_table(spark, cat.path("gold", table))
+        rounded = df.select(
+            *[
+                F.round(c, 9).alias(c) if t == "double" else F.col(c)
+                for c, t in sorted(df.dtypes)
+            ]
+        )
+        return sorted(
+            map(tuple, rounded.collect()),
+            key=lambda row: tuple(
+                (v is not None, v if v is not None else 0) for v in row
+            ),
+        )
+
+    stamp = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    # lake A: full build, silver append, then a SIMULATED CRASHED gold run
+    cat_a = Catalog(root=str(tmp_path / "a"))
+    cp_a = Checkpoints(str(tmp_path / "cp_a.json"))
+    run_bronze(spark, src(days[:-2]), cat_a, cp_a, days[0], days[-3])
+    run_silver(spark, cat_a, cp_a)
+    assert run_gold(spark, cat_a, calculated_at=stamp, checkpoints=cp_a)["mode"] == "full"
+    run_bronze(spark, src(days), cat_a, cp_a, days[0], days[-1])
+    assert run_silver(spark, cat_a, cp_a)["mode"] == "append"
+
+    # replicate run_gold's pre-commit phase by hand, then "crash": intent
+    # set, extract delta appended, one idempotent HVC upsert done, NO
+    # signals append, NO state upsert
+    watermark = get_max_date(spark, cat_a.gold("vwap_signals"))
+    wm = D.fromisoformat(watermark)
+    daily = read_table(spark, cat_a.silver("daily_aggregates"))
+    delta = daily.filter(F.col("date") > F.lit(wm))
+    cp_a.set(
+        "gold_closes_intent",
+        get_max_date(spark, cat_a.silver("daily_aggregates")),
+    )
+    append_closes_extract(
+        spark, delta.select("ticker", "date", "close"),
+        cat_a.gold("closes_by_ticker"),
+    )
+    new_events = hvc_events(
+        read_table(spark, cat_a.silver("daily_indicators")).filter(
+            F.col("date") > F.lit(wm)
+        ),
+        delta,
+    )
+    upsert_table(
+        spark,
+        cat_a.gold("hvc_daily"),
+        _schemas.conform(new_events, _schemas.HVC_EVENTS),
+        keys=["ticker", "date"],
+        partition_by="date",
+        validate_unique=False,
+    )
+
+    # the retry: must take the incremental path, sweep the orphaned extract
+    # rows, and redo the full delta
+    g = run_gold(spark, cat_a, calculated_at=stamp, checkpoints=cp_a)
+    assert g["mode"] == "incremental"
+
+    # lake B: the clean path over the same bronze data
+    cat_b = Catalog(root=str(tmp_path / "b"))
+    cp_b = Checkpoints(str(tmp_path / "cp_b.json"))
+    run_bronze(spark, src(days[:-2]), cat_b, cp_b, days[0], days[-3])
+    run_silver(spark, cat_b, cp_b)
+    run_gold(spark, cat_b, calculated_at=stamp, checkpoints=cp_b)
+    run_bronze(spark, src(days), cat_b, cp_b, days[0], days[-1])
+    run_silver(spark, cat_b, cp_b)
+    assert run_gold(spark, cat_b, calculated_at=stamp, checkpoints=cp_b)["mode"] == "incremental"
+
+    for table in (
+        "vwap_signals",
+        "vwap_state",
+        "closes_by_ticker",
+        "hvc_daily",
+        "hvc_weekly",
+        "hvc_monthly",
+        "stairstep_up",
+        "stairstep_down",
+        "best_patterns",
+        "best_patterns_down",
+    ):
+        assert collect(cat_a, table) == collect(cat_b, table), table
+
+
+def test_two_sequential_appends_use_tails_and_match_full(spark, tmp_path):
+    """VERDICT r7 item 5: the first append after a full rewrite installs the
+    indicator-tail state (fallback horizon path), the SECOND append must
+    take the O(state) tail path — and every silver table must still equal a
+    from-scratch rebuild byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    days = trading_days(D(2024, 1, 2), D(2024, 2, 20))
+    bars = {
+        d: _bars_for(d, price=100.0 + 3 * (i % 7) - 0.5 * (i % 3))
+        for i, d in enumerate(days)
+    }
+
+    def src(dates):
+        s = _source(dates)
+        s._bars = {d: bars[d] for d in dates}
+        return s
+
+    def collect(cat, table):
+        df = read_table(spark, cat.path("silver", table))
+        return sorted(
+            map(tuple, df.select(*sorted(df.columns)).collect()),
+            key=lambda row: tuple(
+                (v is not None, v if v is not None else 0) for v in row
+            ),
+        )
+
+    cat_a = Catalog(root=str(tmp_path / "a"))
+    cp_a = Checkpoints(str(tmp_path / "cp_a.json"))
+    run_bronze(spark, src(days[:-2]), cat_a, cp_a, days[0], days[-3])
+    assert run_silver(spark, cat_a, cp_a)["mode"] == "full"
+    assert cp_a.get("silver_tail_as_of") is None
+
+    run_bronze(spark, src(days[:-1]), cat_a, cp_a, days[0], days[-2])
+    assert run_silver(spark, cat_a, cp_a)["mode"] == "append"
+    # first append installed the tails at the new watermark
+    assert cp_a.get("silver_tail_as_of") == days[-2].isoformat()
+    for g in ("daily", "week", "month"):
+        assert table_exists(cat_a.silver(f"indicator_tail_{g}")), g
+
+    run_bronze(spark, src(days), cat_a, cp_a, days[0], days[-1])
+    assert run_silver(spark, cat_a, cp_a)["mode"] == "append"  # tail path
+    assert cp_a.get("silver_tail_as_of") == days[-1].isoformat()
+
+    cat_b = Catalog(root=str(tmp_path / "b"))
+    cp_b = Checkpoints(str(tmp_path / "cp_b.json"))
+    run_bronze(spark, src(days), cat_b, cp_b, days[0], days[-1])
+    assert run_silver(spark, cat_b, cp_b)["mode"] == "full"
+
+    for table in (
+        "daily_aggregates",
+        "weekly_aggregates",
+        "monthly_aggregates",
+        "daily_indicators",
+        "weekly_indicators",
+        "monthly_indicators",
+    ):
+        assert collect(cat_a, table) == collect(cat_b, table), table
+    # and the tail state itself matches a fresh build over the final lake
+    from tickerlake_spark.operators.indicator_state import build_tail
+
+    for grain, agg in (
+        ("daily", "daily_aggregates"),
+        ("week", "weekly_aggregates"),
+        ("month", "monthly_aggregates"),
+    ):
+        got = collect(cat_a, f"indicator_tail_{grain}")
+        want_df = build_tail(read_table(spark, cat_b.silver(agg)))
+        want = sorted(
+            map(
+                tuple,
+                want_df.select(*sorted(want_df.columns)).collect(),
+            ),
+            key=lambda row: tuple(
+                (v is not None, v if v is not None else 0) for v in row
+            ),
+        )
+        assert got == want, grain

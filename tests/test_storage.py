@@ -926,3 +926,27 @@ def test_compact_partition_dirs_staging_names_invisible_to_spark(spark, tmp_path
         os.path.join(path, "_compact_deadbeef")
     )
     assert spark.read.parquet(path).count() == 50
+
+
+def test_parquet_stats_max_matches_aggregate(spark, tmp_path):
+    """Footer-statistics watermark probe: equals the Spark aggregate on
+    date and long columns, and returns None for a missing column."""
+    import datetime as _dt
+
+    from tickerlake_spark.storage import parquet_stats_max
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            ("A", _dt.date(2024, 1, 2), 5),
+            ("B", _dt.date(2024, 3, 1), 9),
+            ("C", _dt.date(2023, 12, 29), 1),
+        ],
+        "ticker string, last_date date, n long",
+    )
+    df.repartition(2).write.parquet(path)
+    got = parquet_stats_max(path, "last_date")
+    assert got == _dt.date(2024, 3, 1)
+    assert parquet_stats_max(path, "n") == 9
+    assert parquet_stats_max(path, "nope") is None
+    assert parquet_stats_max(str(tmp_path / "missing"), "x") is None

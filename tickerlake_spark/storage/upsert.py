@@ -201,11 +201,14 @@ def _upsert_partitioned(
     tmp = f"{path.rstrip('/')}__upsert_{uuid.uuid4().hex[:8]}"
     merged.write.parquet(tmp)
     staged = spark.read.parquet(tmp)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
+        # writer-level option, NOT session conf: takes precedence over the
+        # session setting and keeps concurrent merges (the pipelines run
+        # independent table maintenance from worker threads) from racing a
+        # shared conf save/restore
         (
             staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_by)
             .parquet(path)
         )
@@ -226,7 +229,6 @@ def _upsert_partitioned(
             if os.path.isdir(part_dir):
                 shutil.rmtree(part_dir)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         shutil.rmtree(tmp, ignore_errors=True)
     return {
         "inserted_or_updated": n_updates,
@@ -330,10 +332,15 @@ def _replace_keys_partitioned(
     merged.write.parquet(tmp)
     staged = spark.read.parquet(tmp)
     n_inserted = updates.count() if with_count else None
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        staged.write.mode("overwrite").partitionBy(partition_by).parquet(path)
+        # writer-level option (see _upsert_partitioned): thread-safe under
+        # concurrent maintenance, no session-conf save/restore race
+        (
+            staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_by)
+            .parquet(path)
+        )
         written = {
             str(r[0]) for r in staged.select(partition_by).distinct().collect()
         }
@@ -342,7 +349,6 @@ def _replace_keys_partitioned(
             if os.path.isdir(part_dir):
                 shutil.rmtree(part_dir)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         shutil.rmtree(tmp, ignore_errors=True)
     return {
         "inserted": n_inserted,

@@ -142,11 +142,11 @@ def run(n_tickers: int = 10_000, years: int = 5, data_dir: str | None = None) ->
         days = trading_days(dt.date(end.year - years + 1, 1, 1), end)
 
         t0 = time.perf_counter()
-        n_bars = generate_bronze(spark, catalog, n_tickers, days[:-1])
+        n_bars = generate_bronze(spark, catalog, n_tickers, days[:-2])
         t_bronze = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        run_silver(spark, catalog, checkpoints)
+        silver_summary = run_silver(spark, catalog, checkpoints)
         t_silver = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -155,27 +155,37 @@ def run(n_tickers: int = 10_000, years: int = 5, data_dir: str | None = None) ->
         )
         t_gold = time.perf_counter() - t0
 
-        # incremental path: one new trading day lands in bronze, no new
-        # splits -> silver appends bars newer than the watermark only
-        # (baseline: 2-5 min, silver/main.py:242), then gold maintains its
-        # tables incrementally (baseline rebuilds gold fully every run)
-        write_table(
-            _make_bars(spark, n_tickers, days[-1:]),
-            catalog.bronze("stocks"),
-            mode="append",
-            partition_by="date",
-        )
-        t0 = time.perf_counter()
-        append_summary = run_silver(spark, catalog, checkpoints)
-        t_silver_append = time.perf_counter() - t0
-        assert append_summary["mode"] == "append", append_summary
+        # incremental path, TWO single-day appends: the first one after a
+        # full rewrite is the MIGRATION append (it still scans the horizon
+        # for window context and installs the indicator-tail state tables);
+        # the second is the steady state every subsequent day runs in
+        # (context from O(tickers x 205) state, no history scan). Reported
+        # separately — the steady-state number is the daily operating cost
+        # (baseline: 2-5 min every day, silver/main.py:242), the migration
+        # number is paid once per full rewrite.
+        def one_append(day_slice):
+            write_table(
+                _make_bars(spark, n_tickers, day_slice),
+                catalog.bronze("stocks"),
+                mode="append",
+                partition_by="date",
+            )
+            t0 = time.perf_counter()
+            s = run_silver(spark, catalog, checkpoints)
+            t_s = time.perf_counter() - t0
+            assert s["mode"] == "append", s
+            t0 = time.perf_counter()
+            g = run_gold(spark, catalog, checkpoints=checkpoints, with_counts=False)
+            t_g = time.perf_counter() - t0
+            assert g["mode"] == "incremental", g
+            return s, t_s, g, t_g
 
-        t0 = time.perf_counter()
-        gold_incr = run_gold(
-            spark, catalog, checkpoints=checkpoints, with_counts=False
+        migrate_summary, t_silver_migrate, gold_incr1, t_gold_incr1 = one_append(
+            days[-2:-1]
         )
-        t_gold_incr = time.perf_counter() - t0
-        assert gold_incr["mode"] == "incremental", gold_incr
+        append_summary, t_silver_append, gold_incr, t_gold_incr = one_append(
+            days[-1:]
+        )
 
         daily_rows = read_table(spark, catalog.silver("daily_aggregates")).count()
         # observability counts OUTSIDE the timed maintenance sections: they
@@ -192,10 +202,24 @@ def run(n_tickers: int = 10_000, years: int = 5, data_dir: str | None = None) ->
             "gold_sec": round(t_gold, 2),
             "silver_append_sec": round(t_silver_append, 2),
             "gold_incremental_sec": round(t_gold_incr, 2),
+            # one-time costs of the append AFTER a full rewrite (horizon
+            # scan + indicator-tail install); later appends run at the
+            # steady-state numbers above
+            "silver_append_migrate_sec": round(t_silver_migrate, 2),
+            "gold_incremental_first_sec": round(t_gold_incr1, 2),
             "value": round(t_silver + t_gold, 2),
             "silver_daily_rows": daily_rows,
             "gold_vwap_rows": vwap_rows,
             "gold_hvc_rows": hvc_rows,
+            # per-stage wall clock from inside the jobs (VERDICT r7 item 4:
+            # makes cross-box variance attributable to a table, not a guess)
+            "stages": {
+                "silver": silver_summary.get("timings"),
+                "gold": gold_summary.get("timings"),
+                "silver_append": append_summary.get("timings"),
+                "gold_incremental": gold_incr.get("timings"),
+                "silver_append_migrate": migrate_summary.get("timings"),
+            },
             "baseline": {
                 "silver_sec": [900, 1800],
                 "gold_sec": [120, 300],
