@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hvc_events", "stairstep_patterns", "best_patterns"]
+__all__ = ["hvc_events", "stairstep_seq", "stairstep_patterns", "best_patterns"]
 
 
 def hvc_events(indicators: DataFrame, daily: DataFrame, threshold: float = 3.0) -> DataFrame:
@@ -43,11 +43,21 @@ def hvc_events(indicators: DataFrame, daily: DataFrame, threshold: float = 3.0) 
     )
 
 
+def stairstep_seq(hvc: DataFrame, closes: DataFrame) -> DataFrame:
+    """The (ticker, date, close) event sequence both stair-step directions
+    window: events joined to their closes. Exposed so a caller computing
+    BOTH directions can persist this once — the join shuffles the (large)
+    closes side, and paying it per direction doubled the dominant cost of
+    the full-rebuild stair-step stage at 10x."""
+    return hvc.select("ticker", "date").join(closes, ["ticker", "date"])
+
+
 def stairstep_patterns(
     hvc: DataFrame,
     closes: DataFrame,
     min_steps: int = 3,
     direction: str = "up",
+    seq: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal runs of consecutive HVC events with strictly rising
     (direction='up') or falling ('down') closes, per ticker.
@@ -55,10 +65,14 @@ def stairstep_patterns(
     ``hvc``: (ticker, date) event rows; ``closes``: (ticker, date, close).
     Consecutive means adjacent in the ticker's HVC event sequence
     (reference: metadata.json:189-334 up / :457-576 down).
+    ``seq``: optionally the precomputed (ideally persisted)
+    ``stairstep_seq(hvc, closes)`` — both direction calls then share one
+    events x closes join instead of shuffling the closes side twice.
     """
     if direction not in ("up", "down"):
         raise ValueError(f"direction must be 'up' or 'down', got {direction!r}")
-    seq = hvc.select("ticker", "date").join(closes, ["ticker", "date"])
+    if seq is None:
+        seq = stairstep_seq(hvc, closes)
     w = Window.partitionBy("ticker").orderBy("date")
     prev_close = F.lag("close").over(w)
     keeps = (

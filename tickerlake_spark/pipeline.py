@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 
 from tickerlake_spark import schemas
 from tickerlake_spark.functions.core import epoch_ms_to_date
-from tickerlake_spark.operators.hvc import best_patterns, hvc_events, stairstep_patterns
+from tickerlake_spark.operators.hvc import (
+    best_patterns,
+    hvc_events,
+    stairstep_patterns,
+    stairstep_seq,
+)
 from tickerlake_spark.operators.incremental_silver import (
     affected_resample,
     incremental_indicators,
@@ -709,14 +714,16 @@ def run_gold(
                 aff_closes = daily.select("ticker", "date", "close").join(
                     F.broadcast(affected), "ticker", "left_semi"
                 )
-            # both directions window the same two inputs — materialize them
-            # once (the extract read and the events semi-join are the
-            # expensive legs; the per-direction windows are trivial)
-            aff_events = aff_events.select("ticker", "date").persist()
-            aff_closes = aff_closes.persist()
+            # both directions window the same event sequence — materialize
+            # the events x closes join ONCE (the extract read and the
+            # events semi-join are the expensive legs; the per-direction
+            # windows are trivial)
+            aff_seq = stairstep_seq(
+                aff_events.select("ticker", "date"), aff_closes
+            ).persist()
             try:
                 # the two directions are independent reads/writes of
-                # DIFFERENT flat tables over the same persisted inputs —
+                # DIFFERENT flat tables over the same persisted input —
                 # run them concurrently so their (fixed-overhead-dominated)
                 # jobs overlap on idle cores. Safe: the unpartitioned
                 # replace path mutates no session conf.
@@ -725,7 +732,7 @@ def run_gold(
                 def _one_direction(direction: str, table: str) -> None:
                     pats = stairstep_patterns(
                         aff_events, aff_closes,
-                        min_steps=min_steps, direction=direction,
+                        min_steps=min_steps, direction=direction, seq=aff_seq,
                     )
                     replace_keys(
                         spark,
@@ -747,8 +754,7 @@ def run_gold(
                     for f in futs:
                         f.result()
             finally:
-                aff_events.unpersist()
-                aff_closes.unpersist()
+                aff_seq.unpersist()
         timer.mark("stairsteps")
     else:
         # gold fact tables are date-partitioned like silver: the watermark
@@ -819,18 +825,26 @@ def run_gold(
                     )
                     timer.mark(out)
                 closes = narrow.select("ticker", "date", "close")
-                for direction, table in (
-                    ("up", "stairstep_up"),
-                    ("down", "stairstep_down"),
-                ):
-                    pats = stairstep_patterns(
-                        events.select("ticker", "date"), closes,
-                        min_steps=min_steps, direction=direction,
-                    )
-                    write_table(
-                        schemas.conform(pats, schemas.STAIRSTEP_PATTERNS),
-                        catalog.gold(table),
-                    )
+                # one events x closes join (the closes side is the full
+                # 125M-row history at 10x) shared by both directions
+                seq = stairstep_seq(
+                    events.select("ticker", "date"), closes
+                ).persist()
+                try:
+                    for direction, table in (
+                        ("up", "stairstep_up"),
+                        ("down", "stairstep_down"),
+                    ):
+                        pats = stairstep_patterns(
+                            events.select("ticker", "date"), closes,
+                            min_steps=min_steps, direction=direction, seq=seq,
+                        )
+                        write_table(
+                            schemas.conform(pats, schemas.STAIRSTEP_PATTERNS),
+                            catalog.gold(table),
+                        )
+                finally:
+                    seq.unpersist()
             finally:
                 events.unpersist()
         finally:

@@ -326,20 +326,29 @@ def gold_maintenance_batch(
         aff_closes = daily.select("ticker", "date", "close").join(
             tickers, "ticker", "left_semi"
         )
-    for direction, table in (("up", "stairstep_up"), ("down", "stairstep_down")):
-        pats = stairstep_patterns(
-            aff_events.select("ticker", "date"),
-            aff_closes,
-            min_steps=min_steps,
-            direction=direction,
-        )
-        replace_keys(
-            spark,
-            catalog.gold(table),
-            tickers,
-            schemas.conform(pats, schemas.STAIRSTEP_PATTERNS),
-            keys=["ticker"],
-        )
+    from tickerlake_spark.operators.hvc import stairstep_seq
+
+    # one events x closes join shared by both directions (same sharing as
+    # pipeline.run_gold)
+    aff_seq = stairstep_seq(aff_events.select("ticker", "date"), aff_closes).persist()
+    try:
+        for direction, table in (("up", "stairstep_up"), ("down", "stairstep_down")):
+            pats = stairstep_patterns(
+                aff_events.select("ticker", "date"),
+                aff_closes,
+                min_steps=min_steps,
+                direction=direction,
+                seq=aff_seq,
+            )
+            replace_keys(
+                spark,
+                catalog.gold(table),
+                tickers,
+                schemas.conform(pats, schemas.STAIRSTEP_PATTERNS),
+                keys=["ticker"],
+            )
+    finally:
+        aff_seq.unpersist()
     for src, out in (
         ("stairstep_up", "best_patterns"),
         ("stairstep_down", "best_patterns_down"),

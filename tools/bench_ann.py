@@ -226,6 +226,19 @@ def run(spark=None, sf_dir: str | None = None) -> dict:
             lambda qv, s=shortlist: rerank(_adc_shortlist(enc, cb, qv, s), qv),
         )
 
+    # --- finer codebooks: k=64 codewords per subspace (VERDICT r7 item 7).
+    # ADC query cost is INDEPENDENT of k (same m element_at lookups; only
+    # the driver-side m x k table grows), so doubling codebook resolution
+    # buys shortlist quality at zero scan cost — the cheap way to push the
+    # rerank-100 point past 0.9 without OPQ's rotation machinery.
+    PQ_K_FINE = 64
+    (cb64, enc64), build64 = _timed(lambda: _build_pq(PQ_K_FINE, 3, M_SERVE))
+    score(
+        f"pq_adc_m{M_SERVE}_k{PQ_K_FINE}_rerank100",
+        build64,
+        lambda qv: rerank(_adc_shortlist(enc64, cb64, qv, 100), qv),
+    )
+
     # --- IVF-PQ residual (q130's serving shape) --------------------------
     def _build_ivfpq(k_coarse, pq_k, iters, m):
         gcent, _ = kmeans_fit(emb, k=k_coarse, iters=iters, vec_col="embedding")
@@ -274,6 +287,7 @@ def run(spark=None, sf_dir: str | None = None) -> dict:
     emb.unpersist()
     assigned.unpersist()
     enc.unpersist()
+    enc64.unpersist()
     renc.unpersist()
     out = {
         "metric": "ann_recall_latency",

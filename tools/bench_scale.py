@@ -156,6 +156,36 @@ def build_scaled_dir(spark, src: str, dst: str, factor: int) -> dict[str, int]:
     return counts
 
 
+def run_ann_only(factor: int = 10, keep_data: bool = False) -> dict:
+    """Regenerate ONLY the ``ann_at_scale`` section of SCALE_PROOF.json
+    (rebuilds the scaled corpus, runs tools/bench_ann over it, merges into
+    the existing proof) — for iterating on ANN configurations without
+    paying the full queries+e2e proof run."""
+    from tickerlake_spark.session import get_spark
+    from tools.bench_ann import run as ann_run
+
+    spark = get_spark(app_name="tickerlake-bench-scale-ann")
+    spark.sparkContext.setLogLevel("ERROR")
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    dst = os.path.join(tempfile.gettempdir(), f"tickerlake_sf{factor}x")
+    counts = build_scaled_dir(spark, src, dst, factor)
+    out_ann = ann_run(spark, dst)
+    if not keep_data:
+        shutil.rmtree(dst, ignore_errors=True)
+    spark.stop()
+    proof_path = os.path.join(REPO, "SCALE_PROOF.json")
+    with open(proof_path) as f:
+        proof = json.load(f)
+    proof["ann_at_scale"] = out_ann
+    proof["commit"] = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+        capture_output=True, text=True,
+    ).stdout.strip()
+    with open(proof_path, "w") as f:
+        json.dump(proof, f, indent=1)
+    return {"rows": counts, "ann_at_scale": out_ann}
+
+
 def run(factor: int = 10, tickers: int = 100_000, skip_e2e: bool = False,
         keep_data: bool = False) -> dict:
     from tickerlake_spark.plans import QUERIES
@@ -290,8 +320,12 @@ def main() -> None:
     ap.add_argument("--tickers", type=int, default=100_000)
     ap.add_argument("--skip-e2e", action="store_true")
     ap.add_argument("--keep-data", action="store_true")
+    ap.add_argument("--ann-only", action="store_true")
     a = ap.parse_args()
-    print(json.dumps(run(a.factor, a.tickers, a.skip_e2e, a.keep_data)))
+    if a.ann_only:
+        print(json.dumps(run_ann_only(a.factor, a.keep_data)))
+    else:
+        print(json.dumps(run(a.factor, a.tickers, a.skip_e2e, a.keep_data)))
 
 
 if __name__ == "__main__":
