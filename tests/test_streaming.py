@@ -1210,3 +1210,95 @@ def test_streaming_extract_append_replay_converges(spark, tmp_path):
     )
     got = sorted(map(tuple, ext.select("ticker", "date").collect()))
     assert got == want
+
+
+def test_streaming_silver_tail_state_matches_batch(spark, tmp_path):
+    """Streaming silver maintenance with the lake's checkpoint store uses
+    (and maintains) the same indicator-tail state as the batch append:
+    successive forward micro-batches converge to a from-scratch rebuild,
+    the as_of watermark tracks each batch, and the stored tails equal a
+    fresh build over the final aggregates."""
+    import datetime as dt
+
+    from tickerlake_spark.operators.indicator_state import build_tail
+    from tickerlake_spark.pipeline import run_silver
+    from tickerlake_spark import schemas
+    from tickerlake_spark.sources.calendar import trading_days
+    from tickerlake_spark.storage import Catalog, Checkpoints, read_table, write_table
+    from tickerlake_spark.streaming.medallion import silver_maintenance_batch
+
+    days = trading_days(dt.date(2024, 1, 2), dt.date(2024, 2, 16))
+    schema = (
+        "ticker string, volume long, open float, close float, high float, "
+        "low float, date date, transactions long"
+    )
+
+    def bars(day_slice):
+        rows = []
+        for t in ("AAA", "BBB"):
+            for d in day_slice:
+                i = days.index(d)  # values keyed to the GLOBAL day index
+                c = 100.0 + (i * 7 % 13) - 0.3 * (i % 5)
+                rows.append((t, 1000 + 17 * i, c - 1, c, c + 1, c - 2, d, 5))
+        return spark.createDataFrame(rows, schema)
+
+    # lake A: batch full build over most days, then two streaming batches
+    cat_a = Catalog(root=str(tmp_path / "a"))
+    cp_a = Checkpoints(path=str(tmp_path / "cp_a.json"))
+    write_table(
+        schemas.conform(bars(days[:-2]), schemas.STOCKS).repartition("date"),
+        cat_a.bronze("stocks"),
+        partition_by="date",
+    )
+    assert run_silver(spark, cat_a, cp_a)["mode"] == "full"
+    assert cp_a.get("silver_tail_as_of") is None
+    for d in (days[-2], days[-1]):
+        b = schemas.conform(bars([d]), schemas.STOCKS)
+        # keep bronze in sync so nothing else diverges
+        write_table(b, cat_a.bronze("stocks"), mode="append", partition_by="date")
+        silver_maintenance_batch(spark, cat_a, b, checkpoints=cp_a)
+        assert cp_a.get("silver_tail_as_of") == d.isoformat()
+
+    # lake B: one-shot batch rebuild over everything
+    cat_b = Catalog(root=str(tmp_path / "b"))
+    cp_b = Checkpoints(path=str(tmp_path / "cp_b.json"))
+    write_table(
+        schemas.conform(bars(days), schemas.STOCKS).repartition("date"),
+        cat_b.bronze("stocks"),
+        partition_by="date",
+    )
+    assert run_silver(spark, cat_b, cp_b)["mode"] == "full"
+
+    def rows_of(df):
+        df = df.select(*sorted(df.columns))
+        rounded = df.select(
+            *[
+                F.round(c, 9).alias(c) if t == "double" else F.col(c)
+                for c, t in df.dtypes
+            ]
+        )
+        return sorted(
+            map(tuple, rounded.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    for table in (
+        "daily_aggregates",
+        "weekly_aggregates",
+        "monthly_aggregates",
+        "daily_indicators",
+        "weekly_indicators",
+        "monthly_indicators",
+    ):
+        assert rows_of(read_table(spark, cat_a.silver(table))) == rows_of(
+            read_table(spark, cat_b.silver(table))
+        ), table
+    # stored tails equal a fresh build over the final aggregates
+    for grain, agg in (
+        ("daily", "daily_aggregates"),
+        ("week", "weekly_aggregates"),
+        ("month", "monthly_aggregates"),
+    ):
+        got = rows_of(read_table(spark, cat_a.silver(f"indicator_tail_{grain}")))
+        want = rows_of(build_tail(read_table(spark, cat_b.silver(agg))))
+        assert got == want, grain

@@ -41,16 +41,47 @@ __all__ = [
 
 
 def silver_maintenance_batch(
-    spark: SparkSession, catalog: Catalog, batch: DataFrame
+    spark: SparkSession, catalog: Catalog, batch: DataFrame, checkpoints=None
 ) -> None:
     """Apply one micro-batch of raw bronze bars to every silver table.
 
     Idempotent: all writes are (ticker, date)-keyed upserts of
     deterministically-recomputed slices. Callable directly (batch backfill)
     or from the streaming sink.
+
+    With the lake's ``checkpoints`` store, window context comes from the
+    same per-grain indicator-tail state the batch append uses
+    (``operators/indicator_state``; gate = tails at exactly the pre-batch
+    watermark AND a strictly-forward batch) — O(tickers x 205) per batch
+    instead of the horizon scans. Replays and late-data batches fail the
+    forward gate and fall back to the horizon path, which also reinstalls
+    the tails; without ``checkpoints`` the horizon path runs unconditionally
+    (no state to gate on).
     """
     if batch.isEmpty():
         return
+    from tickerlake_spark.operators.indicator_state import (
+        advance_tail,
+        build_tail,
+        indicators_from_tail,
+        replace_tail,
+    )
+    from tickerlake_spark.storage import get_max_date
+
+    daily_path = catalog.silver("daily_aggregates")
+    wm_before = get_max_date(spark, daily_path)  # directory listing
+    since = batch.agg(F.min("date")).first()[0]
+    tail_paths = {
+        g: catalog.silver(f"indicator_tail_{g}") for g in ("daily", "week", "month")
+    }
+    tails_valid = (
+        checkpoints is not None
+        and wm_before is not None
+        and checkpoints.get("silver_tail_as_of") == wm_before
+        and str(since) > wm_before  # strictly-forward batch; ISO compare
+        and all(table_exists(p) for p in tail_paths.values())
+    )
+
     splits = (
         read_table(spark, catalog.bronze("splits"))
         if table_exists(catalog.bronze("splits"))
@@ -62,16 +93,24 @@ def silver_maintenance_batch(
     )
     upsert_table(
         spark,
-        catalog.silver("daily_aggregates"),
+        daily_path,
         adjusted,
         keys=["ticker", "date"],
         partition_by="date",  # silver tables are date-partitioned (pipeline.py)
         validate_unique=False,  # (ticker, date) unique per bronze contract
     )
 
-    since = batch.agg(F.min("date")).first()[0]
-    full_daily = read_table(spark, catalog.silver("daily_aggregates"))
-    ind = incremental_indicators(full_daily, since, horizon_days=600)
+    new_tails: dict = {}
+    full_daily = read_table(spark, daily_path)
+    if tails_valid:
+        # post-upsert pruned read-back: with a strictly-forward batch these
+        # are exactly the batch's adjusted rows as stored
+        delta_stored = full_daily.filter(F.col("date") >= F.lit(since))
+        ctx = read_table(spark, tail_paths["daily"])
+        ind = indicators_from_tail(ctx, delta_stored, since)
+        new_tails["daily"] = advance_tail(ctx, delta_stored)
+    else:
+        ind = incremental_indicators(full_daily, since, horizon_days=600)
     upsert_table(
         spark,
         catalog.silver("daily_indicators"),
@@ -99,11 +138,20 @@ def silver_maintenance_batch(
             partition_by="date",
             validate_unique=False,
         )
-        ind_delta = incremental_indicators(
-            read_table(spark, catalog.silver(agg_table)),
-            _bucket_start(period, since),
-            horizon_days=horizon,
-        )
+        bucket_since = _bucket_start(period, since)
+        if tails_valid:
+            delta_stored = read_table(spark, catalog.silver(agg_table)).filter(
+                F.col("date") >= F.lit(bucket_since)
+            )
+            ctx = read_table(spark, tail_paths[period])
+            ind_delta = indicators_from_tail(ctx, delta_stored, bucket_since)
+            new_tails[period] = advance_tail(ctx, delta_stored)
+        else:
+            ind_delta = incremental_indicators(
+                read_table(spark, catalog.silver(agg_table)),
+                bucket_since,
+                horizon_days=horizon,
+            )
         upsert_table(
             spark,
             catalog.silver(ind_table),
@@ -112,6 +160,28 @@ def silver_maintenance_batch(
             partition_by="date",
             validate_unique=False,
         )
+
+    if checkpoints is not None:
+        # maintain (or install) the tail state; as_of committed only after
+        # all three swaps — a crash mid-way fails the next batch's gate and
+        # the horizon fallback rebuilds (same contract as run_silver)
+        new_wm = get_max_date(spark, daily_path)
+        for grain, agg_table, cutoff, horizon in (
+            ("daily", "daily_aggregates", since, 600),
+            ("week", "weekly_aggregates", _bucket_start("week", since), 2_800),
+            ("month", "monthly_aggregates", _bucket_start("month", since), 12_200),
+        ):
+            nt = new_tails.get(grain)
+            if nt is None:
+                import datetime as _dt
+
+                nt = build_tail(
+                    read_table(spark, catalog.silver(agg_table)),
+                    horizon_days=horizon,
+                    as_of=_dt.date.fromisoformat(new_wm),
+                )
+            replace_tail(spark, nt, tail_paths[grain])
+        checkpoints.set("silver_tail_as_of", new_wm)
 
 
 def gold_maintenance_batch(
@@ -431,7 +501,9 @@ def stream_bronze_to_silver(
                         calculated_at=calculated_at,
                     )
                 return
-        silver_maintenance_batch(batch_df.sparkSession, catalog, batch_df)
+        silver_maintenance_batch(
+            batch_df.sparkSession, catalog, batch_df, checkpoints=checkpoints
+        )
         if with_gold:
             gold_maintenance_batch(
                 batch_df.sparkSession,
