@@ -166,3 +166,57 @@ def test_mixed_orientation_within_one_batch(spark, tmp_path):
     )
     upsert_edges(spark, path, both)
     assert spark.read.parquet(path).count() == 1
+
+
+def test_legacy_noncanonical_table_detected(spark, tmp_path):
+    """ADVICE r8: upserting into an edge table written by a
+    pre-canonicalization build (reversed rows, no layout marker) must raise
+    with a rebuild instruction instead of silently accumulating duplicates;
+    a clean legacy table is verified once and marked."""
+    import os
+
+    import pytest
+
+    from tickerlake_spark.operators.graph import (
+        _EDGE_LAYOUT_MARKER,
+        upsert_edges,
+    )
+
+    # dirty legacy table: stored rows violate src <= dst
+    dirty = str(tmp_path / "dirty")
+    legacy = spark.createDataFrame(
+        [("n9", "n1", 3), ("n2", "n5", 3)], "src string, dst string, sb int"
+    )
+    legacy.write.partitionBy("sb").parquet(dirty)
+    batch = spark.createDataFrame([("n1", "n2")], "a string, b string")
+    with pytest.raises(ValueError, match="Rebuild"):
+        upsert_edges(spark, dirty, batch)
+
+    # clean legacy table (canonical rows, marker missing): verified once,
+    # marker installed, upsert proceeds
+    clean = str(tmp_path / "clean")
+    spark.createDataFrame(
+        [("n1", "n9", 3)], "src string, dst string, sb int"
+    ).write.partitionBy("sb").parquet(clean)
+    assert not os.path.exists(os.path.join(clean, _EDGE_LAYOUT_MARKER))
+    upsert_edges(spark, clean, batch)
+    assert os.path.exists(os.path.join(clean, _EDGE_LAYOUT_MARKER))
+    # marker present -> later upserts skip the verification scan
+    upsert_edges(spark, clean, batch)
+
+
+def test_marker_written_on_fresh_table(spark, tmp_path):
+    import os
+
+    from tickerlake_spark.operators.graph import (
+        _EDGE_LAYOUT_MARKER,
+        upsert_edges,
+    )
+
+    path = str(tmp_path / "edges")
+    upsert_edges(
+        spark, path, spark.createDataFrame([("n1", "n2")], "a string, b string")
+    )
+    assert os.path.exists(os.path.join(path, _EDGE_LAYOUT_MARKER))
+    # the marker is '_'-prefixed: Spark's reader must still scan cleanly
+    assert spark.read.parquet(path).count() == 1

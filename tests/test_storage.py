@@ -950,3 +950,197 @@ def test_parquet_stats_max_matches_aggregate(spark, tmp_path):
     assert parquet_stats_max(path, "n") == 9
     assert parquet_stats_max(path, "nope") is None
     assert parquet_stats_max(str(tmp_path / "missing"), "x") is None
+
+
+def test_parquet_stats_max_string_needs_exactness_flag(spark, tmp_path):
+    """BYTE_ARRAY (string) statistics may be writer-truncated; without a
+    footer exactness flag (pyarrow < 17 never exposes one) the probe must
+    refuse rather than return a possibly-absent value (ADVICE r8 low)."""
+    import pyarrow.parquet as pq
+
+    from tickerlake_spark.storage import parquet_stats_max
+
+    import os
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([("abc",), ("xyz",)], "s string").coalesce(
+        1
+    ).write.parquet(path)
+    st = None
+    for root, _d, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                if md.num_row_groups:
+                    st = md.row_group(0).column(0).statistics
+    expect_none = not getattr(st, "is_max_value_exact", False)
+    got = parquet_stats_max(path, "s")
+    if expect_none:
+        assert got is None
+    else:
+        assert got == "xyz"
+
+
+def test_parquet_stats_max_skips_staging_dirs(spark, tmp_path):
+    """'_'-prefixed crash-leftover dirs are invisible to Spark readers and
+    must not supply the watermark either (ADVICE r8 low)."""
+    import datetime as _dt
+    import os
+
+    from tickerlake_spark.storage import parquet_stats_max
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(_dt.date(2024, 1, 2),)], "last_date date"
+    ).write.parquet(path)
+    # a stale orphaned staging dir holding a NEWER date
+    spark.createDataFrame(
+        [(_dt.date(2025, 6, 30),)], "last_date date"
+    ).write.parquet(os.path.join(path, "_old_deadbeef"))
+    assert parquet_stats_max(path, "last_date") == _dt.date(2024, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Journaled partition-dir swaps (ADVICE r8 medium): every crash window of
+# the compaction/repair swap must be recoverable from the marker alone —
+# no state may leave a bucket's history parked in a Spark-invisible dir.
+# ---------------------------------------------------------------------------
+
+
+def _mk_bucket_table(spark, path, rows_per_bucket=20):
+    df = spark.range(rows_per_bucket * 2).selectExpr(
+        "cast(id % 2 as int) as tb", "id as v"
+    )
+    df.write.partitionBy("tb").parquet(path)
+
+
+def test_swap_repair_crash_between_renames(spark, tmp_path):
+    """State b: marker written, part renamed to _old_*, tmp still staged.
+    Repair must install tmp as the partition and drop old."""
+    import json
+    import os
+
+    from tickerlake_spark.storage.maintenance import repair_partition_swaps
+
+    path = str(tmp_path / "t")
+    _mk_bucket_table(spark, path)
+    before = spark.read.parquet(path).filter("tb = 0").count()
+    # stage a compacted rewrite of tb=0
+    tmp = os.path.join(path, "_compact_ab")
+    spark.read.parquet(os.path.join(path, "tb=0")).coalesce(1).write.parquet(tmp)
+    # simulate the crash: part renamed out, tmp not yet renamed in
+    os.rename(os.path.join(path, "tb=0"), os.path.join(path, "_old_ab"))
+    with open(os.path.join(path, "_swap_ab.json"), "w") as f:
+        json.dump({"part": "tb=0", "tmp": "_compact_ab", "old": "_old_ab"}, f)
+    # Spark now sees NO tb=0 at all — the silent-loss window
+    assert spark.read.parquet(path).filter("tb = 0").count() == 0
+    assert repair_partition_swaps(path) == 1
+    assert spark.read.parquet(path).filter("tb = 0").count() == before
+    assert not os.path.exists(os.path.join(path, "_old_ab"))
+    assert not os.path.exists(os.path.join(path, "_swap_ab.json"))
+
+
+def test_swap_repair_crash_before_first_rename(spark, tmp_path):
+    """State a: marker + staged tmp, part untouched. Repair completes the
+    swap forward (tmp is fully written by contract)."""
+    import json
+    import os
+
+    from tickerlake_spark.storage.maintenance import repair_partition_swaps
+
+    path = str(tmp_path / "t")
+    _mk_bucket_table(spark, path)
+    tmp = os.path.join(path, "_compact_cd")
+    spark.read.parquet(os.path.join(path, "tb=1")).coalesce(1).write.parquet(tmp)
+    before = spark.read.parquet(path).filter("tb = 1").count()
+    with open(os.path.join(path, "_swap_cd.json"), "w") as f:
+        json.dump({"part": "tb=1", "tmp": "_compact_cd", "old": "_old_cd"}, f)
+    assert repair_partition_swaps(path) == 1
+    assert spark.read.parquet(path).filter("tb = 1").count() == before
+    files = [
+        f
+        for f in os.listdir(os.path.join(path, "tb=1"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1  # the compacted rewrite won
+
+
+def test_swap_repair_crash_after_second_rename(spark, tmp_path):
+    """State c: swap done, old dir not yet deleted. Repair just cleans up."""
+    import json
+    import os
+
+    from tickerlake_spark.storage.maintenance import repair_partition_swaps
+
+    path = str(tmp_path / "t")
+    _mk_bucket_table(spark, path)
+    before = spark.read.parquet(path).count()
+    os.makedirs(os.path.join(path, "_old_ef"))
+    with open(os.path.join(path, "_swap_ef.json"), "w") as f:
+        json.dump({"part": "tb=0", "tmp": "_compact_ef", "old": "_old_ef"}, f)
+    assert repair_partition_swaps(path) == 1
+    assert spark.read.parquet(path).count() == before
+    assert not os.path.exists(os.path.join(path, "_old_ef"))
+
+
+def test_swap_repair_delete_intent(spark, tmp_path):
+    """A journaled delete (repair_closes_extract's empty-bucket case) must
+    finish as a delete on retry, never resurrect the bucket."""
+    import json
+    import os
+
+    from tickerlake_spark.storage.maintenance import repair_partition_swaps
+
+    path = str(tmp_path / "t")
+    _mk_bucket_table(spark, path)
+    with open(os.path.join(path, "_swap_gh.json"), "w") as f:
+        json.dump(
+            {"part": "tb=0", "tmp": "_repair_gh", "old": "_old_gh", "delete": True},
+            f,
+        )
+    assert repair_partition_swaps(path) == 1
+    assert not os.path.exists(os.path.join(path, "tb=0"))
+    assert spark.read.parquet(path).filter("tb = 1").count() > 0
+
+
+def test_repair_closes_extract_retry_after_simulated_crash(spark, tmp_path):
+    """End-to-end: a repair sweep interrupted mid-swap, then retried, must
+    keep the bucket's full pre-watermark history (the ADVICE r8 scenario:
+    the naive swap lost it silently)."""
+    import datetime as _dt
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.operators.closes import (
+        repair_closes_extract,
+        write_closes_extract,
+    )
+
+    path = str(tmp_path / "closes")
+    rows = [
+        (f"T{i}", _dt.date(2024, 1, 2 + d), 10.0 + d)
+        for i in range(40)
+        for d in range(5)
+    ]
+    daily = spark.createDataFrame(rows, "ticker string, date date, close double")
+    write_closes_extract(daily, path)
+    wm = _dt.date(2024, 1, 4)  # rows after this are the "crashed append"
+    # simulate a repair that crashed between renames on one touched bucket
+    buckets = [d for d in os.listdir(path) if d.startswith("tb=")]
+    victim = buckets[0]
+    tmp = os.path.join(path, "_repair_zz")
+    spark.read.parquet(os.path.join(path, victim)).filter(
+        F.col("date") <= F.lit(wm)
+    ).coalesce(1).write.parquet(tmp)
+    os.rename(os.path.join(path, victim), os.path.join(path, "_old_zz"))
+    with open(os.path.join(path, "_swap_zz.json"), "w") as f:
+        json.dump({"part": victim, "tmp": "_repair_zz", "old": "_old_zz"}, f)
+    # the retry runs the full sweep again: must first finish the journaled
+    # swap, then sweep the remaining buckets
+    repair_closes_extract(spark, path, wm)
+    got = spark.read.parquet(path)
+    assert got.filter(F.col("date") > F.lit(wm)).count() == 0
+    # every ticker's full pre-watermark history survived
+    assert got.count() == 40 * 3

@@ -108,16 +108,24 @@ def repair_closes_extract(spark: SparkSession, path: str, watermark) -> dict:
     Without the sweep, retrying the delta append would double-store those
     rows. Only buckets actually holding too-new rows are rewritten (found by
     one date-filtered scan — rare-path cost, bounded by one run's append
-    footprint plus the touched buckets' history), swapped in atomically with
-    '_'-prefixed staging dirs Spark's file index ignores.
+    footprint plus the touched buckets' history). Each bucket swap is
+    journaled via ``swap_partition_dir`` (ADVICE r8 medium: the bare
+    two-rename swap had a crash window that parked the bucket's whole
+    history in a Spark-invisible '_old_*' dir — a retry would then rebuild
+    the bucket from the delta alone, silently losing history); any swap a
+    previous crashed repair left mid-flight is finished first.
     """
     import math
     import os
-    import shutil
     import uuid
 
-    from tickerlake_spark.storage.maintenance import table_file_stats
+    from tickerlake_spark.storage.maintenance import (
+        repair_partition_swaps,
+        swap_partition_dir,
+        table_file_stats,
+    )
 
+    repair_partition_swaps(path)
     wm = F.lit(watermark).cast("date")
     ext = spark.read.parquet(path)
     touched = sorted(
@@ -135,14 +143,9 @@ def repair_closes_extract(spark: SparkSession, path: str, watermark) -> dict:
         )
         tmp = os.path.join(path, f"_repair_{uuid.uuid4().hex[:8]}")
         kept.write.parquet(tmp)
-        old = os.path.join(path, f"_old_{uuid.uuid4().hex[:8]}")
-        os.rename(part_dir, old)
-        if table_exists(tmp):
-            os.rename(tmp, part_dir)
-        else:
-            # the bucket existed only because of the crashed append
-            shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old)
+        # empty tmp (no part files) => the bucket existed only because of
+        # the crashed append: journaled delete
+        swap_partition_dir(path, f"tb={b}", tmp, delete=not table_exists(tmp))
     return {"repaired_buckets": len(touched)}
 
 

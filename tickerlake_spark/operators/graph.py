@@ -268,23 +268,31 @@ def upsert_edges(
     merges to one stored row instead of silently double-storing. Storing
     both directions would double every byte the serving query scans and
     shuffles — measured ~2x on the 10x corpus — for information the union
-    recovers for free. (Edge tables written by pre-canonicalization builds
-    should be rebuilt once; a mixed table would keep reversed duplicates.)
+    recovers for free.
+
+    Layout-generation guard (ADVICE r8 low): a ``_edge_layout.json`` marker
+    inside the table dir records that the stored rows are canonicalized.
+    Upserting into an existing table WITHOUT the marker (a
+    pre-canonicalization build) first verifies ``src <= dst`` holds for
+    every stored row (one single-pass count — one-time cost, the marker is
+    written on success) and raises with a rebuild instruction when
+    violated, so reversed duplicates can never accumulate silently.
 
     Layout: Hive-partitioned on ``sb = pmod(xxhash64(src), n_buckets)``, so
     the keyed upsert (keys = [sb, src, dst]) rewrites only the buckets the
     batch touches. Idempotent: re-applying a batch is a no-op merge (same
     keys, same rows) — the foreachBatch replay contract.
     """
-    from tickerlake_spark.storage import upsert_table
+    from tickerlake_spark.storage import table_exists, upsert_table
 
+    _assert_canonical_layout(spark, path)
     lo, hi = F.least(F.col(a), F.col(b)), F.greatest(F.col(a), F.col(b))
     edges = (
         pairs.select(lo.alias("src"), hi.alias("dst"))
         .distinct()
         .withColumn("sb", F.pmod(F.xxhash64("src"), F.lit(n_buckets)).cast("int"))
     )
-    return upsert_table(
+    res = upsert_table(
         spark,
         path,
         edges,
@@ -292,6 +300,55 @@ def upsert_edges(
         partition_by="sb",
         validate_unique=False,  # distinct() above guarantees uniqueness
     )
+    if table_exists(path):
+        _write_layout_marker(path)
+    return res
+
+
+_EDGE_LAYOUT_MARKER = "_edge_layout.json"
+
+
+def _write_layout_marker(path: str) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(path, _EDGE_LAYOUT_MARKER + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"edge_canonical": "least-greatest", "version": 1}, f)
+    os.replace(tmp, os.path.join(path, _EDGE_LAYOUT_MARKER))
+
+
+def _assert_canonical_layout(spark, path: str) -> None:
+    """Refuse to merge into an edge table holding non-canonical rows.
+
+    Marker present -> this build (or a verified one) wrote the table: no
+    scan. Marker absent on an existing table -> one-time verification scan
+    (count of src > dst rows); clean tables get the marker so the scan
+    never repeats, dirty ones raise with the rebuild instruction.
+    """
+    import os
+
+    from tickerlake_spark.storage import table_exists
+
+    if not table_exists(path):
+        return
+    if os.path.exists(os.path.join(path, _EDGE_LAYOUT_MARKER)):
+        return
+    bad = (
+        spark.read.parquet(path)
+        .filter(F.col("src") > F.col("dst"))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"edge table {path!r} holds non-canonical rows (src > dst) — "
+            "written by a pre-canonicalization build. Rebuild it once: "
+            "drop the table and re-run upsert_edges over the full pair "
+            "source (reversed duplicates would double-count in serving "
+            "queries otherwise)."
+        )
+    _write_layout_marker(path)
 
 
 def read_edges(spark, path: str, symmetrize: bool = True) -> DataFrame:

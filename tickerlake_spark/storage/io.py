@@ -153,24 +153,41 @@ def parquet_stats_max(path: str, column: str):
     top of every incremental run (e.g. the ``vwap_state`` checkpoint's
     ``last_date``): a Spark aggregate there costs a full job-submission
     round trip to answer a question the footers already hold. Returns None
-    when any row group lacks min/max stats (caller falls back to the
-    aggregate) or the table is missing/empty. Local-filesystem walk, like
-    ``table_exists``; on an object store, swap in the filesystem listing.
+    when any row group lacks usable min/max stats (caller falls back to the
+    aggregate) or the table is missing/empty.
+
+    Column-type restriction: Parquet statistics for BYTE_ARRAY /
+    FIXED_LEN_BYTE_ARRAY columns (strings, binary, big decimals) may be
+    TRUNCATED by the writer — ``st.max`` can then be a value not present in
+    the data. For those physical types this returns the stats max only when
+    the footer exposes an exactness flag asserting it
+    (``is_max_value_exact``, pyarrow >= 17); otherwise None. Numeric /
+    date / timestamp physical types (INT32/INT64/FLOAT/DOUBLE/BOOLEAN)
+    always carry exact min/max and take the fast path unconditionally.
+
+    The file walk skips ``_``/``.``-prefixed directories and files — the
+    same paths Spark's file index ignores — so crash-leftover staging dirs
+    (``_compact_*``/``_old_*``) can never supply a stale watermark.
+    Local-filesystem walk, like ``table_exists``; on an object store, swap
+    in the filesystem listing.
     """
     import pyarrow.parquet as pq
 
+    _EXACT_PHYSICAL = {"INT32", "INT64", "INT96", "FLOAT", "DOUBLE", "BOOLEAN"}
+
     if not table_exists(path):
         return None
-    files = (
-        [path]
-        if os.path.isfile(path)
-        else [
-            os.path.join(r, f)
-            for r, _d, fs in os.walk(path)
-            for f in fs
-            if f.endswith(".parquet")
-        ]
-    )
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = []
+        for r, dirs, fs in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            files.extend(
+                os.path.join(r, f)
+                for f in fs
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
     mx = None
     for f in files:
         md = pq.ParquetFile(f).metadata
@@ -179,9 +196,15 @@ def parquet_stats_max(path: str, column: str):
         except ValueError:
             return None
         for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
+            col = md.row_group(rg).column(idx)
+            st = col.statistics
             if st is None or not st.has_min_max:
                 return None
+            if st.physical_type not in _EXACT_PHYSICAL:
+                # string/binary stats may be writer-truncated: only trust
+                # them when the footer says the max is exact
+                if not getattr(st, "is_max_value_exact", False):
+                    return None
             mx = st.max if mx is None or st.max > mx else mx
     return mx
 

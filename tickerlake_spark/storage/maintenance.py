@@ -25,7 +25,105 @@ __all__ = [
     "compact_ingest_partitions",
     "compact_partition_dirs",
     "table_file_stats",
+    "swap_partition_dir",
+    "repair_partition_swaps",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Journaled partition-dir swap (ADVICE r8 medium): the naive two-rename swap
+# (part -> _old_x, _tmp_y -> part) has a crash window in which the bucket's
+# entire history sits in a '_'-prefixed dir INVISIBLE to Spark readers — a
+# retrying maintenance job would then see an empty/absent bucket and
+# silently recreate it from the delta alone, permanently losing history.
+# Every swap therefore journals its intent to a '_swap_*.json' marker in the
+# table root BEFORE the first rename; maintenance entry points call
+# repair_partition_swaps first, which deterministically finishes (or rolls
+# forward) any interrupted swap from the marker. Markers and staging dirs
+# are '_'-prefixed, so Spark scans never parse them as partitions.
+# ---------------------------------------------------------------------------
+
+
+def swap_partition_dir(
+    path: str, part_name: str, tmp_dir: str, delete: bool = False
+) -> None:
+    """Atomically-journaled replacement of one ``col=value`` partition dir.
+
+    ``tmp_dir`` must be a fully-written '_'-prefixed sibling inside
+    ``path`` (or may be absent when ``delete=True`` — the intent is then
+    to remove the partition). Sequence: marker in -> old out -> tmp in ->
+    old deleted -> marker out. A crash at ANY point is repaired by
+    ``repair_partition_swaps`` from the marker alone.
+    """
+    import json
+
+    swap_id = uuid.uuid4().hex[:8]
+    marker = os.path.join(path, f"_swap_{swap_id}.json")
+    old_name = f"_old_{swap_id}"
+    payload = {
+        "part": part_name,
+        "tmp": os.path.basename(tmp_dir),
+        "old": old_name,
+        "delete": bool(delete),
+    }
+    tmp_marker = marker + ".tmp"
+    with open(tmp_marker, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_marker, marker)
+    _finish_swap(path, payload)
+    os.remove(marker)
+
+
+def _finish_swap(path: str, m: dict) -> None:
+    """Run (or re-run) a journaled swap to completion. Idempotent: safe to
+    call on any intermediate state the crash windows can produce."""
+    part = os.path.join(path, m["part"])
+    tmp = os.path.join(path, m["tmp"])
+    old = os.path.join(path, m["old"])
+    if m.get("delete"):
+        # intent: partition removed (rename out of Spark's view, then delete
+        # — a partially-rmtree'd live dir would be readable as corrupt)
+        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.isdir(part):
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.rename(part, old)
+        shutil.rmtree(old, ignore_errors=True)
+        return
+    if os.path.isdir(tmp):
+        if os.path.isdir(part):
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.rename(part, old)
+        os.rename(tmp, part)
+    elif not os.path.isdir(part) and os.path.isdir(old):
+        # defensive: staged data lost mid-swap — restore the original
+        os.rename(old, part)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def repair_partition_swaps(path: str) -> int:
+    """Finish every swap a crashed maintenance run left journaled in
+    ``path``'s root. Returns the number of markers repaired. Called at the
+    top of every partition-dir maintenance entry point; also usable
+    standalone after a crash."""
+    import json
+
+    if not os.path.isdir(path):
+        return 0
+    repaired = 0
+    for name in sorted(os.listdir(path)):
+        if not (name.startswith("_swap_") and name.endswith(".json")):
+            continue
+        marker = os.path.join(path, name)
+        with open(marker) as f:
+            m = json.load(f)
+        _finish_swap(path, m)
+        os.remove(marker)
+        repaired += 1
+    return repaired
 
 
 def compact_partition_dirs(
@@ -41,11 +139,13 @@ def compact_partition_dirs(
 
     Each overfull ``col=value/`` dir is rewritten in place (read -> coalesce
     to ~``target_file_bytes`` files, optionally re-sorted so row-group
-    min/max pruning survives the appends) and atomically swapped. Untouched
-    partitions are never read: the maintenance cost tracks append churn,
-    not table size — the right shape for incremental extracts that append
-    a small delta per run.
+    min/max pruning survives the appends) and swapped via the journaled
+    ``swap_partition_dir`` (any interrupted swap from a previous crashed
+    run is finished first). Untouched partitions are never read: the
+    maintenance cost tracks append churn, not table size — the right shape
+    for incremental extracts that append a small delta per run.
     """
+    repair_partition_swaps(path)
     compacted, skipped = 0, 0
     for d in sorted(os.listdir(path)) if os.path.isdir(path) else []:
         part_dir = os.path.join(path, d)
@@ -70,10 +170,7 @@ def compact_partition_dirs(
         # duplicate rows or break partition-type inference)
         tmp = os.path.join(path, f"_compact_{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(tmp)
-        old = os.path.join(path, f"_old_{uuid.uuid4().hex[:8]}")
-        os.rename(part_dir, old)
-        os.rename(tmp, part_dir)
-        shutil.rmtree(old)
+        swap_partition_dir(path, d, tmp)
         compacted += 1
     return {"compacted_partitions": compacted, "skipped_partitions": skipped}
 
