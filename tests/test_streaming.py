@@ -1130,11 +1130,11 @@ def test_streaming_bloom_rollup_matches_batch_and_replay_safe(
 
 
 def test_streaming_extract_append_replay_converges(spark, tmp_path):
-    """ADVICE r7 low: with replay tracking (batch_id + checkpoints), the
-    streaming closes-extract maintenance APPENDS forward batches (O(delta))
-    instead of rewriting every touched hash bucket, bootstraps safely via
-    the replace path, and a replayed batch id converges without duplicate
-    extract rows."""
+    """ADVICE r7 low + r8 medium: the streaming closes-extract maintenance
+    APPENDS strictly-forward batches (O(delta)) instead of rewriting every
+    touched hash bucket, gated on the extract's REAL footer-stats watermark
+    (not a stream-private marker), and a replayed batch converges without
+    duplicate extract rows."""
     import datetime as dt
 
     from tickerlake_spark import schemas
@@ -1178,8 +1178,7 @@ def test_streaming_extract_append_replay_converges(spark, tmp_path):
             spark, cat, b, calculated_at=stamp, batch_id=batch_id, checkpoints=cp
         )
 
-    one_batch(days[-2], 0)  # bootstrap: no recorded wm -> replace path
-    assert cp.get("gold_closes_stream_wm") == days[-2].isoformat()
+    one_batch(days[-2], 0)  # forward vs the run_gold-built extract -> append
     extract = cat.gold("closes_by_ticker")
     files_before = {
         (r, f)
@@ -1196,7 +1195,7 @@ def test_streaming_extract_append_replay_converges(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert files_before <= files_after, "append path rewrote old buckets"
-    one_batch(days[-1], 1)  # replay of the same batch id -> replace path
+    one_batch(days[-1], 1)  # replay: ext_max == since -> replace path
     ext = read_table(spark, extract)
     assert ext.count() == ext.select("ticker", "date").distinct().count()
     # content mirrors silver closes exactly
@@ -1210,6 +1209,95 @@ def test_streaming_extract_append_replay_converges(spark, tmp_path):
     )
     got = sorted(map(tuple, ext.select("ticker", "date").collect()))
     assert got == want
+
+
+def test_streaming_extract_no_dup_after_batch_pipeline_advance(spark, tmp_path):
+    """ADVICE r8 medium regression: a stream resuming on a lake the BATCH
+    pipeline advanced (supported alternation), and a replay of a batch
+    whose splits change triggered an in-sink full rebuild, must both route
+    through the replace path — the old stream-private watermark marker
+    passed the forward gate and appended rows the extract already held."""
+    import datetime as dt
+
+    from tickerlake_spark import schemas
+    from tickerlake_spark.pipeline import run_gold, run_silver
+    from tickerlake_spark.sources.calendar import trading_days
+    from tickerlake_spark.storage import (
+        Catalog,
+        Checkpoints,
+        read_table,
+        write_table,
+    )
+    from tickerlake_spark.streaming.medallion import (
+        gold_maintenance_batch,
+        silver_maintenance_batch,
+    )
+
+    days = trading_days(dt.date(2024, 1, 2), dt.date(2024, 2, 16))
+    schema = (
+        "ticker string, volume long, open float, close float, high float, "
+        "low float, date date, transactions long"
+    )
+
+    def bars(day_slice):
+        rows = []
+        for t in ("AAA", "BBB"):
+            for i, d in enumerate(day_slice):
+                c = 100.0 + i
+                rows.append((t, 1000 + i, c - 1, c, c + 1, c - 2, d, 5))
+        return spark.createDataFrame(rows, schema)
+
+    cat = Catalog(root=str(tmp_path / "data"))
+    cp = Checkpoints(path=str(tmp_path / "cp.json"))
+    stamp = dt.datetime(2024, 4, 1, 12, 0, 0)
+    write_table(
+        schemas.conform(bars(days[:-3]), schemas.STOCKS).repartition("date"),
+        cat.bronze("stocks"),
+        partition_by="date",
+    )
+    run_silver(spark, cat, cp)
+    run_gold(spark, cat, calculated_at=stamp, checkpoints=cp)
+
+    def one_batch(day, batch_id):
+        b = schemas.conform(bars([day]), schemas.STOCKS)
+        silver_maintenance_batch(spark, cat, b)
+        gold_maintenance_batch(
+            spark, cat, b, calculated_at=stamp, batch_id=batch_id, checkpoints=cp
+        )
+
+    # stream handles one batch (establishes any stream-side state)
+    one_batch(days[-3], 0)
+    # the BATCH pipeline then advances the lake (alternation): bronze gets
+    # days[-2], run_silver + run_gold maintain silver AND the extract
+    write_table(
+        schemas.conform(bars([days[-2]]), schemas.STOCKS).repartition("date"),
+        cat.bronze("stocks"),
+        partition_by="date",
+        dynamic=True,
+    )
+    run_silver(spark, cat, cp)
+    run_gold(spark, cat, calculated_at=stamp, checkpoints=cp)
+
+    # the stream replays ITS OWN batch for days[-2] (e.g. re-delivered
+    # files): since == extract max -> must replace, never append
+    one_batch(days[-2], 1)
+    ext = read_table(spark, cat.gold("closes_by_ticker"))
+    assert ext.count() == ext.select("ticker", "date").distinct().count(), (
+        "duplicate extract rows after batch-pipeline alternation"
+    )
+    # and a genuinely-new stream batch still appends cleanly afterwards
+    one_batch(days[-1], 2)
+    ext = read_table(spark, cat.gold("closes_by_ticker"))
+    assert ext.count() == ext.select("ticker", "date").distinct().count()
+    want = sorted(
+        map(
+            tuple,
+            read_table(spark, cat.silver("daily_aggregates"))
+            .select("ticker", "date")
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, ext.select("ticker", "date").collect())) == want
 
 
 def test_streaming_silver_tail_state_matches_batch(spark, tmp_path):

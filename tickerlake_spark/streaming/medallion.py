@@ -219,6 +219,11 @@ def gold_maintenance_batch(
     upserts/replacements of deterministically-recomputed slices, so a
     replayed micro-batch converges to byte-identical tables. Per-batch cost
     is O(batch tickers x bounded context), never O(history).
+
+    ``batch_id``/``checkpoints`` are accepted for call-site compatibility
+    but no longer consulted: the closes-extract append/replace decision is
+    gated on the extract's own footer-stats watermark (see the inline
+    comment), so replay safety needs no stream-private markers.
     """
     import datetime as _dt
 
@@ -284,35 +289,32 @@ def gold_maintenance_batch(
     )
     if not table_exists(closes_path):
         write_closes_extract(daily, closes_path)
-    elif batch_id is not None and checkpoints is not None:
+    else:
         # O(delta) maintenance (ADVICE r7 low): a keyed upsert on the
         # tb-partitioned extract rewrites every touched hash bucket's
         # ENTIRE history — a broad micro-batch (one trading day across the
         # universe) hashes into all 64 buckets, making every batch O(table).
         # Instead: APPEND the batch's extract rows (cost = delta + the
-        # bounded compaction), and make replays safe with a write-ahead
-        # batch-id marker — a batch id at or below the recorded one means a
-        # crashed attempt may have already appended partial rows, so that
-        # (rare) path scope-replaces the batch's exact (tb, ticker, date)
-        # keys instead of appending. Note: re-pointing a FRESH stream
-        # (new checkpointLocation, batch ids restart at 0) at an existing
-        # lake keeps correctness but takes the replace path until the new
-        # ids pass the recorded one — clear the marker key when migrating.
+        # bounded compaction) whenever that is provably duplicate-free.
+        #
+        # The forward gate (ADVICE r8 medium) compares ``since`` against
+        # the extract's REAL max date (footer statistics — exact for a
+        # date column, no Spark job), not a stream-private marker: every
+        # appended row has date >= since, so ``since > ext_max`` means no
+        # appended key can already exist. Gating on lake state makes every
+        # replay/alternation scenario self-correcting with nothing to
+        # rebase: a replayed micro-batch (crashed append, crashed
+        # checkpoint commit, or an in-sink splits full rebuild) and a
+        # stream resuming on a lake the BATCH pipeline advanced both leave
+        # ext_max >= since, which routes the retry through the idempotent
+        # scope-replace of the batch's exact (tb, ticker, date) keys.
         from tickerlake_spark.operators.closes import append_closes_extract
-        from tickerlake_spark.storage import get_max_date, replace_keys
+        from tickerlake_spark.storage import parquet_stats_max, replace_keys
 
-        recorded = checkpoints.get("gold_closes_stream_batch")
-        recorded_wm = checkpoints.get("gold_closes_stream_wm")
-        replayed = recorded is not None and int(recorded) >= int(batch_id)
-        # append is only duplicate-free when every batch date is strictly
-        # NEW to the extract: a batch revising an already-extracted date
-        # (late/corrected rows — since <= the recorded extract watermark)
-        # must replace, not append. recorded_wm is None on the first
-        # tracked batch (or a lake bootstrapped by the batch pipeline):
-        # bootstrap conservatively via the replace path, then the marker
-        # makes subsequent forward batches O(delta) appends.
-        forward = recorded_wm is not None and str(since) > str(recorded_wm)
-        if replayed or not forward:
+        ext_max = parquet_stats_max(closes_path, "date")
+        if ext_max is not None and since > ext_max:
+            append_closes_extract(spark, ext_delta, closes_path)
+        else:
             keyed = with_ticker_bucket(ext_delta)
             replace_keys(
                 spark,
@@ -323,32 +325,6 @@ def gold_maintenance_batch(
                 partition_by="tb",
                 with_count=False,
             )
-            checkpoints.set("gold_closes_stream_batch", int(batch_id))
-            checkpoints.set(
-                "gold_closes_stream_wm",
-                get_max_date(spark, catalog.silver("daily_aggregates")),
-            )
-        else:
-            # write-ahead markers: a crash after the markers but before (or
-            # during) the append replays this batch_id, which routes the
-            # retry through the scope-replace above and converges
-            checkpoints.set("gold_closes_stream_batch", int(batch_id))
-            checkpoints.set(
-                "gold_closes_stream_wm",
-                get_max_date(spark, catalog.silver("daily_aggregates")),
-            )
-            append_closes_extract(spark, ext_delta, closes_path)
-    else:
-        # no replay tracking available: the keyed MERGE — idempotent but
-        # O(touched bucket history) per batch
-        upsert_table(
-            spark,
-            closes_path,
-            with_ticker_bucket(ext_delta),
-            keys=["tb", "ticker", "date"],
-            partition_by="tb",
-            validate_unique=False,
-        )
 
     ind_slice = read_table(spark, catalog.silver("daily_indicators")).filter(
         F.col("date") >= F.lit(since)
