@@ -471,6 +471,26 @@ def test_reference_gold_views_split_stocks_and_etfs(spark, tmp_path):
         for r in spark.sql("SELECT ticker FROM stairstepping_summary_stocks").collect()
     } == {"AAPL"}
 
+    # run_gold persisted the published surface as durable, EXECUTABLE view
+    # DDL next to the gold tables (VERDICT r8 item 5: documented views)
+    import os
+
+    ddl_path = os.path.join(
+        os.path.dirname(cat.gold("vwap_signals")), "_reference_views.sql"
+    )
+    assert os.path.exists(ddl_path)
+    stmts = [s.strip() for s in open(ddl_path).read().split(";") if s.strip()]
+    assert len(stmts) == 12
+    for s in stmts:
+        spark.sql(s.replace("CREATE OR REPLACE VIEW",
+                            "CREATE OR REPLACE TEMPORARY VIEW"))
+    assert {
+        r.ticker
+        for r in spark.sql(
+            "SELECT DISTINCT ticker FROM daily_high_volume_closes_etfs"
+        ).collect()
+    } == {"SPYX"}
+
 
 def test_validate_detects_indicator_drift(spark, env):
     """run_validate's third check recomputes sampled tickers' indicators
@@ -812,3 +832,98 @@ def test_two_sequential_appends_use_tails_and_match_full(spark, tmp_path):
             ),
         )
         assert got == want, grain
+
+
+def test_mixed_universe_semantics(spark, tmp_path):
+    """VERDICT r8 item 2: silver restricts bars to the CS/ETF metadata
+    universe CONSISTENTLY on the full-rewrite path, the append path, and
+    the streaming maintainer (the reference's own paths disagree —
+    silver/main.py:43-85 appends everything, :152-156 rewrites CS/ETF
+    only; this engine pins the full-rewrite universe on all paths,
+    documented in COVERAGE.md)."""
+    from tickerlake_spark import schemas
+    from tickerlake_spark.pipeline import run_gold, run_silver
+    from tickerlake_spark.sources.market import InMemoryMarketSource
+    from tickerlake_spark.streaming.medallion import silver_maintenance_batch
+
+    days = trading_days(D(2024, 1, 2), D(2024, 1, 19))
+    trio = ("AAPL", "SPYX", "FUNDX")
+
+    def src_for(day_slice):
+        return InMemoryMarketSource(
+            bars_by_date={d: _bars_for(d, tickers=trio) for d in day_slice},
+            ticker_rows=[
+                {"ticker": "AAPL", "name": "Apple", "type": "CS",
+                 "active": True, "market": "stocks", "locale": "us",
+                 "primary_exchange": "XNAS", "currency_name": "usd", "cik": "1"},
+                {"ticker": "SPYX", "name": "Spyx ETF", "type": "ETF",
+                 "active": True, "market": "stocks", "locale": "us",
+                 "primary_exchange": "XNAS", "currency_name": "usd", "cik": "2"},
+                {"ticker": "FUNDX", "name": "Fund", "type": "FUND",
+                 "active": True, "market": "stocks", "locale": "us",
+                 "primary_exchange": "XNAS", "currency_name": "usd", "cik": "3"},
+            ],
+            split_rows=[
+                {"id": "s1", "ticker": "AAPL",
+                 "execution_date": days[3], "split_from": 1.0, "split_to": 2.0},
+            ],
+        )
+
+    cat = Catalog(root=str(tmp_path / "data"))
+    cp = Checkpoints(str(tmp_path / "cp.json"))
+
+    # FULL REWRITE path: FUND bars present in bronze, absent from silver
+    run_bronze(spark, src_for(days[:-2]), cat, cp, days[0], days[-3])
+    assert run_silver(spark, cat, cp)["mode"] == "full"
+    silver_tickers = {
+        r.ticker
+        for r in read_table(spark, cat.silver("daily_aggregates"))
+        .select("ticker").distinct().collect()
+    }
+    assert silver_tickers == {"AAPL", "SPYX"}
+    bronze_tickers = {
+        r.ticker
+        for r in read_table(spark, cat.bronze("stocks"))
+        .select("ticker").distinct().collect()
+    }
+    assert "FUNDX" in bronze_tickers  # bronze keeps everything
+
+    # APPEND path: one more day, FUND bars still excluded
+    run_bronze(spark, src_for(days), cat, cp, days[0], days[-2])
+    assert run_silver(spark, cat, cp)["mode"] == "append"
+    daily = read_table(spark, cat.silver("daily_aggregates"))
+    assert {
+        r.ticker for r in daily.select("ticker").distinct().collect()
+    } == {"AAPL", "SPYX"}
+    assert daily.count() == 2 * (len(days) - 1)
+    for tbl in ("weekly_aggregates", "daily_indicators"):
+        got = {
+            r.ticker
+            for r in read_table(spark, cat.silver(tbl))
+            .select("ticker").distinct().collect()
+        }
+        assert got == {"AAPL", "SPYX"}, tbl
+
+    # gold inherits the universe from silver
+    run_gold(spark, cat, hvc_threshold=0.5, min_steps=2,
+             calculated_at=dt.datetime(2026, 1, 1), checkpoints=cp)
+    vwap_tickers = {
+        r.ticker
+        for r in read_table(spark, cat.gold("vwap_signals"))
+        .select("ticker").distinct().collect()
+    }
+    assert vwap_tickers == {"AAPL", "SPYX"}
+
+    # STREAMING maintainer: a micro-batch carrying FUND bars drops them
+    batch = schemas.conform(
+        spark.createDataFrame(
+            [{**row, "date": days[-1]} for row in _bars_for(days[-1], tickers=trio)]
+        ),
+        schemas.STOCKS,
+    )
+    silver_maintenance_batch(spark, cat, batch)
+    daily = read_table(spark, cat.silver("daily_aggregates"))
+    assert {
+        r.ticker for r in daily.select("ticker").distinct().collect()
+    } == {"AAPL", "SPYX"}
+    assert daily.count() == 2 * len(days)

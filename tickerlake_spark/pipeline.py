@@ -226,6 +226,20 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
     Append path filters bars newer than the silver watermark BEFORE any
     compute (partition pruning on the date-partitioned bronze table);
     full-rewrite recomputes everything in one plan per table.
+
+    Universe semantics (VERDICT r8 item 2): silver holds ONLY bars of
+    tickers in the CS/ETF metadata universe, on BOTH paths. The reference
+    is inconsistent with itself here — its append path takes every new
+    bronze row (reference: silver/main.py:43-85) while its full rewrite
+    batches only ``get_filtered_tickers()`` = CS/ETF (silver/main.py:152-156,
+    filter at silver/incremental.py:223-229) — so a splits-triggered
+    rewrite silently CHANGES the reference's silver universe. This engine
+    pins the full-rewrite (declared-intent) universe consistently: a
+    broadcast semi-join against ``silver.ticker_metadata`` on every write
+    path, including the streaming maintainer. When no metadata exists
+    (lake ingested without a tickers table) all bars pass — there is no
+    universe to restrict to. Documented as an intentional divergence in
+    COVERAGE.md; pinned by test_pipeline.py::test_mixed_universe_semantics.
     """
     timer = _StageTimer()
     stocks = read_table(spark, catalog.bronze("stocks"))
@@ -244,6 +258,12 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
         )
         write_table(meta, catalog.silver("ticker_metadata"))
     timer.mark("ticker_metadata")
+
+    if table_exists(catalog.silver("ticker_metadata")):
+        universe = read_table(spark, catalog.silver("ticker_metadata")).select(
+            "ticker"
+        )
+        stocks = stocks.join(F.broadcast(universe), "ticker", "left_semi")
 
     full = should_full_rewrite(spark, catalog, checkpoints)
     mode = "overwrite"
@@ -912,6 +932,12 @@ def run_gold(
             "gold_closes_intent",
             get_max_date(spark, catalog.silver("daily_aggregates")),
         )
+    # persist the published 12-name view DDL next to the gold tables
+    # (VERDICT r8 item 5: the reference's declared CS/ETF-segmented surface,
+    # served as documented views — one broadcast-semi-join filter each)
+    from tickerlake_spark.sql import write_reference_gold_view_ddl
+
+    write_reference_gold_view_ddl(catalog)
     summary = {
         "mode": "incremental" if incremental else "full",
         "timings": timer.timings,

@@ -206,3 +206,29 @@ res AS (
   GROUP BY 1, 2
 )"""
     return ADJUSTED_CTE + resample + _IND_TAIL.format(src="res")
+
+
+def ticker_universe(spark: SparkSession, sf_dir: str, ticker_type: str) -> DataFrame:
+    """Derived ticker metadata universe: suppkey % 10 == 0 -> ETF, else CS
+    (the same ~10% ETF share the e2e corpus uses). The segmented faces of
+    the published gold surface (reference: metadata.json databases.hvcs —
+    ``*_stocks`` / ``*_etfs``) are this one-column dimension broadcast
+    semi-joined against the type-agnostic analytic."""
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.select(
+            F.col("s_suppkey").cast("string").alias("ticker"),
+            F.when(F.col("s_suppkey") % 10 == 0, "ETF")
+            .otherwise("CS")
+            .alias("type"),
+        )
+        .filter(F.col("type") == ticker_type)
+        .select("ticker")
+    )
+
+
+META_CTE = """meta AS (
+  SELECT CAST(s_suppkey AS VARCHAR) AS ticker,
+         CASE WHEN s_suppkey % 10 = 0 THEN 'ETF' ELSE 'CS' END AS type
+  FROM supplier
+)"""

@@ -24,6 +24,7 @@ from tickerlake_spark.plans.finance import (
     ADJUSTED_CTE,
     BARS_CTE,
     INDICATORS_CTE,
+    META_CTE,
     resampled_indicators_cte,
     stock_bars,
     stock_splits,
@@ -447,6 +448,122 @@ def q38_best_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_steps=STAIRSTEP_MIN_STEPS, direction="up",
     )
     return best_patterns(pat).select(
+        "ticker",
+        "start_date",
+        "end_date",
+        "hvc_count",
+        stable_round(F.col("gain_pct"), 6).alias("gain_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CS/ETF-segmented faces of the published gold surface (VERDICT r8 item 5).
+# The reference publishes every HVC analytic twice — `*_stocks` and `*_etfs`
+# (metadata.json databases.hvcs, 12 tables); the split is a one-column
+# dimension (ticker type) broadcast semi-joined against the type-agnostic
+# result, exactly what sql.py::register_reference_gold_views serves and
+# run_gold persists as view DDL. These catalog entries pin that mechanism
+# against a DuckDB oracle on the derived universe (finance.py::META_CTE).
+# ---------------------------------------------------------------------------
+
+_HVC_SEGMENT_SELECT = f"""
+SELECT date, ticker,
+       ROUND(volume / volume_ma_20 + 5e-9, 6) AS volume_avg_ratio,
+       volume,
+       volume_ma_20 AS volume_avg
+FROM ind
+WHERE volume_ma_20 IS NOT NULL
+  AND volume / volume_ma_20 >= {HVC_THRESHOLD}
+  AND ticker IN (SELECT ticker FROM meta WHERE type = '{{t}}')
+"""
+
+
+def _hvc_events_segmented(
+    spark: SparkSession, sf_dir: str, ticker_type: str
+) -> DataFrame:
+    from tickerlake_spark.plans.finance import ticker_universe
+
+    adj = _adjusted(spark, sf_dir)
+    ind = compute_indicators(adj, assume_non_null=True)
+    ev = hvc_events(ind, adj, threshold=HVC_THRESHOLD)
+    seg = ev.join(
+        F.broadcast(ticker_universe(spark, sf_dir, ticker_type)),
+        "ticker",
+        "left_semi",
+    )
+    return seg.select(
+        "date",
+        "ticker",
+        stable_round(F.col("volume_avg_ratio"), 6).alias("volume_avg_ratio"),
+        "volume",
+        "volume_avg",
+    )
+
+
+@register(
+    "q36s_hvc_events_stocks",
+    doc="daily_high_volume_closes_STOCKS: the published CS-segmented HVC "
+    "face (metadata.json:9-67) — type dimension broadcast semi-joined "
+    "against the D1 analytic; zero extra fact shuffles.",
+    oracle=f"""
+WITH {INDICATORS_CTE},
+{META_CTE}
+{_HVC_SEGMENT_SELECT.format(t='CS')}
+""",
+)
+def q36s_hvc_events_stocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hvc_events_segmented(spark, sf_dir, "CS")
+
+
+@register(
+    "q36e_hvc_events_etfs",
+    doc="daily_high_volume_closes_ETFS: the published ETF-segmented HVC "
+    "face (metadata.json:69-128).",
+    oracle=f"""
+WITH {INDICATORS_CTE},
+{META_CTE}
+{_HVC_SEGMENT_SELECT.format(t='ETF')}
+""",
+)
+def q36e_hvc_events_etfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hvc_events_segmented(spark, sf_dir, "ETF")
+
+
+@register(
+    "q38s_best_pattern_stocks",
+    doc="stairstepping_summary_STOCKS: the published CS-segmented best-"
+    "pattern face (metadata.json:335-456) — segmentation of a per-ticker "
+    "summary commutes with the rank-1 dedup, so the semi-join runs on the "
+    "tiny summary, not the pattern mining.",
+    oracle=f"""
+WITH {INDICATORS_CTE},
+{META_CTE},
+{_STAIRSTEP_BODY.format(cmp='>')},
+ranked_p AS (
+  SELECT *, row_number() OVER (PARTITION BY ticker
+             ORDER BY hvc_count DESC, start_date ASC) AS rn
+  FROM patterns
+)
+SELECT ticker, start_date, end_date, hvc_count,
+       ROUND((last_close - first_close) / first_close * 100.0 + 5e-9, 6) AS gain_pct
+FROM ranked_p
+WHERE rn = 1 AND ticker IN (SELECT ticker FROM meta WHERE type = 'CS')
+""",
+)
+def q38s_best_pattern_stocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tickerlake_spark.plans.finance import ticker_universe
+
+    adj = _adjusted(spark, sf_dir)
+    ind = compute_indicators(adj, assume_non_null=True)
+    ev = hvc_events(ind, adj, threshold=HVC_THRESHOLD)
+    pat = stairstep_patterns(
+        ev, adj.select("ticker", "date", "close"),
+        min_steps=STAIRSTEP_MIN_STEPS, direction="up",
+    )
+    best = best_patterns(pat).join(
+        F.broadcast(ticker_universe(spark, sf_dir, "CS")), "ticker", "left_semi"
+    )
+    return best.select(
         "ticker",
         "start_date",
         "end_date",

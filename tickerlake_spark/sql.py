@@ -35,6 +35,8 @@ __all__ = [
     "register_testdata_views",
     "register_catalog_views",
     "register_reference_gold_views",
+    "reference_gold_view_ddl",
+    "write_reference_gold_view_ddl",
 ]
 
 
@@ -129,3 +131,48 @@ def register_reference_gold_views(spark: SparkSession, catalog: Catalog) -> list
             df.join(tickers, "ticker", "left_semi").createOrReplaceTempView(view)
             registered.append(view)
     return registered
+
+
+def reference_gold_view_ddl(catalog: Catalog) -> str:
+    """The 12 published gold names (reference: metadata.json databases.hvcs)
+    as executable CREATE OR REPLACE VIEW DDL over this engine's gold tables.
+
+    The segmentation is the declared type dimension applied as an IN-
+    subquery on ``silver.ticker_metadata`` — Catalyst plans it as a
+    broadcast left-semi join, so each view costs one dimension filter at
+    query time instead of doubling gold storage and breaking the O(delta)
+    maintenance discipline with 12 derived copies per run.
+
+    ``run_gold`` persists this to ``gold/_reference_views.sql`` so the lake
+    carries its published surface durably; apply with ``spark.sql`` per
+    statement (or adapt the names to a metastore-qualified schema).
+    """
+    meta_path = catalog.silver("ticker_metadata")
+    stmts = []
+    for ref_name, table in _REFERENCE_GOLD_VIEWS.items():
+        gold_path = catalog.gold(table)
+        for suffix, ticker_type in _TYPE_SUFFIX.items():
+            stmts.append(
+                f"CREATE OR REPLACE VIEW {ref_name}_{suffix} AS\n"
+                f"SELECT * FROM parquet.`{gold_path}`\n"
+                f"WHERE ticker IN (SELECT ticker FROM parquet.`{meta_path}`\n"
+                f"                 WHERE type = '{ticker_type}')"
+            )
+    return ";\n\n".join(stmts) + ";\n"
+
+
+def write_reference_gold_view_ddl(catalog: Catalog) -> str | None:
+    """Persist the published-surface DDL next to the gold tables; returns
+    the file path (None when the metadata dimension doesn't exist — there
+    is no type to segment by)."""
+    if not table_exists(catalog.silver("ticker_metadata")):
+        return None
+    ddl = reference_gold_view_ddl(catalog)
+    gold_root = os.path.dirname(catalog.gold("vwap_signals"))
+    os.makedirs(gold_root, exist_ok=True)
+    out = os.path.join(gold_root, "_reference_views.sql")
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(ddl)
+    os.replace(tmp, out)
+    return out

@@ -60,6 +60,14 @@ def silver_maintenance_batch(
     """
     if batch.isEmpty():
         return
+    # same universe restriction as the batch paths (VERDICT r8 item 2 /
+    # pipeline.run_silver): silver holds only CS/ETF-metadata tickers
+    meta_path = catalog.silver("ticker_metadata")
+    if table_exists(meta_path):
+        universe = read_table(spark, meta_path).select("ticker")
+        batch = batch.join(F.broadcast(universe), "ticker", "left_semi")
+        if batch.isEmpty():
+            return
     from tickerlake_spark.operators.indicator_state import (
         advance_tail,
         build_tail,
