@@ -509,3 +509,13 @@ def test_cms_candidate_verify_plans_no_joins(spark, sf_dir):
     )
     assert filter_lines, plan
     assert max(filter_lines) > agg_line, plan
+
+
+def test_mmr_selection_is_in_plan_not_driver(spark, sf_dir):
+    """VERDICT r8 item 7: q138's greedy MMR selection must be a JVM fold
+    inside the plan — a driver-side loop would surface as a LocalTableScan
+    of pre-computed picks (spark.createDataFrame over collected rows)."""
+    plan = _physical_plan(QUERIES["q138_mmr_rerank"].fn(spark, sf_dir))
+    assert "LocalTableScan" not in plan, "q138 result assembled on the driver"
+    # the embeddings scan is the plan's distributed leg
+    assert "embeddings" in plan

@@ -588,18 +588,22 @@ FROM ({sel}) ORDER BY rank ASC"""
     doc="Maximal-Marginal-Relevance diversified top-10 (Carbonell & "
     "Goldstein 1998): greedy re-rank of the cosine top-50 shortlist, each "
     "pick maximizing lambda*sim(query, d) - (1-lambda)*max sim(d, "
-    "selected). The distributed work is the shortlist scan + the 50x50 "
-    "pairwise-sim self-join; the greedy selection runs on the collected "
-    "50-row matrix — bounded driver state (shortlist x shortlist, the "
-    "same contract as k-means centroids), never the corpus. Similarities "
-    "are 6dp-stable-rounded on both engines (q45's proven cross-engine "
-    "contract) so the 10-step selection chain is value-hashable.",
+    "selected). The distributed work is the corpus-wide shortlist scan; "
+    "the k-step greedy selection is a single JVM ``aggregate`` fold over "
+    "the collected-to-one-row shortlist array (VERDICT r8 item 7: no "
+    "driver-side selection loop, no .collect() anywhere in the plan) — "
+    "pairwise sims are evaluated inside the fold against the <=k picked "
+    "embeddings, so the O(shortlist x k x dim) work stays in codegen. "
+    "Similarities are 6dp-stable-rounded on both engines (q45's proven "
+    "cross-engine contract) so the 10-step selection chain is "
+    "value-hashable.",
     oracle=_mmr_oracle(),
 )
 def q138_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tickerlake_spark.functions.vector import cosine_similarity
 
     lam, n_short, k = 0.7, 50, 10
+    om = 1.0 - lam  # embed the exact double (0.30000000000000004)
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         F.col("vec_id").alias("id"),
@@ -613,44 +617,61 @@ def q138_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("simq").desc(), F.col("id").asc())
         .limit(n_short)
-        .cache()
     )
-    pair = (
-        cand.alias("a")
-        .join(cand.alias("b"), F.col("a.id") != F.col("b.id"))
-        .select(
-            F.col("a.id").alias("pa"),
-            F.col("b.id").alias("pb"),
-            stable_round(
-                cosine_similarity(F.col("a.e"), F.col("b.e")), 6
-            ).alias("sim"),
-        )
-    )
-    simq = {r["id"]: r["simq"] for r in cand.select("id", "simq").collect()}
-    psim = {(r["pa"], r["pb"]): r["sim"] for r in pair.collect()}
-    cand.unpersist()
+    shortlist = cand.agg(F.collect_list(F.struct("id", "simq", "e")).alias("cs"))
 
-    selected: list[tuple[int, int, float]] = []
-    chosen: list[int] = []
-    for rank in range(1, k + 1):
-        best = None
-        for cid, sq in simq.items():
-            if cid in chosen:
-                continue
-            if chosen:
-                score = lam * sq - (1.0 - lam) * max(
-                    psim[(cid, s)] for s in chosen
-                )
-            else:
-                score = lam * sq
-            key = (-score, cid)
-            if best is None or key < best[0]:
-                best = (key, cid, score)
-        chosen.append(best[1])
-        selected.append((rank, best[1], round(best[2] + 5e-9, 6)))
-    return spark.createDataFrame(
-        selected, "rank long, id long, score double"
-    ).orderBy("rank")
+    # same float ops as functions/vector.cosine_similarity, in SQL form so
+    # it composes with the fold's lambda variables
+    def _cos(a: str, b: str) -> str:
+        def _dot(x: str, y: str) -> str:
+            return (
+                f"aggregate(zip_with({x}, {y}, (px, py) -> px * py), "
+                "cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+
+        def _nrm(x: str) -> str:
+            return (
+                f"sqrt(aggregate({x}, cast(0.0 as double), "
+                "(acc, v) -> acc + v * v))"
+            )
+
+        return f"({_dot(a, b)} / ({_nrm(a)} * {_nrm(b)}))"
+
+    # score of candidate c given already-picked set acc (simq and pairwise
+    # sims both 6dp-stable-rounded, matching the oracle's psim CTE)
+    score = (
+        f"CASE WHEN size(acc) = 0 THEN {lam!r} * c.simq "
+        f"ELSE {lam!r} * c.simq - {om!r} * array_max(transform(acc, "
+        f"s -> round({_cos('c.e', 's.e')} + 5e-9, 6))) END"
+    )
+    state_t = "array<struct<rank:int,id:bigint,score:double,e:array<double>>>"
+    pick_t = "struct<id:bigint,sc:double,e:array<double>>"
+    argmax = f"""aggregate(
+      transform(
+        filter(cs, c -> NOT exists(acc, s -> s.id = c.id)),
+        c -> named_struct('id', c.id, 'sc', {score}, 'e', c.e)
+      ),
+      cast(null as {pick_t}),
+      (b, x) -> CASE WHEN b IS NULL OR x.sc > b.sc
+                          OR (x.sc = b.sc AND x.id < b.id)
+                     THEN x ELSE b END
+    )"""
+    fold = f"""aggregate(
+      sequence(1, {k}),
+      cast(array() as {state_t}),
+      (acc, t) -> concat(acc, transform(array({argmax}),
+        w -> named_struct('rank', cast(t as int), 'id', w.id,
+                          'score', w.sc, 'e', w.e)))
+    )"""
+    return (
+        shortlist.select(F.explode(F.expr(fold)).alias("s"))
+        .select(
+            F.col("s.rank").cast("long").alias("rank"),
+            F.col("s.id").alias("id"),
+            F.round(F.col("s.score") + F.lit(5e-9), 6).alias("score"),
+        )
+        .orderBy("rank")
+    )
 
 
 def _bpe_oracle_sql(n_merges: int = 10) -> str:
