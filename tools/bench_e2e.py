@@ -142,7 +142,7 @@ def run(n_tickers: int = 10_000, years: int = 5, data_dir: str | None = None) ->
         days = trading_days(dt.date(end.year - years + 1, 1, 1), end)
 
         t0 = time.perf_counter()
-        n_bars = generate_bronze(spark, catalog, n_tickers, days[:-2])
+        n_bars = generate_bronze(spark, catalog, n_tickers, days[:-4])
         t_bronze = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -181,11 +181,17 @@ def run(n_tickers: int = 10_000, years: int = 5, data_dir: str | None = None) ->
             return s, t_s, g, t_g
 
         migrate_summary, t_silver_migrate, gold_incr1, t_gold_incr1 = one_append(
-            days[-2:-1]
+            days[-4:-3]
         )
-        append_summary, t_silver_append, gold_incr, t_gold_incr = one_append(
-            days[-1:]
-        )
+        # steady state 3x (VERDICT r8 item 4: single samples showed 2-3x
+        # box-condition variance across same-code runs; min+median make the
+        # number reproducible without re-litigating variance every round)
+        steady = [one_append([days[i]]) for i in (-3, -2, -1)]
+        append_summary, _, gold_incr, _ = steady[-1]
+        silver_runs = sorted(round(s[1], 2) for s in steady)
+        gold_runs = sorted(round(s[3], 2) for s in steady)
+        t_silver_append = silver_runs[1]  # median of 3
+        t_gold_incr = gold_runs[1]
 
         daily_rows = read_table(spark, catalog.silver("daily_aggregates")).count()
         # observability counts OUTSIDE the timed maintenance sections: they
@@ -200,8 +206,16 @@ def run(n_tickers: int = 10_000, years: int = 5, data_dir: str | None = None) ->
             "bronze_gen_write_sec": round(t_bronze, 2),
             "silver_sec": round(t_silver, 2),
             "gold_sec": round(t_gold, 2),
+            # median of the three steady-state appends; *_min and *_runs
+            # carry the spread (min ~= the idle-box truth)
             "silver_append_sec": round(t_silver_append, 2),
             "gold_incremental_sec": round(t_gold_incr, 2),
+            "silver_append_sec_min": silver_runs[0],
+            "gold_incremental_sec_min": gold_runs[0],
+            "steady_runs": {
+                "silver_append_sec": silver_runs,
+                "gold_incremental_sec": gold_runs,
+            },
             # one-time costs of the append AFTER a full rewrite (horizon
             # scan + indicator-tail install); later appends run at the
             # steady-state numbers above
