@@ -1144,3 +1144,24 @@ def test_repair_closes_extract_retry_after_simulated_crash(spark, tmp_path):
     assert got.filter(F.col("date") > F.lit(wm)).count() == 0
     # every ticker's full pre-watermark history survived
     assert got.count() == 40 * 3
+
+
+def test_parquet_stats_all_non_null(spark, tmp_path):
+    """Footer null-count probe: proves non-nullness without a Spark job;
+    returns False on any null, None for missing columns."""
+    from tickerlake_spark.storage import parquet_stats_all_non_null
+
+    clean = str(tmp_path / "clean")
+    spark.createDataFrame(
+        [(1.0, 2.0), (3.0, 4.0)], "a double, b double"
+    ).write.parquet(clean)
+    assert parquet_stats_all_non_null(clean, ["a", "b"]) is True
+
+    dirty = str(tmp_path / "dirty")
+    spark.createDataFrame(
+        [(1.0, 2.0), (None, 4.0)], "a double, b double"
+    ).write.parquet(dirty)
+    assert parquet_stats_all_non_null(dirty, ["a", "b"]) is False
+    assert parquet_stats_all_non_null(dirty, ["b"]) is True
+    assert parquet_stats_all_non_null(dirty, ["nope"]) is None
+    assert parquet_stats_all_non_null(str(tmp_path / "missing"), ["a"]) is None

@@ -77,6 +77,24 @@ class _StageTimer:
         )
         self._last = now
 
+    def span(self, name: str):
+        """Context manager measuring an explicit duration — the thread-safe
+        form for CONCURRENT stages (overlapping spans sum to more than the
+        phase's wall clock; ``mark`` would mis-attribute across threads)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            t0 = time.perf_counter()
+            try:
+                yield
+            finally:
+                self.timings[name] = round(
+                    self.timings.get(name, 0.0) + (time.perf_counter() - t0), 3
+                )
+
+        return _cm()
+
 __all__ = [
     "run_bronze",
     "run_silver",
@@ -298,31 +316,79 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
         # resample/indicators emerge ticker-clustered from their window
         # shuffle; repartition by date before the partitioned write so each
         # date directory gets one file, not one per writer task.
-        for period, table in (
-            ("week", "weekly_aggregates"),
-            ("month", "monthly_aggregates"),
-        ):
+        #
+        # The three grain chains (daily indicators; weekly resample ->
+        # indicators; monthly resample -> indicators) read only the
+        # already-written daily table and touch disjoint outputs — run
+        # them concurrently like the append path does (VERDICT r8 item 3:
+        # the daily-indicator window pass dominates the rewrite; the
+        # resample chains hide under it instead of serializing after it).
+        # Timings use spans (overlapping).
+        #
+        # ordinal-mask fast path (VERDICT r8 item 3): the shared-ordinal
+        # full-window mask is ~15% cheaper than per-frame count
+        # accumulators but exact ONLY on non-null high/low/close/volume.
+        # Prove the precondition per source table from row-group
+        # null-count statistics (footer walk, no Spark job; a conformed-
+        # but-malformed source row CAN produce a null, so this is a probe,
+        # not an assumption) and fall back to the strict count mask when
+        # the proof fails or stats are missing. Values are byte-identical
+        # on non-null inputs — the masks differ only in HOW they detect a
+        # full window.
+        from tickerlake_spark.storage import parquet_stats_all_non_null
+
+        masks: dict[str, str] = {}
+
+        def _indicators_for(src_table: str, out_table: str) -> None:
+            non_null = parquet_stats_all_non_null(
+                catalog.silver(src_table), ["high", "low", "close", "volume"]
+            )
+            masks[out_table] = "ordinal" if non_null else "count"
+            ind = compute_indicators(
+                read_table(spark, catalog.silver(src_table)),
+                assume_non_null=bool(non_null),
+            )
+            with timer.span(out_table):
+                write_table(
+                    schemas.conform(ind, schemas.INDICATORS).repartition(
+                        "date"
+                    ),
+                    catalog.silver(out_table),
+                    partition_by="date",
+                )
+
+        def _full_resampled_chain(period: str, agg_table: str,
+                                  ind_table: str) -> None:
             resampled = schemas.conform(
                 resample_ohlcv(full_daily, period), schemas.AGGREGATES
             )
-            write_table(
-                resampled.repartition("date"),
-                catalog.silver(table),
-                partition_by="date",
-            )
-            timer.mark(table)
-        for src_table, out_table in (
-            ("daily_aggregates", "daily_indicators"),
-            ("weekly_aggregates", "weekly_indicators"),
-            ("monthly_aggregates", "monthly_indicators"),
-        ):
-            ind = compute_indicators(read_table(spark, catalog.silver(src_table)))
-            write_table(
-                schemas.conform(ind, schemas.INDICATORS).repartition("date"),
-                catalog.silver(out_table),
-                partition_by="date",
-            )
-            timer.mark(out_table)
+            with timer.span(agg_table):
+                write_table(
+                    resampled.repartition("date"),
+                    catalog.silver(agg_table),
+                    partition_by="date",
+                )
+            _indicators_for(agg_table, ind_table)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(
+                    _indicators_for, "daily_aggregates", "daily_indicators"
+                ),
+                pool.submit(
+                    _full_resampled_chain, "week", "weekly_aggregates",
+                    "weekly_indicators",
+                ),
+                pool.submit(
+                    _full_resampled_chain, "month", "monthly_aggregates",
+                    "monthly_indicators",
+                ),
+            ]
+            for f in futs:
+                f.result()
+        timer.mark("full_parallel_wall")
         checkpoints.set("silver_last_full_rewrite", dt.date.today().isoformat())
         checkpoints.set(
             "silver_splits_fingerprint", _splits_fingerprint(spark, catalog)
@@ -341,7 +407,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
         # the rebuild costs exactly one horizon-based append)
         checkpoints.set("silver_tail_as_of", None)
         timer.mark("checkpoints")
-        return {"mode": "full", "timings": timer.timings}
+        return {"mode": "full", "timings": timer.timings, "indicator_masks": masks}
 
     # append path: touch only what one new batch of bars can change.
     # Rolling windows and resample buckets straddle the watermark, but the
@@ -788,45 +854,113 @@ def run_gold(
         # closes — were ~half the full-rebuild regression): every consumer
         # needs only (ticker, date, close, volume), so that projection is
         # persisted once and all four legs read the cache.
+        #
+        # The rebuild's three independent chains then run CONCURRENTLY
+        # (VERDICT r8 item 1): the signals chain (window pass + the
+        # write-heaviest table), the closes extract, and the HVC chain
+        # (events -> hvc tables -> stair-steps -> summaries). A 10x layout
+        # experiment (tools/experiments r9) showed the signals stage is
+        # ~half write/shuffle — time the other chains hide under, since
+        # write phases leave cores idle (commit protocol, I/O waits);
+        # coarser partition layouts (year=/month= dirs) measured SLOWER,
+        # so the date layout stays. Safety: each chain touches disjoint
+        # tables and mutates no session conf; concurrent first-use of the
+        # shared caches is safe (Spark's per-block locks compute each
+        # cached partition exactly once). Timings use spans (overlapping;
+        # they sum to more than the phase wall clock).
         narrow = daily.select("ticker", "date", "close", "volume").persist()
         try:
-            # signals and the running-sum state derive from ONE augmented
-            # window pass (vwap_full): persist it across the two writes so
-            # full history is windowed once, not once per output
-            signals, state, shared = vwap_full(narrow, calculated_at=calculated_at)
-            shared.persist()
-            try:
-                write_table(
-                    schemas.conform(signals, schemas.VWAP_SIGNALS).repartition(
-                        "date"
-                    ),
-                    catalog.gold("vwap_signals"),
-                    partition_by="date",
+
+            def _signals_chain() -> None:
+                # signals and the running-sum state derive from ONE
+                # augmented window pass (vwap_full): persist it across the
+                # two writes so full history is windowed once; the two
+                # writes are independent actions over that cache — run
+                # them concurrently (the state write is a small aggregate
+                # that otherwise serializes after the big signals write)
+                signals, state, shared = vwap_full(
+                    narrow, calculated_at=calculated_at
                 )
-                timer.mark("vwap_signals")
-                write_table(state, catalog.gold("vwap_state"))
-                timer.mark("vwap_state")
-            finally:
-                shared.unpersist()
-            write_closes_extract(narrow, catalog.gold("closes_by_ticker"))
-            timer.mark("closes_extract")
-            ind = read_table(spark, catalog.silver("daily_indicators"))
-            # the events frame feeds three actions (hvc write + two
-            # stair-step directions); persist it so the indicator scan and
-            # the volume join run once — it is ~2% of ticker-days
-            events = hvc_events(ind, narrow, threshold=hvc_threshold).persist()
-            try:
-                write_table(
-                    schemas.conform(events, schemas.HVC_EVENTS).repartition(
-                        "date"
-                    ),
-                    catalog.gold("hvc_daily"),
-                    partition_by="date",
-                )
-                timer.mark("hvc_daily")
+                shared.persist()
+                try:
+
+                    def _sig_write() -> None:
+                        with timer.span("vwap_signals"):
+                            write_table(
+                                schemas.conform(
+                                    signals, schemas.VWAP_SIGNALS
+                                ).repartition("date"),
+                                catalog.gold("vwap_signals"),
+                                partition_by="date",
+                            )
+
+                    def _state_write() -> None:
+                        with timer.span("vwap_state"):
+                            write_table(state, catalog.gold("vwap_state"))
+
+                    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+                    with _TPE(max_workers=2) as inner:
+                        for f in [
+                            inner.submit(_sig_write),
+                            inner.submit(_state_write),
+                        ]:
+                            f.result()
+                finally:
+                    shared.unpersist()
+
+            def _extract_chain() -> None:
+                with timer.span("closes_extract"):
+                    write_closes_extract(narrow, catalog.gold("closes_by_ticker"))
+
+            def _hvc_chain() -> None:
+                ind = read_table(spark, catalog.silver("daily_indicators"))
+                # the events frame feeds three actions (hvc write + two
+                # stair-step directions); persist it so the indicator scan
+                # and the volume join run once — it is ~2% of ticker-days
+                events = hvc_events(ind, narrow, threshold=hvc_threshold).persist()
+                try:
+                    with timer.span("hvc_daily"):
+                        write_table(
+                            schemas.conform(
+                                events, schemas.HVC_EVENTS
+                            ).repartition("date"),
+                            catalog.gold("hvc_daily"),
+                            partition_by="date",
+                        )
+                    closes = narrow.select("ticker", "date", "close")
+                    # one events x closes join (the closes side is the full
+                    # 125M-row history at 10x) shared by both directions
+                    with timer.span("stairsteps"):
+                        seq = stairstep_seq(
+                            events.select("ticker", "date"), closes
+                        ).persist()
+                        try:
+                            for direction, table in (
+                                ("up", "stairstep_up"),
+                                ("down", "stairstep_down"),
+                            ):
+                                pats = stairstep_patterns(
+                                    events.select("ticker", "date"), closes,
+                                    min_steps=min_steps, direction=direction,
+                                    seq=seq,
+                                )
+                                write_table(
+                                    schemas.conform(
+                                        pats, schemas.STAIRSTEP_PATTERNS
+                                    ),
+                                    catalog.gold(table),
+                                )
+                        finally:
+                            seq.unpersist()
+                finally:
+                    events.unpersist()
+
+            def _faces_chain() -> None:
                 # weekly/monthly HVC faces (reference: metadata.json
                 # weekly/monthly high_volume_closes tables — 3x+ the
-                # 20-week / 20-month average)
+                # 20-week / 20-month average); they read only the silver
+                # resampled tables — independent of every other chain
                 for ind_table, agg_table, out in (
                     ("weekly_indicators", "weekly_aggregates", "hvc_weekly"),
                     ("monthly_indicators", "monthly_aggregates", "hvc_monthly"),
@@ -836,40 +970,32 @@ def run_gold(
                         read_table(spark, catalog.silver(agg_table)),
                         threshold=hvc_threshold,
                     )
-                    write_table(
-                        schemas.conform(ev, schemas.HVC_EVENTS).repartition(
-                            "date"
-                        ),
-                        catalog.gold(out),
-                        partition_by="date",
-                    )
-                    timer.mark(out)
-                closes = narrow.select("ticker", "date", "close")
-                # one events x closes join (the closes side is the full
-                # 125M-row history at 10x) shared by both directions
-                seq = stairstep_seq(
-                    events.select("ticker", "date"), closes
-                ).persist()
-                try:
-                    for direction, table in (
-                        ("up", "stairstep_up"),
-                        ("down", "stairstep_down"),
-                    ):
-                        pats = stairstep_patterns(
-                            events.select("ticker", "date"), closes,
-                            min_steps=min_steps, direction=direction, seq=seq,
-                        )
+                    with timer.span(out):
                         write_table(
-                            schemas.conform(pats, schemas.STAIRSTEP_PATTERNS),
-                            catalog.gold(table),
+                            schemas.conform(
+                                ev, schemas.HVC_EVENTS
+                            ).repartition("date"),
+                            catalog.gold(out),
+                            partition_by="date",
                         )
-                finally:
-                    seq.unpersist()
-            finally:
-                events.unpersist()
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                futs = [
+                    pool.submit(c)
+                    for c in (
+                        _signals_chain,
+                        _hvc_chain,
+                        _extract_chain,
+                        _faces_chain,
+                    )
+                ]
+                for f in futs:
+                    f.result()
         finally:
             narrow.unpersist()
-        timer.mark("stairsteps")
+        timer.mark("full_parallel_wall")
 
     # per-ticker summaries, recomputed from the (tiny) pattern tables:
     # best_patterns = stairstepping_summary, best_patterns_down =

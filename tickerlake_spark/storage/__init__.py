@@ -6,6 +6,7 @@ from tickerlake_spark.storage.io import (
     drop_table,
     get_max_date,
     init_table,
+    parquet_stats_all_non_null,
     parquet_stats_max,
     read_table,
     table_exists,
@@ -23,6 +24,7 @@ __all__ = [
     "init_table",
     "table_exists",
     "get_max_date",
+    "parquet_stats_all_non_null",
     "parquet_stats_max",
     "detect_partition_column",
     "write_bucketed",
