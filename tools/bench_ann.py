@@ -275,6 +275,54 @@ def run(spark=None, sf_dir: str | None = None) -> dict:
         lambda qv: rerank(_ivfpq_shortlist(gcent, rcb, renc, qv, 6, 200), qv),
     )
 
+    # --- codes-only candidates (VERDICT r8 item 8): two routes at the
+    # no-rerank point. (a) OPQ: learned rotation before PQ training —
+    # measured honestly even though the benchmark corpus is ISOTROPIC
+    # (independent hash-seeded unit vectors), where a rotation cannot help
+    # by construction (spherical covariance); the anisotropic gain it
+    # exists for is pinned by tests/test_opq.py. (b) finer subspaces
+    # (m=32, sub_dim=2): resolution, not rotation, is what moves the
+    # codes-only floor on an isotropic corpus. The floor sweep below
+    # publishes or demotes each on its measured number.
+    from tickerlake_spark.operators.opq import (
+        opq_pq_fit,
+        rotate_query,
+        rotate_vectors,
+    )
+
+    def _build_opq(pq_k, iters, m):
+        rot, books = opq_pq_fit(
+            emb, dim=DIM, m=m, k=pq_k, iters=iters,
+            vec_col="embedding", id_col="vec_id",
+        )
+        enc = (
+            pq_encode(rotate_vectors(base, rot, vec_col="v"), books, vec_col="v")
+            .drop("v")
+            .cache()
+        )
+        enc.count()
+        return rot, books, enc
+
+    (orot, obooks, oenc), obuild = _timed(lambda: _build_opq(PQ_K_FINE, 3, M_SERVE))
+    score(
+        f"opq_pq_m{M_SERVE}_k{PQ_K_FINE}_noRerank",
+        obuild,
+        lambda qv: topk_ids_n(
+            oenc.withColumn("d", adc_distance(obooks, rotate_query(orot, qv)))
+            .orderBy(F.col("d").asc(), F.col("id").asc())
+            .select("id"),
+            K_TOP,
+        ),
+    )
+
+    M_FINE = 32
+    (cb32, enc32), build32 = _timed(lambda: _build_pq(PQ_K_FINE, 3, M_FINE))
+    score(
+        f"pq_adc_m{M_FINE}_k{PQ_K_FINE}_noRerank",
+        build32,
+        lambda qv: _adc_shortlist(enc32, cb32, qv, K_TOP),
+    )
+
     # floor enforcement: a published method below the floor is demoted, loudly
     for name in [n for n in list(results) if n != "brute_force"]:
         if results[name]["recall_at_10"] < RECALL_FLOOR:
@@ -289,6 +337,8 @@ def run(spark=None, sf_dir: str | None = None) -> dict:
     enc.unpersist()
     enc64.unpersist()
     renc.unpersist()
+    oenc.unpersist()
+    enc32.unpersist()
     out = {
         "metric": "ann_recall_latency",
         "sf_dir": sf_dir,
