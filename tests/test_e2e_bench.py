@@ -15,12 +15,17 @@ def test_e2e_bench_tool_runs_and_reports(tmp_path):
     out = run(n_tickers=25, years=1, data_dir=str(tmp_path / "e2e"))
 
     n_days = out["bars"] // 25
-    assert n_days > 240  # a year of NYSE sessions minus the two appended days
-    # full rewrite covered initial days; the two appends added exactly one
-    # day each (migration + steady state), and the incremental gold runs
-    # caught vwap_signals up to them
-    assert out["silver_daily_rows"] == out["bars"] + 2 * 25
-    assert out["gold_vwap_rows"] == out["bars"] + 2 * 25
+    assert n_days > 240  # a year of NYSE sessions minus the four appended days
+    # full rewrite covered initial days; the four appends (1 migration +
+    # 3 steady-state samples) added exactly one day each, and the
+    # incremental gold runs caught vwap_signals up to them
+    assert out["silver_daily_rows"] == out["bars"] + 4 * 25
+    assert out["steady_runs"]["silver_append_sec"] == sorted(
+        out["steady_runs"]["silver_append_sec"]
+    )
+    assert out["silver_append_sec"] == out["steady_runs"]["silver_append_sec"][1]
+    assert out["silver_append_sec_min"] == out["steady_runs"]["silver_append_sec"][0]
+    assert out["gold_vwap_rows"] == out["bars"] + 4 * 25
     assert out["gold_hvc_rows"] > 0  # volume spikes must trigger HVC events
     assert out["silver_append_sec"] > 0  # append path engaged (asserted inside)
     assert out["gold_incremental_sec"] > 0  # incremental gold engaged

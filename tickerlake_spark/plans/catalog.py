@@ -284,10 +284,13 @@ _COST_RANK = [
     "q135_duplicate_spans",
     "q132_ngram_containment",
     "q36_hvc_events",
+    "q36s_hvc_events_stocks",
+    "q36e_hvc_events_etfs",
     "q31_split_adjust",
     "q44_ngram_jaccard",
     "q36w_hvc_events_weekly",
     "q38_best_pattern",
+    "q38s_best_pattern_stocks",
     "q47_lsh_ann",
     "q37b_stairstep_down",
     "q35_vwap_signals",
