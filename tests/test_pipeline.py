@@ -984,3 +984,58 @@ def test_full_rewrite_indicator_mask_probe(spark, tmp_path):
     # count mask ran without error and produced the strict frame)
     ind = read_table(spark, cat2.silver("daily_indicators"))
     assert ind.filter("volume_ratio IS NOT NULL").count() == 0
+
+
+def test_universe_change_forces_full_rewrite(spark, tmp_path):
+    """r9 review finding: a ticker reclassified into CS/ETF must trigger a
+    full rewrite — the append path can only admit bars past the watermark,
+    so without the universe fingerprint its HISTORY would never reach
+    silver (and a declassified ticker's stale history would linger)."""
+    from tickerlake_spark.pipeline import run_silver
+    from tickerlake_spark.sources.market import InMemoryMarketSource
+
+    days = trading_days(D(2024, 1, 2), D(2024, 1, 19))
+    trio = ("AAPL", "SPYX", "FUNDX")
+
+    def src_for(day_slice, fundx_type):
+        return InMemoryMarketSource(
+            bars_by_date={d: _bars_for(d, tickers=trio) for d in day_slice},
+            ticker_rows=[
+                {"ticker": "AAPL", "name": "Apple", "type": "CS",
+                 "active": True, "market": "stocks", "locale": "us",
+                 "primary_exchange": "XNAS", "currency_name": "usd", "cik": "1"},
+                {"ticker": "SPYX", "name": "Spyx ETF", "type": "ETF",
+                 "active": True, "market": "stocks", "locale": "us",
+                 "primary_exchange": "XNAS", "currency_name": "usd", "cik": "2"},
+                {"ticker": "FUNDX", "name": "Fund", "type": fundx_type,
+                 "active": True, "market": "stocks", "locale": "us",
+                 "primary_exchange": "XNAS", "currency_name": "usd", "cik": "3"},
+            ],
+            split_rows=[],
+        )
+
+    cat = Catalog(root=str(tmp_path / "data"))
+    cp = Checkpoints(str(tmp_path / "cp.json"))
+    run_bronze(spark, src_for(days[:-1], "FUND"), cat, cp, days[0], days[-2])
+    assert run_silver(spark, cat, cp)["mode"] == "full"
+    assert {
+        r.ticker
+        for r in read_table(spark, cat.silver("daily_aggregates"))
+        .select("ticker").distinct().collect()
+    } == {"AAPL", "SPYX"}
+
+    # FUNDX is reclassified FUND -> CS; one new day lands in bronze. An
+    # append would admit only FUNDX's newest bar — the fingerprint forces
+    # the rewrite that backfills its whole history.
+    run_bronze(spark, src_for(days, "CS"), cat, cp, days[0], days[-1])
+    s = run_silver(spark, cat, cp)
+    assert s["mode"] == "full"
+    daily = read_table(spark, cat.silver("daily_aggregates"))
+    fundx_days = daily.filter("ticker = 'FUNDX'").count()
+    assert fundx_days == len(days)  # full history, not just the new day
+
+    # stable universe afterwards: next day appends normally
+    # (no further bronze change -> noop is also acceptable evidence the
+    # fingerprint is stable)
+    s2 = run_silver(spark, cat, cp)
+    assert s2["mode"] == "noop"

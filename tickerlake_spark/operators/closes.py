@@ -88,7 +88,15 @@ def append_closes_extract(
     max_files_per_partition: int = 16,
 ) -> None:
     """Append one run's new closes, then compact any bucket that accreted
-    past ``max_files_per_partition`` files (cost tracks churn, not size)."""
+    past ``max_files_per_partition`` files (cost tracks churn, not size).
+
+    Any swap a crashed compaction left journaled is finished BEFORE the
+    append: recovering it afterwards would install the pre-crash staged
+    dir over a bucket that already holds this run's rows — silently
+    destroying the just-appended delta (r9 review finding)."""
+    from tickerlake_spark.storage.maintenance import repair_partition_swaps
+
+    repair_partition_swaps(path)
     write_closes_extract(delta, path, mode="append")
     compact_partition_dirs(
         spark,

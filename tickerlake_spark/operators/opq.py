@@ -61,18 +61,30 @@ def covariance_matrix(df: DataFrame, dim: int, vec_col: str = "v"):
     vec = vec_col
 
     def _partials(batches):
+        # accumulate across the partition's batches, yield ONE partial per
+        # partition: the driver collect stays O(partitions x dim^2), not
+        # O(corpus / batch_size) (r9 review finding)
         import numpy as _np
         import pandas as _pd
 
+        n_acc = 0
+        s_acc = None
+        o_acc = None
         for pdf in batches:
             if not len(pdf):
                 continue
             x = _np.stack(pdf[vec].to_numpy())
+            n_acc += int(x.shape[0])
+            s_b = x.sum(axis=0)
+            o_b = x.T @ x
+            s_acc = s_b if s_acc is None else s_acc + s_b
+            o_acc = o_b if o_acc is None else o_acc + o_b
+        if n_acc:
             yield _pd.DataFrame(
                 {
-                    "n": [int(x.shape[0])],
-                    "s": [(x.sum(axis=0)).tolist()],
-                    "o": [(x.T @ x).reshape(-1).tolist()],
+                    "n": [n_acc],
+                    "s": [s_acc.tolist()],
+                    "o": [o_acc.reshape(-1).tolist()],
                 }
             )
 
@@ -138,31 +150,35 @@ def rotate_vectors(
     r_list = [[float(x) for x in row] for row in rotation]
     in_cols = df.columns
     out_cols = in_cols if out in in_cols else [*in_cols, out]
-    fields = []
-    for c in out_cols:
-        if c == out:
-            fields.append(f"{c} array<double>")
-        else:
-            fields.append(f"{c} {dict(df.dtypes)[c]}")
-    schema = ", ".join(fields)
+    # dtypes taken AFTER the vec cast, so the passthrough vector column is
+    # declared as the array<double> the select actually produces
+    casted = df.select(
+        *[
+            F.col(c).cast("array<double>").alias(c) if c == vec_col else F.col(c)
+            for c in in_cols
+        ]
+    )
+    dtypes = dict(casted.dtypes)
+    schema = ", ".join(
+        f"{c} array<double>" if c == out else f"{c} {dtypes[c]}"
+        for c in out_cols
+    )
 
     def _rot(batches):
         import numpy as _np
 
         rm = _np.asarray(r_list)
         for pdf in batches:
+            pdf = pdf.copy()
             if len(pdf):
                 x = _np.stack(pdf[vec_col].to_numpy())
-                pdf = pdf.copy()
                 pdf[out] = list((x @ rm.T).tolist())
-            yield pdf[list(out_cols)] if len(pdf) else pdf
+            elif out not in pdf.columns:
+                # empty batch must still carry every declared column
+                pdf[out] = []
+            yield pdf[list(out_cols)]
 
-    return df.select(
-        *[
-            F.col(c).cast("array<double>").alias(c) if c == vec_col else F.col(c)
-            for c in in_cols
-        ]
-    ).mapInPandas(_rot, schema)
+    return casted.mapInPandas(_rot, schema)
 
 
 def rotate_query(rotation, qv: list[float]) -> list[float]:

@@ -195,6 +195,26 @@ def _splits_fingerprint(spark: SparkSession, catalog: Catalog) -> str | None:
     return str(row["fp"])
 
 
+def _universe_fingerprint(spark: SparkSession, catalog: Catalog) -> str | None:
+    """Order-insensitive content hash of the CS/ETF ticker universe
+    (silver.ticker_metadata ticker set). A universe CHANGE — a ticker
+    reclassified into or out of CS/ETF — invalidates silver history the
+    same way a late split does: the append path would only ever admit the
+    ticker's NEW bars (or stop excluding its stale ones), so the pinned
+    both-paths universe invariant needs a full rewrite to hold
+    (r9 review finding)."""
+    path = catalog.silver("ticker_metadata")
+    if not table_exists(path):
+        return None
+    df = read_table(spark, path).select("ticker")
+    row = df.agg(
+        F.sum(
+            F.pmod(F.xxhash64(F.col("ticker")), F.lit(2_147_483_647))
+        ).alias("fp")
+    ).first()
+    return str(row["fp"])
+
+
 def should_full_rewrite(
     spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints | None = None
 ) -> bool:
@@ -224,6 +244,18 @@ def should_full_rewrite(
     max_silver = get_max_date(spark, daily_path)
     if max_silver is None:
         return True
+    if checkpoints is not None:
+        # a changed CS/ETF universe (ticker reclassified in or out) stales
+        # history exactly like a late split: the append path can only admit
+        # bars past the watermark, so reclassified tickers' history would
+        # stay wrong forever without a rewrite. Checked BEFORE the
+        # splits-table gate — universe changes are orthogonal to splits.
+        rec_universe = checkpoints.get("silver_universe_fingerprint")
+        if (
+            rec_universe is not None
+            and _universe_fingerprint(spark, catalog) != rec_universe
+        ):
+            return True
     if not table_exists(catalog.bronze("splits")):
         return False
     if checkpoints is not None:
@@ -393,6 +425,9 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
         checkpoints.set(
             "silver_splits_fingerprint", _splits_fingerprint(spark, catalog)
         )
+        checkpoints.set(
+            "silver_universe_fingerprint", _universe_fingerprint(spark, catalog)
+        )
         checkpoints.set("silver_last_mode", "full")
         # generation counter: every full rewrite invalidates ALL downstream
         # gold history; gold compares this against the generation it last
@@ -544,6 +579,9 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
     checkpoints.set("silver_tail_as_of", new_wm_iso)
     timer.mark("indicator_tails")
     checkpoints.set("silver_splits_fingerprint", _splits_fingerprint(spark, catalog))
+    checkpoints.set(
+        "silver_universe_fingerprint", _universe_fingerprint(spark, catalog)
+    )
     checkpoints.set("silver_last_mode", "append")
     timer.mark("checkpoints")
     return {"mode": "append", "timings": timer.timings}

@@ -145,6 +145,24 @@ def detect_partition_column(path: str) -> str | None:
     return next(iter(cols)) if cols else None
 
 
+def _data_files(path: str) -> list[str]:
+    """Parquet data files of a table, skipping the ``_``/``.``-prefixed
+    directories and files Spark's file index ignores — the load-bearing
+    rule that keeps crash-leftover staging dirs (``_compact_*``/``_old_*``)
+    out of every footer-stats probe. Single shared walk for all probes."""
+    if os.path.isfile(path):
+        return [path]
+    files: list[str] = []
+    for r, dirs, fs in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        files.extend(
+            os.path.join(r, f)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return files
+
+
 def parquet_stats_max(path: str, column: str):
     """Max of ``column`` across a Parquet table from row-group STATISTICS
     alone — footer reads, zero data pages, no Spark job.
@@ -177,17 +195,7 @@ def parquet_stats_max(path: str, column: str):
 
     if not table_exists(path):
         return None
-    if os.path.isfile(path):
-        files = [path]
-    else:
-        files = []
-        for r, dirs, fs in os.walk(path):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            files.extend(
-                os.path.join(r, f)
-                for f in fs
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
+    files = _data_files(path)
     mx = None
     for f in files:
         md = pq.ParquetFile(f).metadata
@@ -223,18 +231,7 @@ def parquet_stats_all_non_null(path: str, columns: list[str]):
 
     if not table_exists(path):
         return None
-    if os.path.isfile(path):
-        files = [path]
-    else:
-        files = []
-        for r, dirs, fs in os.walk(path):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            files.extend(
-                os.path.join(r, f)
-                for f in fs
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
-    for f in files:
+    for f in _data_files(path):
         md = pq.ParquetFile(f).metadata
         idxs = []
         for c in columns:

@@ -72,8 +72,30 @@ def swap_partition_dir(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp_marker, marker)
+    # the journal ordering must survive POWER loss, not just a process
+    # crash: without a directory fsync the filesystem may persist the
+    # part -> _old rename while the marker's own rename is still
+    # unflushed, leaving an unrecoverable markerless _old_* dir — fsync
+    # the table dir after the marker lands and again after the swap
+    _fsync_dir(path)
     _finish_swap(path, payload)
+    _fsync_dir(path)
     os.remove(marker)
+
+
+def _fsync_dir(path: str) -> None:
+    """Flush directory-entry changes (renames, creates) to stable storage.
+    Best-effort on filesystems that reject directory fds."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
 
 
 def _finish_swap(path: str, m: dict) -> None:

@@ -318,7 +318,13 @@ def gold_maintenance_batch(
         # scope-replace of the batch's exact (tb, ticker, date) keys.
         from tickerlake_spark.operators.closes import append_closes_extract
         from tickerlake_spark.storage import parquet_stats_max, replace_keys
+        from tickerlake_spark.storage.maintenance import repair_partition_swaps
 
+        # finish any swap a crashed compaction left mid-flight FIRST: the
+        # watermark probe and the replace path must see every bucket's
+        # real history, not a table with one bucket parked in a
+        # Spark-invisible '_old_*' dir (r9 review finding)
+        repair_partition_swaps(closes_path)
         ext_max = parquet_stats_max(closes_path, "date")
         if ext_max is not None and since > ext_max:
             append_closes_extract(spark, ext_delta, closes_path)
