@@ -304,8 +304,9 @@ def run(spark=None, sf_dir: str | None = None) -> dict:
         return rot, books, enc
 
     (orot, obooks, oenc), obuild = _timed(lambda: _build_opq(PQ_K_FINE, 3, M_SERVE))
+    oname = f"opq_pq_m{M_SERVE}_k{PQ_K_FINE}_noRerank"
     score(
-        f"opq_pq_m{M_SERVE}_k{PQ_K_FINE}_noRerank",
+        oname,
         obuild,
         lambda qv: topk_ids_n(
             oenc.withColumn("d", adc_distance(obooks, rotate_query(orot, qv)))
@@ -314,14 +315,33 @@ def run(spark=None, sf_dir: str | None = None) -> dict:
             K_TOP,
         ),
     )
+    if results[oname]["recall_at_10"] < RECALL_FLOOR:
+        dropped[oname] = {
+            **results.pop(oname),
+            "reason": "by design on THIS corpus: the benchmark vectors are "
+            "independent hash-seeded unit vectors (isotropic), so the "
+            "covariance is ~spherical and any rotation is a no-op — OPQ's "
+            "gain exists exactly where real embedding models put it "
+            "(anisotropic spectra), pinned by tests/test_opq.py's "
+            "quantization-error reduction on an anisotropic fixture",
+        }
 
     M_FINE = 32
+    fname = f"pq_adc_m{M_FINE}_k{PQ_K_FINE}_noRerank"
     (cb32, enc32), build32 = _timed(lambda: _build_pq(PQ_K_FINE, 3, M_FINE))
     score(
-        f"pq_adc_m{M_FINE}_k{PQ_K_FINE}_noRerank",
+        fname,
         build32,
         lambda qv: _adc_shortlist(enc32, cb32, qv, K_TOP),
     )
+    if results[fname]["recall_at_10"] < RECALL_FLOOR:
+        dropped[fname] = {
+            **results.pop(fname),
+            "reason": "measured below the floor: doubling subspace count "
+            "(m=32, sub_dim=2) lifts codes-only recall (0.35 @ m16 -> 0.72) "
+            "but the isotropic corpus keeps the no-rerank point under 0.8 — "
+            "the published serving contract stays shortlist -> exact re-rank",
+        }
 
     # floor enforcement: a published method below the floor is demoted, loudly
     for name in [n for n in list(results) if n != "brute_force"]:
