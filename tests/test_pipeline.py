@@ -1039,3 +1039,24 @@ def test_universe_change_forces_full_rewrite(spark, tmp_path):
     # fingerprint is stable)
     s2 = run_silver(spark, cat, cp)
     assert s2["mode"] == "noop"
+
+
+def test_full_rebuilds_leak_no_caches(spark, tmp_path):
+    """r9: the concurrent full-rebuild chains persist four shared frames
+    (narrow, vwap aug, events, stairstep seq; silver tails/contexts) — all
+    must be unpersisted when the runs return, or every splits-triggered
+    rebuild would leak executor memory."""
+    from tickerlake_spark.pipeline import run_gold, run_silver
+    from tickerlake_spark.sources.market import InMemoryMarketSource
+
+    days = trading_days(D(2024, 1, 2), D(2024, 1, 19))
+    cat = Catalog(root=str(tmp_path / "data"))
+    cp = Checkpoints(str(tmp_path / "cp.json"))
+    run_bronze(spark, _source(days), cat, cp, days[0], days[-1])
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert run_silver(spark, cat, cp)["mode"] == "full"
+    run_gold(spark, cat, checkpoints=cp, with_counts=False)
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    added = after - before
+    assert not added, f"full rebuild leaked {len(added)} cached RDDs"
