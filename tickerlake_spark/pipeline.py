@@ -993,6 +993,20 @@ def run_gold(
                             seq.unpersist()
                 finally:
                     events.unpersist()
+                # summaries depend only on the just-written pattern tables:
+                # recompute them inside this chain so they overlap the
+                # (longer) signals chain instead of serializing after the
+                # pool
+                with timer.span("best_patterns"):
+                    for src, out in (
+                        ("stairstep_up", "best_patterns"),
+                        ("stairstep_down", "best_patterns_down"),
+                    ):
+                        best = best_patterns(read_table(spark, catalog.gold(src)))
+                        write_table(
+                            schemas.conform(best, schemas.STAIRSTEP_PATTERNS),
+                            catalog.gold(out),
+                        )
 
             def _faces_chain() -> None:
                 # weekly/monthly HVC faces (reference: metadata.json
@@ -1039,8 +1053,9 @@ def run_gold(
     # best_patterns = stairstepping_summary, best_patterns_down =
     # falling_down_stairs_summary (reference: metadata.json). On an
     # incremental run with NO new events the pattern tables are untouched,
-    # so their summaries are untouched too — skip the recompute.
-    if not incremental or aff_list:
+    # so their summaries are untouched too — skip the recompute. (The full
+    # arm recomputes them inside its HVC chain, overlapped with signals.)
+    if incremental and aff_list:
         from concurrent.futures import ThreadPoolExecutor
 
         def _one_best(src: str, out: str) -> None:
