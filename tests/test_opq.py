@@ -146,3 +146,65 @@ def test_opq_adc_end_to_end(spark):
     opq_enc.unpersist()
     assert recalls["opq"] >= recalls["pq"], recalls
     assert recalls["opq"] >= 0.5 * topn * len(qids)  # sane floor
+
+
+def _clustered_df(spark, n=300, dim=8, seed=11):
+    """Non-Gaussian fixture: 3 well-separated clusters whose means live in
+    a NON-axis-aligned 2D plane, plus mild anisotropic noise. Covariance
+    (all parametric OPQ sees) mixes cluster spread with noise, so the
+    PCA allocation is not the distortion-optimal rotation — the Procrustes
+    iterations can improve on it."""
+    rng = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    means = np.stack([q[:, 0] * 10 + q[:, 1] * s for s in (-12.0, 0.0, 12.0)])
+    labels = rng.integers(0, 3, size=n)
+    noise = rng.standard_normal((n, dim)) * np.linspace(1.5, 0.1, dim)
+    x = means[labels] + noise @ q.T
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, v array<double>"), x
+
+
+def test_iterative_opq_not_worse_than_parametric(spark):
+    """Non-parametric OPQ (Procrustes alternation) must keep the rotation
+    orthogonal and never lose to its own parametric warm start (it can
+    only refine the objective both share)."""
+    from tickerlake_spark.operators.opq import (
+        opq_pq_fit,
+        opq_pq_fit_iterative,
+        rotate_vectors,
+    )
+    from tickerlake_spark.operators.pq import pq_encode, pq_fit
+
+    df, x = _clustered_df(spark)
+    dim, m, k = 8, 4, 8
+
+    def mse_for(rot, books):
+        codes = pq_encode(rotate_vectors(df, rot), books).select(
+            "vec_id", *[f"code_{s}" for s in range(m)]
+        )
+        hat = _reconstruct(codes, books, rotation=rot, dim=dim)
+        return float(
+            np.mean([np.sum((x[i] - hat[i]) ** 2) for i in range(len(x))])
+        )
+
+    prot, pbooks = opq_pq_fit(df, dim=dim, m=m, k=k, iters=3)
+    irot, ibooks = opq_pq_fit_iterative(
+        df, dim=dim, m=m, k=k, iters=3, opq_iters=3
+    )
+    assert np.allclose(irot @ irot.T, np.eye(dim), atol=1e-8)
+
+    param_mse = mse_for(prot, pbooks)
+    iter_mse = mse_for(irot, ibooks)
+    # small slack: the final Lloyd fits are independently initialized
+    assert iter_mse <= param_mse * 1.05, (param_mse, iter_mse)
+
+    # and both must beat plain PQ on this fixture
+    books0 = pq_fit(df, dim=dim, m=m, k=k, iters=3)
+    codes0 = pq_encode(df, books0).select(
+        "vec_id", *[f"code_{s}" for s in range(m)]
+    )
+    hat0 = _reconstruct(codes0, books0, dim=dim)
+    pq_mse = float(
+        np.mean([np.sum((x[i] - hat0[i]) ** 2) for i in range(len(x))])
+    )
+    assert iter_mse < pq_mse, (pq_mse, iter_mse)

@@ -44,6 +44,7 @@ __all__ = [
     "rotate_vectors",
     "rotate_query",
     "opq_pq_fit",
+    "opq_pq_fit_iterative",
 ]
 
 
@@ -206,6 +207,99 @@ def opq_pq_fit(
     rotated = rotate_vectors(
         df.select(id_col, vec_col), rot, vec_col=vec_col
     )
+    books = pq_fit(
+        rotated, dim=dim, m=m, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    return rot, books
+
+
+def _procrustes_correlation(
+    df: DataFrame, rotation, codebooks, dim: int, vec_col: str = "v"
+):
+    """M = Σ x̃ᵢ xᵢᵀ over the corpus, where x̃ = decode(encode(R·x)) in the
+    ROTATED domain — the dim x dim moment the Procrustes R-update needs.
+    One scan: each Arrow batch rotates, encodes (vectorized argmin per
+    subspace), decodes from the broadcast codebooks, and contributes one
+    numpy partial per partition."""
+    import numpy as np
+
+    r_list = [[float(v) for v in row] for row in rotation]
+    books = [[[float(v) for v in c] for c in sub] for sub in codebooks]
+    m = len(books)
+    sub_dim = dim // m
+    vec = vec_col
+
+    def _partials(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        rm = _np.asarray(r_list)
+        cbs = [_np.asarray(b) for b in books]  # each (k, sub_dim)
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.stack(pdf[vec].to_numpy())  # (n, dim) original domain
+            rx = x @ rm.T  # rotated
+            xh = _np.empty_like(rx)
+            for s in range(m):
+                lo, hi = s * sub_dim, (s + 1) * sub_dim
+                sub = rx[:, lo:hi]  # (n, sub_dim)
+                # squared L2 to every codeword: (n, k)
+                d2 = ((sub[:, None, :] - cbs[s][None, :, :]) ** 2).sum(axis=2)
+                xh[:, lo:hi] = cbs[s][_np.argmin(d2, axis=1)]
+            part = xh.T @ x  # (dim, dim): Σ x̃ xᵀ
+            acc = part if acc is None else acc + part
+        if acc is not None:
+            yield _pd.DataFrame({"p": [acc.reshape(-1).tolist()]})
+
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias(vec))
+        .mapInPandas(_partials, "p array<double>")
+        .collect()
+    )
+    out = np.zeros((dim, dim))
+    for r in rows:
+        out += np.asarray(r["p"]).reshape(dim, dim)
+    return out
+
+
+def opq_pq_fit_iterative(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    opq_iters: int = 3,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+):
+    """Non-parametric OPQ (Ge et al. 2013, Alg. 2): alternate PQ training
+    in the current rotated domain with an orthogonal-Procrustes rotation
+    update R = U·Vᵀ from SVD(Σ x̃ xᵀ). Initialized from the parametric
+    rotation (the paper's recommended warm start). Per outer iteration:
+    one PQ fit (``iters`` Lloyd rounds, JVM path) + one correlation scan
+    (Arrow/numpy partials) + a dim x dim driver SVD — every driver object
+    stays O(dim² + m·k·dim/m). Returns (rotation, codebooks); serving is
+    identical to ``opq_pq_fit``'s contract."""
+    import numpy as np
+
+    from tickerlake_spark.operators.pq import pq_fit
+
+    base = df.select(id_col, vec_col)
+    rot = opq_rotation(df, dim, m, vec_col=vec_col)
+    books = None
+    for _ in range(max(1, opq_iters)):
+        rotated = rotate_vectors(base, rot, vec_col=vec_col)
+        books = pq_fit(
+            rotated, dim=dim, m=m, k=k, iters=iters,
+            vec_col=vec_col, id_col=id_col,
+        )
+        corr = _procrustes_correlation(df, rot, books, dim, vec_col=vec_col)
+        u, _s, vt = np.linalg.svd(corr)
+        rot = u @ vt
+    # codebooks must match the FINAL rotation: one last fit in its domain
+    rotated = rotate_vectors(base, rot, vec_col=vec_col)
     books = pq_fit(
         rotated, dim=dim, m=m, k=k, iters=iters, vec_col=vec_col, id_col=id_col
     )
