@@ -76,6 +76,15 @@ def get_spark(
         # is InSet (hash) either way, so correctness never depends on this.
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "300")
         .config("spark.driver.memory", settings.driver_memory)
+        # ContextCleaner only reclaims shuffle files / broadcast blocks when
+        # the DRIVER JVM garbage-collects their references; with a 32g heap
+        # a multi-phase maintenance session can run for many minutes
+        # without a single full GC, so spill accretes on disk and in the
+        # page cache — the measured "run-tail" degradation where late
+        # steady-state phases read 2-3x slower at identical plans. The
+        # default periodic-GC interval (30min) never fires inside such a
+        # run; 60s keeps cleanup bounded at negligible GC cost.
+        .config("spark.cleaner.periodicGC.interval", "60s")
         .config("spark.ui.enabled", "false")
     )
     if master.startswith("local"):
