@@ -37,3 +37,7 @@ def test_e2e_bench_tool_runs_and_reports(tmp_path):
     assert set(out["baseline"]) == {
         "silver_sec", "gold_sec", "silver_append_sec", "gold_incremental_sec"
     }
+    # box-condition telemetry rides along so a slow number explains itself
+    host = out["host"]
+    assert len(host["loadavg"]) == 3 and len(host["loadavg_after"]) == 3
+    assert host["disk_write_mb_s"] > 0 and host["cpu_spin_ms"] > 0

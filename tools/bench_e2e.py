@@ -35,6 +35,50 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def host_conditions(probe_dir: str) -> dict:
+    """Cheap box-condition telemetry attached to every e2e result so a slow
+    number carries its own explanation (same-code 10x runs have measured
+    2-3x apart purely on host condition — co-tenant load, I/O throttling).
+
+    - ``loadavg``: 1/5/15-min load BEFORE the run; a fresh benchmark on an
+      idle box starts near 0 — a high 5/15-min value means the box was
+      already busy and wall clocks are not comparable across runs.
+    - ``disk_write_mb_s``: 256 MB fdatasync'd sequential write into the
+      benchmark's target filesystem (the lake is write-heavy; a throttled
+      host reads far below the NVMe-class ~400+ MB/s).
+    - ``cpu_spin_ms``: fixed single-core arithmetic loop; host CPU steal or
+      frequency capping reads as an inflated value (idle box ~55-70 ms).
+    """
+    import time as _time
+
+    la1, la5, la15 = os.getloadavg()
+    probe = os.path.join(probe_dir, f"_ioprobe_{os.getpid()}")
+    buf = b"\0" * (8 << 20)
+    t0 = _time.perf_counter()
+    try:
+        with open(probe, "wb") as f:
+            for _ in range(32):  # 256 MB
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+        io_sec = _time.perf_counter() - t0
+    finally:
+        try:
+            os.remove(probe)
+        except OSError:
+            pass
+    t0 = _time.perf_counter()
+    acc = 0
+    for i in range(1_000_000):
+        acc += i * i
+    spin_ms = (_time.perf_counter() - t0) * 1e3
+    return {
+        "loadavg": [round(la1, 2), round(la5, 2), round(la15, 2)],
+        "disk_write_mb_s": round(256.0 / io_sec, 1),
+        "cpu_spin_ms": round(spin_ms, 1),
+    }
+
+
 def _make_bars(spark, n_tickers: int, days: list[dt.date]):
     """Deterministic OHLCV bars: ticker universe x trading days, all columns
     hash functions of (ticker, date) — no driver-side data, no RNG state;
@@ -128,6 +172,7 @@ def run(n_tickers: int = 10_000, years: int = 5, data_dir: str | None = None) ->
 
     keep = data_dir is not None
     root = data_dir or tempfile.mkdtemp(prefix="tickerlake_e2e_")
+    host_before = host_conditions(os.path.dirname(root) or ".")
     spark = get_spark(app_name="tickerlake-bench-e2e")
     spark.sparkContext.setLogLevel("ERROR")
     catalog = Catalog(root=root)
@@ -222,6 +267,12 @@ def run(n_tickers: int = 10_000, years: int = 5, data_dir: str | None = None) ->
             "silver_append_migrate_sec": round(t_silver_migrate, 2),
             "gold_incremental_first_sec": round(t_gold_incr1, 2),
             "value": round(t_silver + t_gold, 2),
+            # box condition: before-run probes + after-run loadavg — the
+            # context a cross-run comparison needs (see host_conditions)
+            "host": {
+                **host_before,
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+            },
             "silver_daily_rows": daily_rows,
             "gold_vwap_rows": vwap_rows,
             "gold_hvc_rows": hvc_rows,
