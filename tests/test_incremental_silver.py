@@ -176,3 +176,26 @@ def test_advance_tail_replaces_open_bucket_row(spark, bars):
     t0 = build_tail(pre)
     t1 = advance_tail(t0, weekly.filter(F.col("date") >= F.lit(bs)))
     assert _collect(t1) == _collect(build_tail(weekly))
+
+
+def test_replace_tail_sweeps_crash_orphans(spark, tmp_path):
+    """A crash between replace_tail's two renames leaves sibling
+    ``__tail_*``/``__old_*`` dirs; the contract is self-healing via the
+    gate's rebuild, but the rebuild's replace_tail must sweep the orphans
+    or they accumulate disk forever."""
+    import os
+
+    from tickerlake_spark.operators.indicator_state import replace_tail
+
+    path = str(tmp_path / "indicator_tail_daily")
+    df = spark.createDataFrame(
+        [("A", D(2024, 1, 2), 1.0, 2.0, 0.5, 1.5, 100, 5)], _SCHEMA
+    )
+    # simulate the crash leftovers: a staged dir and a displaced old dir
+    for orphan in (path + "__tail_deadbeef", path + "__old_deadbeef"):
+        os.makedirs(orphan)
+        (tmp_path / os.path.basename(orphan) / "junk").write_text("x")
+    replace_tail(spark, df, path)
+    siblings = sorted(os.listdir(tmp_path))
+    assert siblings == ["indicator_tail_daily"], siblings
+    assert spark.read.parquet(path).count() == 1

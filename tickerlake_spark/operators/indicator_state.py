@@ -145,7 +145,16 @@ def replace_tail(spark: SparkSession, df: DataFrame, path: str) -> None:
     succeed) sees the mismatch and the next append falls back to one
     horizon scan that rebuilds them. Self-healing by design; journaling
     here would buy nothing but code."""
-    tmp = f"{path.rstrip('/')}__tail_{uuid.uuid4().hex[:8]}"
+    # sweep orphans a crashed previous swap left at the sibling level
+    # (`...__tail_*` staged dirs / `...__old_*` displaced dirs): nothing
+    # reads them — the gate already forces the rebuild that called us —
+    # but without the sweep they would accumulate disk forever
+    import glob as _glob
+
+    base = path.rstrip("/")
+    for orphan in _glob.glob(f"{base}__tail_*") + _glob.glob(f"{base}__old_*"):
+        shutil.rmtree(orphan, ignore_errors=True)
+    tmp = f"{base}__tail_{uuid.uuid4().hex[:8]}"
     df.write.parquet(tmp)
     if os.path.exists(path):
         old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"

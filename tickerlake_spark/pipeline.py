@@ -337,24 +337,32 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
     # apply_splits is shuffle-free, so the bronze date layout flows straight
     # through to the silver write: each task holds whole dates and writes one
     # file per date directory — no repartition needed here.
-    write_table(
-        daily, catalog.silver("daily_aggregates"), mode=mode, partition_by="date"
-    )
-    timer.mark("daily_aggregates")
-
-    full_daily = read_table(spark, catalog.silver("daily_aggregates"))
+    if not full:
+        write_table(
+            daily, catalog.silver("daily_aggregates"), mode=mode,
+            partition_by="date",
+        )
+        timer.mark("daily_aggregates")
+        full_daily = read_table(spark, catalog.silver("daily_aggregates"))
     if full:
         # full rewrite: every downstream table recomputes from all history.
         # resample/indicators emerge ticker-clustered from their window
         # shuffle; repartition by date before the partitioned write so each
         # date directory gets one file, not one per writer task.
         #
-        # The three grain chains (daily indicators; weekly resample ->
-        # indicators; monthly resample -> indicators) read only the
-        # already-written daily table and touch disjoint outputs — run
-        # them concurrently like the append path does (VERDICT r8 item 3:
-        # the daily-indicator window pass dominates the rewrite; the
-        # resample chains hide under it instead of serializing after it).
+        # The three grain chains (daily write -> indicators; weekly
+        # resample -> indicators; monthly resample -> indicators) touch
+        # disjoint outputs — run them concurrently like the append path
+        # does (VERDICT r8 item 3: the daily-indicator window pass
+        # dominates the rewrite; the resample chains hide under it instead
+        # of serializing after it). The resample chains read the ADJUSTED
+        # BARS LINEAGE (`daily`), not the written daily table, so they
+        # start at t=0 and overlap the (serial-before-r9.2, ~20% of the
+        # rewrite) daily_aggregates write as well: recomputing the
+        # shuffle-free split adjustment from bronze costs less than
+        # waiting out the write. Byte-equal by construction — resample
+        # outputs are picked values (min_by/max_by) and integer sums, so
+        # lineage-vs-readback input makes no float-order difference.
         # Timings use spans (overlapping).
         #
         # ordinal-mask fast path (VERDICT r8 item 3): the shared-ordinal
@@ -389,10 +397,18 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
                     partition_by="date",
                 )
 
+        def _daily_chain() -> None:
+            with timer.span("daily_aggregates"):
+                write_table(
+                    daily, catalog.silver("daily_aggregates"), mode=mode,
+                    partition_by="date",
+                )
+            _indicators_for("daily_aggregates", "daily_indicators")
+
         def _full_resampled_chain(period: str, agg_table: str,
                                   ind_table: str) -> None:
             resampled = schemas.conform(
-                resample_ohlcv(full_daily, period), schemas.AGGREGATES
+                resample_ohlcv(daily, period), schemas.AGGREGATES
             )
             with timer.span(agg_table):
                 write_table(
@@ -406,9 +422,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
 
         with ThreadPoolExecutor(max_workers=3) as pool:
             futs = [
-                pool.submit(
-                    _indicators_for, "daily_aggregates", "daily_indicators"
-                ),
+                pool.submit(_daily_chain),
                 pool.submit(
                     _full_resampled_chain, "week", "weekly_aggregates",
                     "weekly_indicators",
