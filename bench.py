@@ -49,6 +49,16 @@ def main() -> None:
 
     bench_queries = {n: s for n, s in QUERIES.items() if s.bench}
 
+    # Box-condition telemetry on the HEADLINE block too (VERDICT r9 item 2):
+    # r9's +22% headline drift cost a full adjudication cycle that this one
+    # JSON block would have pre-answered. Probed before the timed runs so
+    # loadavg reflects the box, not this benchmark.
+    import tempfile
+
+    from tools.bench_e2e import host_conditions
+
+    host = host_conditions(tempfile.gettempdir())
+
     # Warmup: run every bench query once (per-plan codegen compilation).
     for spec in bench_queries.values():
         spec.fn(spark, sf_dir).foreachPartition(lambda it: None)
@@ -69,6 +79,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "host": host,
     }
 
     detail = dict(out)

@@ -12,7 +12,9 @@ from __future__ import annotations
 def test_e2e_bench_tool_runs_and_reports(tmp_path):
     from tools.bench_e2e import run
 
-    out = run(n_tickers=25, years=1, data_dir=str(tmp_path / "e2e"))
+    # 16 MB probe: telemetry is meaningless at toy scale, but the probe
+    # code path (fdatasync timing, unit math) must stay exercised
+    out = run(n_tickers=25, years=1, data_dir=str(tmp_path / "e2e"), probe_mb=16)
 
     n_days = out["bars"] // 25
     assert n_days > 240  # a year of NYSE sessions minus the four appended days
@@ -37,7 +39,10 @@ def test_e2e_bench_tool_runs_and_reports(tmp_path):
     assert set(out["baseline"]) == {
         "silver_sec", "gold_sec", "silver_append_sec", "gold_incremental_sec"
     }
-    # box-condition telemetry rides along so a slow number explains itself
+    # box-condition telemetry rides along so a slow number explains itself;
+    # plausibility bounds (not just >0) so a broken probe returning garbage
+    # units fails here instead of poisoning a round's variance adjudication
     host = out["host"]
     assert len(host["loadavg"]) == 3 and len(host["loadavg_after"]) == 3
-    assert host["disk_write_mb_s"] > 0 and host["cpu_spin_ms"] > 0
+    assert 1 < host["disk_write_mb_s"] < 100_000, host
+    assert 1 < host["cpu_spin_ms"] < 10_000, host

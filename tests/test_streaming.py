@@ -1129,6 +1129,53 @@ def test_streaming_bloom_rollup_matches_batch_and_replay_safe(
     assert misses == 0
 
 
+def test_silver_maintenance_single_emptiness_probe(spark, tmp_path):
+    """VERDICT r9 item 5: ONE ``isEmpty()`` action per micro-batch. A batch
+    holding only out-of-universe tickers must short-circuit after the
+    post-semi-join probe alone — measured here as the Spark-job count of
+    the whole call: 2 jobs build the broadcast universe (parquet scan +
+    broadcast collect), 1 job is the emptiness probe. The old code ran a
+    SECOND pre-join probe (4 jobs) on the streaming hot path, buying
+    nothing — the semi-join of an empty batch is free."""
+    import datetime as dt
+
+    from tickerlake_spark import schemas
+    from tickerlake_spark.storage import Catalog, write_table
+    from tickerlake_spark.streaming.medallion import silver_maintenance_batch
+
+    cat = Catalog(root=str(tmp_path / "data"))
+    meta = spark.createDataFrame(
+        [("AAPL", "Apple", "CS", "XNAS", True, "1")],
+        "ticker string, name string, type string, primary_exchange string, "
+        "active boolean, cik string",
+    )
+    write_table(meta, cat.silver("ticker_metadata"))
+    bars = spark.createDataFrame(
+        [("FUNDX", 100, 1.0, 1.0, 1.0, 1.0, dt.date(2024, 1, 2), 5)],
+        "ticker string, volume long, open float, close float, high float, "
+        "low float, date date, transactions long",
+    )
+    # parquet-backed batch: a LocalRelation's isEmpty can resolve driver-side
+    # without a job, which would make this probe count vacuous
+    p = str(tmp_path / "batch.parquet")
+    schemas.conform(bars, schemas.STOCKS).write.parquet(p)
+    batch = spark.read.parquet(p)
+
+    sc = spark.sparkContext
+    group = "empty-probe-count"
+    sc.setJobGroup(group, "count jobs in silver_maintenance_batch")
+    try:
+        silver_maintenance_batch(spark, cat, batch)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup("", "")
+    # out-of-universe batch wrote nothing
+    from tickerlake_spark.storage import table_exists
+
+    assert not table_exists(cat.silver("daily_aggregates"))
+    assert len(jobs) <= 3, f"extra emptiness probe reintroduced: {jobs}"
+
+
 def test_streaming_extract_append_replay_converges(spark, tmp_path):
     """ADVICE r7 low + r8 medium: the streaming closes-extract maintenance
     APPENDS strictly-forward batches (O(delta)) instead of rewriting every

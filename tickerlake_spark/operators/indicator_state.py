@@ -152,7 +152,12 @@ def replace_tail(spark: SparkSession, df: DataFrame, path: str) -> None:
     import glob as _glob
 
     base = path.rstrip("/")
-    for orphan in _glob.glob(f"{base}__tail_*") + _glob.glob(f"{base}__old_*"):
+    # glob-escape the table path: a metacharacter in the lake root (e.g.
+    # '[' in a pytest-parametrized tmp dir) would otherwise make the
+    # pattern miss orphans — or match under a DIFFERENT parent and rmtree
+    # an unrelated sibling
+    esc = _glob.escape(base)
+    for orphan in _glob.glob(f"{esc}__tail_*") + _glob.glob(f"{esc}__old_*"):
         shutil.rmtree(orphan, ignore_errors=True)
     tmp = f"{base}__tail_{uuid.uuid4().hex[:8]}"
     df.write.parquet(tmp)

@@ -35,7 +35,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def host_conditions(probe_dir: str) -> dict:
+def host_conditions(probe_dir: str, probe_mb: int = 256) -> dict:
     """Cheap box-condition telemetry attached to every e2e result so a slow
     number carries its own explanation (same-code 10x runs have measured
     2-3x apart purely on host condition — co-tenant load, I/O throttling).
@@ -43,9 +43,11 @@ def host_conditions(probe_dir: str) -> dict:
     - ``loadavg``: 1/5/15-min load BEFORE the run; a fresh benchmark on an
       idle box starts near 0 — a high 5/15-min value means the box was
       already busy and wall clocks are not comparable across runs.
-    - ``disk_write_mb_s``: 256 MB fdatasync'd sequential write into the
-      benchmark's target filesystem (the lake is write-heavy; a throttled
-      host reads far below the NVMe-class ~400+ MB/s).
+    - ``disk_write_mb_s``: ``probe_mb`` MB fdatasync'd sequential write
+      into the benchmark's target filesystem (the lake is write-heavy; a
+      throttled host reads far below the NVMe-class ~400+ MB/s). Toy-scale
+      callers (the test suite) pass a small ``probe_mb`` — a 256 MB probe
+      is pointless I/O where the telemetry is meaningless anyway.
     - ``cpu_spin_ms``: fixed single-core arithmetic loop; host CPU steal or
       frequency capping reads as an inflated value (idle box ~55-70 ms).
     """
@@ -54,13 +56,14 @@ def host_conditions(probe_dir: str) -> dict:
     la1, la5, la15 = os.getloadavg()
     probe = os.path.join(probe_dir, f"_ioprobe_{os.getpid()}")
     buf = b"\0" * (8 << 20)
+    n_blocks = max(1, probe_mb // 8)
     t0 = _time.perf_counter()
     try:
         with open(probe, "wb") as f:
-            for _ in range(32):  # 256 MB
+            for _ in range(n_blocks):
                 f.write(buf)
             f.flush()
-            os.fsync(f.fileno())
+            os.fdatasync(f.fileno())
         io_sec = _time.perf_counter() - t0
     finally:
         try:
@@ -74,7 +77,7 @@ def host_conditions(probe_dir: str) -> dict:
     spin_ms = (_time.perf_counter() - t0) * 1e3
     return {
         "loadavg": [round(la1, 2), round(la5, 2), round(la15, 2)],
-        "disk_write_mb_s": round(256.0 / io_sec, 1),
+        "disk_write_mb_s": round(n_blocks * 8.0 / io_sec, 1),
         "cpu_spin_ms": round(spin_ms, 1),
     }
 
@@ -166,13 +169,18 @@ def generate_bronze(spark, catalog, n_tickers: int, days: list[dt.date]) -> int:
     return n_tickers * len(days)
 
 
-def run(n_tickers: int = 10_000, years: int = 5, data_dir: str | None = None) -> dict:
+def run(
+    n_tickers: int = 10_000,
+    years: int = 5,
+    data_dir: str | None = None,
+    probe_mb: int = 256,
+) -> dict:
     from tickerlake_spark.session import get_spark
     from tickerlake_spark.storage import Catalog, Checkpoints, read_table
 
     keep = data_dir is not None
     root = data_dir or tempfile.mkdtemp(prefix="tickerlake_e2e_")
-    host_before = host_conditions(os.path.dirname(root) or ".")
+    host_before = host_conditions(os.path.dirname(root) or ".", probe_mb=probe_mb)
     spark = get_spark(app_name="tickerlake-bench-e2e")
     spark.sparkContext.setLogLevel("ERROR")
     catalog = Catalog(root=root)
