@@ -1041,6 +1041,49 @@ def test_universe_change_forces_full_rewrite(spark, tmp_path):
     assert s2["mode"] == "noop"
 
 
+def test_universe_fingerprint_collision_resistance(spark, tmp_path):
+    """VERDICT r9 item 4: the old fingerprint sum(pmod(xxhash64, 2^31-1))
+    missed an add+remove pair whose hashes collide mod 2^31-1 — silver
+    would silently skip the full rewrite a reclassification requires.
+    'U004267' and 'U004654' are such a crafted pair (found by birthday
+    search over Spark's xxhash64: both ≡ 90764143 mod 2147483647, full
+    hashes 6983233432026748880 vs 2150339415941701330). The full-width
+    sum+xor fingerprint must tell the two universes apart."""
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.pipeline import _universe_fingerprint
+    from tickerlake_spark.storage import write_table
+
+    a, b = "U004267", "U004654"
+    # pin the crafted pair's collision property inside the engine's own
+    # hash (if Spark's xxhash64 ever changed, this test must find out)
+    got = (
+        spark.createDataFrame([(a,), (b,)], "t string")
+        .select(
+            F.pmod(F.xxhash64("t"), F.lit(2_147_483_647)).alias("m"),
+            F.xxhash64("t").alias("h"),
+        )
+        .collect()
+    )
+    assert got[0]["m"] == got[1]["m"], "pair no longer collides mod 2^31-1"
+    assert got[0]["h"] != got[1]["h"]
+
+    def fp(tickers, sub):
+        cat = Catalog(root=str(tmp_path / sub))
+        meta = spark.createDataFrame(
+            [(t, "N", "CS", "XNAS", True, "1") for t in tickers],
+            "ticker string, name string, type string, primary_exchange string, "
+            "active boolean, cik string",
+        )
+        write_table(meta, cat.silver("ticker_metadata"))
+        return _universe_fingerprint(spark, cat)
+
+    # swap a -> b: the old mod-2^31-1 sum is IDENTICAL for these universes
+    assert fp(["AAPL", a], "u1") != fp(["AAPL", b], "u2")
+    # sanity: identical universes agree regardless of row order
+    assert fp([a, "AAPL"], "u3") == fp(["AAPL", a], "u4")
+
+
 def test_full_rebuilds_leak_no_caches(spark, tmp_path):
     """r9: the concurrent full-rebuild chains persist four shared frames
     (narrow, vwap aug, events, stairstep seq; silver tails/contexts) — all

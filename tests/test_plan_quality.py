@@ -519,3 +519,72 @@ def test_mmr_selection_is_in_plan_not_driver(spark, sf_dir):
     assert "LocalTableScan" not in plan, "q138 result assembled on the driver"
     # the embeddings scan is the plan's distributed leg
     assert "embeddings" in plan
+
+
+# ---------------------------------------------------------------------------
+# Lineage-overlap byte-parity invariant (VERDICT r9 item 3): the silver full
+# rewrite's resample chains read the adjusted-bars LINEAGE while the daily
+# write proceeds concurrently (COVERAGE.md "Concurrent full rebuilds"). The
+# two compute paths are byte-equal ONLY because resample_ohlcv's aggregates
+# are picked values (min_by/max_by/min/max) + INTEGER sums — both exact and
+# order-insensitive. A float-typed order-sensitive aggregate (sum/avg over
+# float/double) would diverge at the 1e-15 level between the two paths and
+# break the parity silently. This guard walks the ACTUAL analyzed plan, so
+# any edit inside resample_ohlcv is covered, however expressed.
+# ---------------------------------------------------------------------------
+
+
+def _iter_jtree(jnode):
+    yield jnode
+    it = jnode.children().iterator()
+    while it.hasNext():
+        yield from _iter_jtree(it.next())
+
+
+def _order_sensitive_float_aggs(df) -> list[tuple[str, str]]:
+    """(aggregate-class, result-type) for every order-sensitive aggregate
+    over a float/double input in ``df``'s analyzed plan, plus First/Last
+    over any type (nondeterministic without a pinned order)."""
+    out = []
+    for node in _iter_jtree(df._jdf.queryExecution().analyzed()):
+        if node.getClass().getSimpleName() != "Aggregate":
+            continue
+        it = node.aggregateExpressions().iterator()
+        while it.hasNext():
+            for sub in _iter_jtree(it.next()):
+                cls = sub.getClass().getSimpleName()
+                if cls in ("First", "Last"):
+                    out.append((cls, sub.dataType().simpleString()))
+                elif cls in ("Sum", "Average") and sub.dataType().simpleString() in (
+                    "float",
+                    "double",
+                ):
+                    out.append((cls, sub.dataType().simpleString()))
+    return out
+
+
+def test_resample_has_no_order_sensitive_float_aggregates(spark):
+    import datetime as dt
+
+    from tickerlake_spark.operators.resample import resample_ohlcv
+
+    # silver lineage schema: double prices, long volume/transactions
+    daily = spark.createDataFrame(
+        [("A", dt.date(2024, 1, 2), 1.0, 2.0, 0.5, 1.5, 100, 5)],
+        "ticker string, date date, open double, high double, low double, "
+        "close double, volume long, transactions long",
+    )
+    # the detector itself must trip on the failure mode it guards against
+    # (e.g. a future VWAP column: sum over double)
+    bad = daily.groupBy("ticker").agg(F.sum("close").alias("notional"))
+    assert _order_sensitive_float_aggs(bad) == [("Sum", "double")]
+
+    for period in ("week", "month"):
+        got = _order_sensitive_float_aggs(resample_ohlcv(daily, period))
+        assert got == [], (
+            f"resample_ohlcv({period!r}) grew an order-sensitive float "
+            f"aggregate {got} — this breaks the full-rewrite lineage-overlap "
+            "byte parity (COVERAGE.md 'Concurrent full rebuilds'); either "
+            "make the new column integer/exact or stop overlapping the "
+            "daily write with the resample chains in pipeline.run_silver"
+        )

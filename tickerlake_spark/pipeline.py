@@ -207,12 +207,21 @@ def _universe_fingerprint(spark: SparkSession, catalog: Catalog) -> str | None:
     if not table_exists(path):
         return None
     df = read_table(spark, path).select("ticker")
+    # Full-width multiset hash (VERDICT r9 item 4): sum of the SIGNED
+    # 64-bit xxhash64 accumulated in decimal(38,0) — no mod, no overflow —
+    # paired with a bit_xor companion. The previous sum(pmod(h, 2^31-1))
+    # let an add+remove pair whose hashes collide mod 2^31-1 silently skip
+    # the required full rewrite (~2^-31 per change; the crafted pair in
+    # test_universe_fingerprint_collision_resistance hits it). Sum and xor
+    # would now both have to collide at full 64-bit width simultaneously.
+    # Format change ('sum:xor' vs a bare int) deliberately mismatches any
+    # pre-upgrade checkpoint value, forcing ONE full rewrite at migration —
+    # the safe direction.
     row = df.agg(
-        F.sum(
-            F.pmod(F.xxhash64(F.col("ticker")), F.lit(2_147_483_647))
-        ).alias("fp")
+        F.sum(F.xxhash64(F.col("ticker")).cast("decimal(38,0)")).alias("fp_sum"),
+        F.expr("bit_xor(xxhash64(ticker))").alias("fp_xor"),
     ).first()
-    return str(row["fp"])
+    return f"{row['fp_sum']}:{row['fp_xor']}"
 
 
 def should_full_rewrite(
