@@ -1,0 +1,387 @@
+"""Filesystem-protocol crash-window matrix (VERDICT r9 item 1).
+
+The journaled swap/repair machinery must converge from every crash state on
+BOTH filesystem semantics:
+
+- ``LocalFS`` (POSIX): atomic rename, directory fsync — the states the
+  Spark-level tests in test_storage.py already drive (a: staged only,
+  b: part renamed out, c: swap done old undead, d: delete intent).
+- ``MemoryObjectStore``: NO rename (copy+delete, key by key), no fsync —
+  the semantic model of S3/GCS. Here the crash windows are finer (between
+  ANY two key operations), so beyond the named states the sweep injects a
+  fault at EVERY op index and proves repair converges to the exact final
+  layout each time — the commit story the 100 TB design brief needs
+  (marker journal + atomic single-object PUT, no atomic rename anywhere).
+
+These tests are pure-FS (no Spark): partitions are synthetic keys with
+sentinel bytes, assertions are on the exact key layout — which is precisely
+what a Spark reader would list.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tickerlake_spark.storage.fs import LocalFS, MemoryObjectStore
+from tickerlake_spark.storage.maintenance import (
+    repair_partition_swaps,
+    swap_partition_dir,
+)
+
+
+def _make_fs(kind, tmp_path):
+    if kind == "posix":
+        return LocalFS(), str(tmp_path / "t")
+    return MemoryObjectStore(), "/lake/t"
+
+
+def _seed_table(fs, root):
+    """Two partitions, one data file each."""
+    fs.makedirs(root)
+    fs.write_file_atomic(f"{root}/tb=0/part-old0.parquet", b"old0")
+    fs.write_file_atomic(f"{root}/tb=1/part-old1.parquet", b"old1")
+
+
+def _stage(fs, root, name="_compact_x", data=b"new0"):
+    fs.write_file_atomic(f"{root}/{name}/part-new.parquet", data)
+
+
+def _layout(fs, root):
+    """Every file under root as rel-path -> bytes (what a reader sees)."""
+    out = {}
+    for r, _d, files in fs.walk(root):
+        for f in files:
+            full = f"{r.rstrip('/')}/{f}"
+            out[full[len(root):].lstrip("/")] = fs.read_bytes(full)
+    return out
+
+
+SWAPPED = {
+    "tb=0/part-new.parquet": b"new0",
+    "tb=1/part-old1.parquet": b"old1",
+}
+ORIGINAL = {
+    "tb=0/part-old0.parquet": b"old0",
+    "tb=1/part-old1.parquet": b"old1",
+}
+
+
+@pytest.mark.parametrize("kind", ["posix", "objstore"])
+def test_swap_completes_clean(kind, tmp_path):
+    """No crash: swap replaces the partition exactly, no residue."""
+    fs, root = _make_fs(kind, tmp_path)
+    _seed_table(fs, root)
+    _stage(fs, root)
+    swap_partition_dir(root, "tb=0", f"{root}/_compact_x", fs=fs)
+    assert _layout(fs, root) == SWAPPED
+
+
+@pytest.mark.parametrize("kind", ["posix", "objstore"])
+def test_state_a_marker_and_staged_only(kind, tmp_path):
+    """State a: marker + fully-staged tmp, partition untouched. Repair
+    must complete the swap FORWARD (tmp is complete by contract)."""
+    fs, root = _make_fs(kind, tmp_path)
+    _seed_table(fs, root)
+    _stage(fs, root)
+    fs.write_file_atomic(
+        f"{root}/_swap_aa.json",
+        json.dumps({"part": "tb=0", "tmp": "_compact_x", "old": "_old_aa"}).encode(),
+    )
+    assert repair_partition_swaps(root, fs=fs) == 1
+    assert _layout(fs, root) == SWAPPED
+
+
+def test_state_b_posix_part_renamed_out(tmp_path):
+    """State b (POSIX): part renamed to _old_*, tmp still staged — the
+    silent-loss window of the naive swap. Repair installs tmp, drops old."""
+    fs, root = _make_fs("posix", tmp_path)
+    _seed_table(fs, root)
+    _stage(fs, root)
+    fs.rename(f"{root}/tb=0", f"{root}/_old_bb")
+    fs.write_file_atomic(
+        f"{root}/_swap_bb.json",
+        json.dumps({"part": "tb=0", "tmp": "_compact_x", "old": "_old_bb"}).encode(),
+    )
+    assert repair_partition_swaps(root, fs=fs) == 1
+    assert _layout(fs, root) == SWAPPED
+
+
+def test_state_b_objstore_partial_copy(tmp_path):
+    """State b (object store): crash mid-copy — destination holds a mix of
+    old and new keys, staged dir intact, marker state still 'intent'.
+    Repair re-copies and deletes the stale extras."""
+    fs, root = _make_fs("objstore", tmp_path)
+    _seed_table(fs, root)
+    _stage(fs, root)
+    # hand-build the mid-copy state: one new key copied in, old key still
+    # present (copy phase overwrites by key; names differ so both exist)
+    fs.write_file_atomic(f"{root}/tb=0/part-new.parquet", b"new0")
+    fs.write_file_atomic(
+        f"{root}/_swap_cc.json",
+        json.dumps(
+            {"part": "tb=0", "tmp": "_compact_x", "old": "_old_cc",
+             "state": "intent"}
+        ).encode(),
+    )
+    assert repair_partition_swaps(root, fs=fs) == 1
+    assert _layout(fs, root) == SWAPPED
+
+
+@pytest.mark.parametrize("kind", ["posix", "objstore"])
+def test_state_c_swap_done_residue_left(kind, tmp_path):
+    """State c: destination complete, only cleanup pending (POSIX: _old_
+    dir undead; object store: marker advanced to 'copied', staged remnant
+    undead). Repair just cleans up — it must NOT touch the new data."""
+    fs, root = _make_fs(kind, tmp_path)
+    _seed_table(fs, root)
+    fs.rmtree(f"{root}/tb=0")
+    fs.write_file_atomic(f"{root}/tb=0/part-new.parquet", b"new0")
+    if kind == "posix":
+        fs.write_file_atomic(f"{root}/_old_dd/part-old0.parquet", b"old0")
+        payload = {"part": "tb=0", "tmp": "_compact_gone", "old": "_old_dd"}
+    else:
+        fs.write_file_atomic(f"{root}/_compact_x/part-new.parquet", b"new0")
+        payload = {"part": "tb=0", "tmp": "_compact_x", "old": "_old_dd",
+                   "state": "copied"}
+    fs.write_file_atomic(f"{root}/_swap_dd.json", json.dumps(payload).encode())
+    assert repair_partition_swaps(root, fs=fs) == 1
+    assert _layout(fs, root) == SWAPPED
+
+
+@pytest.mark.parametrize("kind", ["posix", "objstore"])
+def test_state_d_delete_intent(kind, tmp_path):
+    """A journaled delete must finish as a delete on retry, never
+    resurrect the partition."""
+    fs, root = _make_fs(kind, tmp_path)
+    _seed_table(fs, root)
+    fs.write_file_atomic(
+        f"{root}/_swap_ee.json",
+        json.dumps(
+            {"part": "tb=0", "tmp": "_gone", "old": "_old_ee", "delete": True}
+        ).encode(),
+    )
+    assert repair_partition_swaps(root, fs=fs) == 1
+    assert _layout(fs, root) == {"tb=1/part-old1.parquet": b"old1"}
+
+
+def _run_with_fault(nth: int, delete: bool = False):
+    """Drive a swap on a fresh object store, crashing at op ``nth``; then
+    repair with faults off. Returns the repaired layout."""
+    fs = MemoryObjectStore()
+    root = "/lake/t"
+    _seed_table(fs, root)
+    if not delete:
+        _stage(fs, root)
+        # two staged files exercises multi-key copy/delete phases
+        fs.write_file_atomic(f"{root}/_compact_x/part-new2.parquet", b"new2")
+
+    count = {"n": 0}
+
+    def hook():
+        count["n"] += 1
+        if count["n"] > nth:
+            raise RuntimeError("injected crash")
+
+    fs._op_hook = hook
+    crashed = False
+    try:
+        swap_partition_dir(
+            root, "tb=0", f"{root}/_compact_x", delete=delete, fs=fs
+        )
+    except RuntimeError:
+        crashed = True
+    fs._op_hook = None
+    repair_partition_swaps(root, fs=fs)
+    return fs, root, crashed
+
+
+def test_objstore_fault_sweep_replace():
+    """Inject a crash between EVERY pair of key operations of the
+    object-store swap; repair must converge to the exact swapped layout
+    every time. This is the exhaustive crash-window matrix the rename-less
+    commit story rests on."""
+    want = {
+        "tb=0/part-new.parquet": b"new0",
+        "tb=0/part-new2.parquet": b"new2",
+        "tb=1/part-old1.parquet": b"old1",
+    }
+    # first find the op count of a clean run, then sweep every prefix
+    fs, root, crashed = _run_with_fault(10_000)
+    assert not crashed
+    fs2 = MemoryObjectStore()
+    _seed_table(fs2, root)
+    _stage(fs2, root)
+    fs2.write_file_atomic(f"{root}/_compact_x/part-new2.parquet", b"new2")
+    n_ops = {"n": 0}
+    fs2._op_hook = lambda: n_ops.__setitem__("n", n_ops["n"] + 1)
+    swap_partition_dir(root, "tb=0", f"{root}/_compact_x", fs=fs2)
+    fs2._op_hook = None
+    assert n_ops["n"] >= 6  # marker put, copies, extra-deletes, tmp deletes
+    for k in range(n_ops["n"]):
+        fs, root, crashed = _run_with_fault(k)
+        assert crashed, k
+        got = _layout(fs, root)
+        if f"{root}/_swap_" not in str(got) and "tb=0/part-old0.parquet" in got:
+            # crash BEFORE the marker landed: the journal contract is that
+            # the swap never happened — the maintenance entry point retries
+            # the whole operation (staged dir must still be intact)
+            assert got["_compact_x/part-new.parquet"] == b"new0", k
+            swap_partition_dir(root, "tb=0", f"{root}/_compact_x", fs=fs)
+            got = _layout(fs, root)
+        assert got == want, f"diverged after crash at op {k}"
+        # no journal or staging residue after repair
+        assert not [
+            n for n in fs.listdir(root) if n.startswith(("_swap_", "_compact_"))
+        ], k
+
+
+def test_objstore_fault_sweep_delete():
+    """Same exhaustive sweep for the delete-intent swap."""
+    want = {"tb=1/part-old1.parquet": b"old1"}
+    fs2 = MemoryObjectStore()
+    _seed_table(fs2, "/lake/t")
+    n_ops = {"n": 0}
+    fs2._op_hook = lambda: n_ops.__setitem__("n", n_ops["n"] + 1)
+    swap_partition_dir("/lake/t", "tb=0", "/lake/t/_gone", delete=True, fs=fs2)
+    fs2._op_hook = None
+    for k in range(n_ops["n"]):
+        fs, root, crashed = _run_with_fault(k, delete=True)
+        assert crashed, k
+        got = _layout(fs, root)
+        if "tb=0/part-old0.parquet" in got:
+            # crash before the marker landed: swap never happened — retry
+            swap_partition_dir(root, "tb=0", f"{root}/_gone", delete=True, fs=fs)
+            got = _layout(fs, root)
+        assert got == want, f"diverged after crash at op {k}"
+
+
+def test_objstore_interrupted_repair_retry():
+    """A repair that itself crashes mid-flight must converge on retry —
+    the interrupted-repair scenario from the POSIX matrix, replayed on
+    rename-less semantics at every repair op index."""
+    # build the state-a crash (marker + staged, nothing mutated), then
+    # crash the REPAIR at every op index and re-repair
+    fs2 = MemoryObjectStore()
+    root = "/lake/t"
+    _seed_table(fs2, root)
+    _stage(fs2, root)
+    fs2.write_file_atomic(
+        f"{root}/_swap_rr.json",
+        json.dumps({"part": "tb=0", "tmp": "_compact_x", "old": "_old_rr"}).encode(),
+    )
+    n_ops = {"n": 0}
+    fs2._op_hook = lambda: n_ops.__setitem__("n", n_ops["n"] + 1)
+    repair_partition_swaps(root, fs=fs2)
+    fs2._op_hook = None
+    assert _layout(fs2, root) == SWAPPED
+
+    for k in range(n_ops["n"]):
+        fs = MemoryObjectStore()
+        _seed_table(fs, root)
+        _stage(fs, root)
+        fs.write_file_atomic(
+            f"{root}/_swap_rr.json",
+            json.dumps(
+                {"part": "tb=0", "tmp": "_compact_x", "old": "_old_rr"}
+            ).encode(),
+        )
+        count = {"n": 0}
+
+        def hook():
+            count["n"] += 1
+            if count["n"] > k:
+                raise RuntimeError("injected crash")
+
+        fs._op_hook = hook
+        try:
+            repair_partition_swaps(root, fs=fs)
+        except RuntimeError:
+            pass
+        fs._op_hook = None
+        repair_partition_swaps(root, fs=fs)
+        assert _layout(fs, root) == SWAPPED, f"repair retry diverged at op {k}"
+
+
+def test_bucket_swap_repair_both_semantics(tmp_path):
+    """compact_ingest_partitions' per-bucket marker repair converges on
+    both filesystems: staged -1 history installed exactly once, aged batch
+    dirs gone, no marker left."""
+    from tickerlake_spark.storage.maintenance import (
+        _MARKER,
+        _repair_partial_compaction,
+    )
+
+    for kind in ("posix", "objstore"):
+        fs, root = _make_fs(kind, tmp_path)
+        # bucket with aged batches 0,1, live batch 7, staged -1 history
+        fs.write_file_atomic(f"{root}/b=0/ingest_batch=0/f0.parquet", b"a0")
+        fs.write_file_atomic(f"{root}/b=0/ingest_batch=1/f1.parquet", b"a1")
+        fs.write_file_atomic(f"{root}/b=0/ingest_batch=7/f7.parquet", b"live")
+        staged_root = f"{root}__hist"
+        fs.write_file_atomic(f"{staged_root}/b=0/ingest_batch=-1/h.parquet", b"hist")
+        payload = {
+            "staged": f"{staged_root}/b=0/ingest_batch=-1",
+            "aged": ["ingest_batch=0", "ingest_batch=1"],
+        }
+        fs.write_file_atomic(
+            f"{root}/b=0/{_MARKER}", json.dumps(payload).encode()
+        )
+        _repair_partial_compaction(root, fs=fs)
+        assert _layout(fs, root) == {
+            "b=0/ingest_batch=-1/h.parquet": b"hist",
+            "b=0/ingest_batch=7/f7.parquet": b"live",
+        }, kind
+        assert not fs.exists(f"{root}/b=0/{_MARKER}"), kind
+
+
+def test_footer_probes_through_objstore(spark, tmp_path):
+    """The footer-stats probes (watermark max, null-count proof) and the
+    layout probes (exists, partition column, partition-listing watermark)
+    work over an object store: real parquet bytes served from memory via
+    ``open_read``, listings from key prefixes — no POSIX call anywhere."""
+    import datetime as dt
+
+    from tickerlake_spark.storage import (
+        detect_partition_column,
+        get_max_date,
+        parquet_stats_all_non_null,
+        parquet_stats_max,
+        table_exists,
+    )
+
+    # write real parquet locally, then load the BYTES into the store
+    local = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("A", dt.date(2024, 1, 2), 1.5), ("B", dt.date(2024, 1, 3), 2.5)],
+        "ticker string, last_date date, v double",
+    ).coalesce(1).write.parquet(local)
+    import os
+
+    pq_bytes = None
+    for f in os.listdir(local):
+        if f.endswith(".parquet"):
+            with open(os.path.join(local, f), "rb") as fh:
+                pq_bytes = fh.read()
+    assert pq_bytes
+
+    fs = MemoryObjectStore()
+    t = "/lake/state"
+    fs.write_file_atomic(f"{t}/part-0.parquet", pq_bytes)
+    # staging residue that every probe must skip
+    fs.write_file_atomic(f"{t}/_compact_zz/part-9.parquet", pq_bytes)
+
+    assert table_exists(t, fs=fs)
+    assert not table_exists("/lake/absent", fs=fs)
+    assert parquet_stats_max(t, "last_date", fs=fs) == dt.date(2024, 1, 3)
+    assert parquet_stats_all_non_null(t, ["ticker", "v"], fs=fs) is True
+
+    # hive-partitioned layout probes from prefixes alone
+    p = "/lake/daily"
+    fs.write_file_atomic(f"{p}/date=2024-01-02/f.parquet", pq_bytes)
+    fs.write_file_atomic(f"{p}/date=2024-01-05/f.parquet", pq_bytes)
+    fs.write_file_atomic(f"{p}/_swap_x.json", b"{}")
+    assert detect_partition_column(p, fs=fs) == "date"
+    # partition-listing watermark never needs Spark: spark=None proves it
+    assert get_max_date(None, p, fs=fs) == "2024-01-05"

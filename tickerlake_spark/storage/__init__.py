@@ -1,6 +1,7 @@
 from tickerlake_spark.storage.bucketing import attach_bucketed, write_bucketed
 from tickerlake_spark.storage.catalog import Catalog, get_table_path
 from tickerlake_spark.storage.checkpoints import Checkpoints
+from tickerlake_spark.storage.fs import FS, LOCAL_FS, LocalFS, MemoryObjectStore
 from tickerlake_spark.storage.io import (
     detect_partition_column,
     drop_table,
@@ -18,6 +19,10 @@ __all__ = [
     "Catalog",
     "get_table_path",
     "Checkpoints",
+    "FS",
+    "LOCAL_FS",
+    "LocalFS",
+    "MemoryObjectStore",
     "read_table",
     "write_table",
     "drop_table",

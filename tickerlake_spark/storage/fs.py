@@ -1,0 +1,266 @@
+"""Filesystem abstraction for the storage mutation layer (VERDICT r9 item 1).
+
+The engine's BULK data IO is Spark-native — `spark.read.parquet` /
+`df.write.parquet` already speak any Hadoop-supported filesystem (s3a://,
+gs://, hdfs://) unchanged. What was POSIX-coupled is everything AROUND the
+bulk IO: the journaled partition-dir swaps, the footer-stats probes, the
+partition-layout walks, and the marker files that make table mutation
+crash-safe. This module puts those behind a minimal protocol
+(list / rename-or-copy / delete / open-footer) with two implementations:
+
+- ``LocalFS`` — the POSIX default: atomic ``os.rename``, directory fsync,
+  real ``os.walk``. Every existing call site uses it implicitly.
+- ``MemoryObjectStore`` — object-store SEMANTICS, in memory: a flat
+  key->bytes namespace, NO rename primitive (rename is copy-then-delete,
+  one key at a time, interruptible at every key), no directories (prefixes
+  only), no fsync. This is the semantic model of S3/GCS; the crash-window
+  tests run the full swap/repair matrix against it, so the journal logic
+  is proven to need only atomic single-object PUT — which real object
+  stores do provide — and never an atomic rename.
+
+The commit story on a rename-less store (see storage/maintenance.py): each
+swap journals intent to a single marker object BEFORE mutating, advances
+the marker's ``state`` field with atomic whole-object PUTs as it crosses
+the point of no return, and repair replays from the marker — so a crash at
+ANY key-granular step leaves a state the marker deterministically finishes.
+
+A production S3/GCS/HDFS adapter implements this same protocol over the
+store's list/get/put/delete API (or Hadoop's FileSystem via ``spark._jvm``);
+``MemoryObjectStore`` is its semantics-accurate stand-in for tests.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import shutil
+from typing import BinaryIO, Iterator, Protocol
+
+__all__ = ["FS", "LocalFS", "MemoryObjectStore", "LOCAL_FS"]
+
+
+class FS(Protocol):
+    """Minimal filesystem surface the mutation layer needs.
+
+    ``atomic_rename`` advertises whether ``rename`` is a single atomic
+    metadata operation (POSIX) or a key-by-key copy+delete (object store).
+    The journaled-swap code branches on it: with atomic rename the classic
+    rename sequence runs; without it, the marker-state protocol runs.
+    """
+
+    atomic_rename: bool
+
+    def exists(self, path: str) -> bool: ...
+    def isdir(self, path: str) -> bool: ...
+    def isfile(self, path: str) -> bool: ...
+    def listdir(self, path: str) -> list[str]: ...
+    def walk(self, path: str) -> Iterator[tuple[str, list[str], list[str]]]: ...
+    def getsize(self, path: str) -> int: ...
+    def makedirs(self, path: str) -> None: ...
+    def rename(self, src: str, dst: str) -> None: ...
+    def copy_tree(self, src: str, dst: str) -> None: ...
+    def remove(self, path: str) -> None: ...
+    def rmtree(self, path: str) -> None: ...
+    def read_bytes(self, path: str) -> bytes: ...
+    def write_file_atomic(self, path: str, data: bytes) -> None: ...
+    def fsync_dir(self, path: str) -> None: ...
+    def open_read(self, path: str) -> BinaryIO: ...
+
+
+class LocalFS:
+    """POSIX filesystem — the default for every mutation-layer call site."""
+
+    atomic_rename = True
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def isfile(self, path: str) -> bool:
+        return os.path.isfile(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return sorted(os.listdir(path))
+
+    def walk(self, path: str):
+        return os.walk(path)
+
+    def getsize(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        if os.path.isfile(src):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
+        else:
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+
+    def remove(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def rmtree(self, path: str) -> None:
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            self.remove(path)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_file_atomic(self, path: str, data: bytes) -> None:
+        # tmp + fsync + atomic replace: the marker either exists complete
+        # or not at all, even across power loss. Parent dirs are implicit
+        # (object-store parity: a key's "directories" always exist).
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def fsync_dir(self, path: str) -> None:
+        """Flush directory-entry changes (renames, creates) to stable
+        storage. Best-effort on filesystems that reject directory fds."""
+        try:
+            fd = os.open(path, os.O_RDONLY)
+        except OSError:
+            return
+        try:
+            os.fsync(fd)
+        except OSError:
+            pass
+        finally:
+            os.close(fd)
+
+    def open_read(self, path: str) -> BinaryIO:
+        return open(path, "rb")
+
+
+def _norm(path: str) -> str:
+    return path.rstrip("/")
+
+
+class MemoryObjectStore:
+    """In-memory filesystem with OBJECT-STORE semantics.
+
+    - Flat ``key -> bytes`` namespace; a "directory" exists iff some key
+      lives under its prefix (no empty dirs, no dir metadata).
+    - NO rename primitive: ``rename`` copies key-by-key then deletes
+      key-by-key — interruptible between ANY two key operations (the
+      ``_op_hook`` lets tests inject a crash at every step).
+    - Single-object PUT and DELETE are atomic (true of S3/GCS) — the only
+      atomicity the journal protocol is allowed to rely on.
+    - ``fsync_dir`` is a no-op (object stores have nothing to fsync).
+    """
+
+    atomic_rename = False
+
+    def __init__(self) -> None:
+        self.objects: dict[str, bytes] = {}
+        self._op_hook = None  # tests: callable() raising to simulate a crash
+
+    # -- test instrumentation ------------------------------------------------
+    def _op(self) -> None:
+        if self._op_hook is not None:
+            self._op_hook()
+
+    # -- reads ---------------------------------------------------------------
+    def exists(self, path: str) -> bool:
+        return self.isfile(path) or self.isdir(path)
+
+    def isfile(self, path: str) -> bool:
+        return _norm(path) in self.objects
+
+    def isdir(self, path: str) -> bool:
+        prefix = _norm(path) + "/"
+        return any(k.startswith(prefix) for k in self.objects)
+
+    def listdir(self, path: str) -> list[str]:
+        prefix = _norm(path) + "/"
+        names = {
+            k[len(prefix):].split("/", 1)[0]
+            for k in self.objects
+            if k.startswith(prefix)
+        }
+        return sorted(names)
+
+    def walk(self, path: str):
+        root = _norm(path)
+        if not self.isdir(root):
+            return
+        dirs = [n for n in self.listdir(root) if self.isdir(f"{root}/{n}")]
+        files = [n for n in self.listdir(root) if self.isfile(f"{root}/{n}")]
+        yield root, dirs, files
+        for d in dirs:
+            yield from self.walk(f"{root}/{d}")
+
+    def getsize(self, path: str) -> int:
+        return len(self.objects[_norm(path)])
+
+    def makedirs(self, path: str) -> None:
+        pass  # directories are implicit
+
+    # -- mutations (key-granular; each step passes the crash hook) -----------
+    def _keys_under(self, path: str) -> list[str]:
+        p = _norm(path)
+        prefix = p + "/"
+        return sorted(k for k in self.objects if k == p or k.startswith(prefix))
+
+    def rename(self, src: str, dst: str) -> None:
+        """Copy-then-delete, one key at a time — the object-store 'rename'.
+        Deletes begin only after EVERY copy landed, so a crash mid-rename
+        always leaves at least one complete replica of the data."""
+        s, d = _norm(src), _norm(dst)
+        keys = self._keys_under(s)
+        for k in keys:
+            self._op()
+            self.objects[d + k[len(s):]] = self.objects[k]
+        for k in keys:
+            self._op()
+            del self.objects[k]
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        s, d = _norm(src), _norm(dst)
+        for k in self._keys_under(s):
+            self._op()
+            self.objects[d + k[len(s):]] = self.objects[k]
+
+    def remove(self, path: str) -> None:
+        self._op()
+        self.objects.pop(_norm(path), None)
+
+    def rmtree(self, path: str) -> None:
+        for k in self._keys_under(path):
+            self._op()
+            del self.objects[k]
+
+    def read_bytes(self, path: str) -> bytes:
+        return self.objects[_norm(path)]
+
+    def write_file_atomic(self, path: str, data: bytes) -> None:
+        self._op()
+        self.objects[_norm(path)] = data  # single-object PUT is atomic
+
+    def fsync_dir(self, path: str) -> None:
+        pass
+
+    def open_read(self, path: str) -> BinaryIO:
+        return io.BytesIO(self.objects[_norm(path)])
+
+
+LOCAL_FS = LocalFS()

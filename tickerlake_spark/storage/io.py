@@ -17,11 +17,11 @@ Spark-first rebuild of the reference's storage operations
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+from tickerlake_spark.storage.fs import FS, LOCAL_FS
 
 __all__ = [
     "read_table",
@@ -97,24 +97,25 @@ def init_table(spark: SparkSession, path: str, schema: StructType) -> None:
     spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
 
 
-def table_exists(path: str) -> bool:
+def table_exists(path: str, fs: FS = LOCAL_FS) -> bool:
     """True if ``path`` holds at least one Parquet part file
     (reference: storage/operations.py:99-121).
 
-    Local-filesystem implementation; on a cluster swap in the Hadoop FS API
-    via ``spark._jvm`` — the call sites don't change.
+    Goes through the ``fs`` protocol (storage/fs.py): POSIX by default; an
+    object-store adapter (prefix listing) drops in without changing call
+    sites.
     """
-    if os.path.isfile(path):
+    if fs.isfile(path):
         return path.endswith(".parquet")
-    if not os.path.isdir(path):
+    if not fs.isdir(path):
         return False
-    for _, _, files in os.walk(path):
+    for _, _, files in fs.walk(path):
         if any(f.endswith(".parquet") for f in files):
             return True
     return False
 
 
-def detect_partition_column(path: str) -> str | None:
+def detect_partition_column(path: str, fs: FS = LOCAL_FS) -> str | None:
     """The Hive partition column of the table at ``path``, or None.
 
     Detected from the directory layout (``<col>=<value>/`` children), not
@@ -124,14 +125,14 @@ def detect_partition_column(path: str) -> str | None:
     write a mixed root-files-plus-partition-dirs layout, which Spark's
     partition discovery rejects as 'Conflicting directory structures'.
     """
-    if not os.path.isdir(path):
+    if not fs.isdir(path):
         return None
     cols = {
         d.split("=", 1)[0]
-        for d in os.listdir(path)
+        for d in fs.listdir(path)
         if "=" in d
         and not d.startswith(("_", "."))  # staging/marker dirs Spark ignores
-        and os.path.isdir(os.path.join(path, d))
+        and fs.isdir(f"{path.rstrip('/')}/{d}")
     }
     if len(cols) > 1:
         # more than one '<col>=' prefix at the root is not a layout this
@@ -145,25 +146,25 @@ def detect_partition_column(path: str) -> str | None:
     return next(iter(cols)) if cols else None
 
 
-def _data_files(path: str) -> list[str]:
+def _data_files(path: str, fs: FS = LOCAL_FS) -> list[str]:
     """Parquet data files of a table, skipping the ``_``/``.``-prefixed
     directories and files Spark's file index ignores — the load-bearing
     rule that keeps crash-leftover staging dirs (``_compact_*``/``_old_*``)
     out of every footer-stats probe. Single shared walk for all probes."""
-    if os.path.isfile(path):
+    if fs.isfile(path):
         return [path]
     files: list[str] = []
-    for r, dirs, fs in os.walk(path):
+    for r, dirs, fnames in fs.walk(path):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         files.extend(
-            os.path.join(r, f)
-            for f in fs
+            f"{r.rstrip('/')}/{f}"
+            for f in fnames
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
     return files
 
 
-def parquet_stats_max(path: str, column: str):
+def parquet_stats_max(path: str, column: str, fs: FS = LOCAL_FS):
     """Max of ``column`` across a Parquet table from row-group STATISTICS
     alone — footer reads, zero data pages, no Spark job.
 
@@ -185,20 +186,20 @@ def parquet_stats_max(path: str, column: str):
 
     The file walk skips ``_``/``.``-prefixed directories and files — the
     same paths Spark's file index ignores — so crash-leftover staging dirs
-    (``_compact_*``/``_old_*``) can never supply a stale watermark.
-    Local-filesystem walk, like ``table_exists``; on an object store, swap
-    in the filesystem listing.
+    (``_compact_*``/``_old_*``) can never supply a stale watermark. The
+    walk and the footer reads go through the ``fs`` protocol, so an
+    object-store adapter serves the probe from ranged GETs unchanged.
     """
     import pyarrow.parquet as pq
 
     _EXACT_PHYSICAL = {"INT32", "INT64", "INT96", "FLOAT", "DOUBLE", "BOOLEAN"}
 
-    if not table_exists(path):
+    if not table_exists(path, fs=fs):
         return None
-    files = _data_files(path)
+    files = _data_files(path, fs=fs)
     mx = None
     for f in files:
-        md = pq.ParquetFile(f).metadata
+        md = pq.ParquetFile(fs.open_read(f)).metadata
         try:
             idx = md.schema.names.index(column)
         except ValueError:
@@ -217,7 +218,7 @@ def parquet_stats_max(path: str, column: str):
     return mx
 
 
-def parquet_stats_all_non_null(path: str, columns: list[str]):
+def parquet_stats_all_non_null(path: str, columns: list[str], fs: FS = LOCAL_FS):
     """True/False: do the row-group statistics PROVE ``columns`` hold no
     nulls anywhere in the table? None when any row group lacks a null
     count (caller falls back to a Spark probe).
@@ -229,10 +230,10 @@ def parquet_stats_all_non_null(path: str, columns: list[str]):
     """
     import pyarrow.parquet as pq
 
-    if not table_exists(path):
+    if not table_exists(path, fs=fs):
         return None
-    for f in _data_files(path):
-        md = pq.ParquetFile(f).metadata
+    for f in _data_files(path, fs=fs):
+        md = pq.ParquetFile(fs.open_read(f)).metadata
         idxs = []
         for c in columns:
             try:
@@ -249,27 +250,25 @@ def parquet_stats_all_non_null(path: str, columns: list[str]):
     return True
 
 
-def drop_table(path: str) -> None:
+def drop_table(path: str, fs: FS = LOCAL_FS) -> None:
     """Destructively remove a table directory (reference: bronze/clean.py:12-36).
 
     No-op when the table doesn't exist; refuses paths that don't look like
     Parquet tables (a directory containing no parquet files AND no partition
     dirs) as a guard against deleting arbitrary trees.
     """
-    import shutil
-
-    if not os.path.exists(path):
+    if not fs.exists(path):
         return
-    if os.path.isdir(path) and not table_exists(path):
+    if fs.isdir(path) and not table_exists(path, fs=fs):
         raise ValueError(f"refusing to drop non-table directory {path!r}")
-    if os.path.isdir(path):
-        shutil.rmtree(path)
+    if fs.isdir(path):
+        fs.rmtree(path)
     else:
-        os.unlink(path)
+        fs.remove(path)
 
 
 def get_max_date(
-    spark: SparkSession, path: str, column: str = "date"
+    spark: SparkSession, path: str, column: str = "date", fs: FS = LOCAL_FS
 ) -> str | None:
     """Max watermark of ``column`` as ISO string, or None for missing/empty
     tables (reference: storage/operations.py:150-184).
@@ -283,9 +282,9 @@ def get_max_date(
     sort lexicographically, so the watermark is a pure filesystem listing —
     the right cost for a probe that runs at the top of every incremental job.
     """
-    if not table_exists(path):
+    if not table_exists(path, fs=fs):
         return None
-    if os.path.isdir(path):
+    if fs.isdir(path):
         import re
 
         prefix = f"{column}="
@@ -293,16 +292,16 @@ def get_max_date(
         part_dirs = sorted(
             (
                 d
-                for d in os.listdir(path)
+                for d in fs.listdir(path)
                 if d.startswith(prefix)
                 and iso.match(d[len(prefix):])  # lexicographic max == date max
-                and os.path.isdir(os.path.join(path, d))
+                and fs.isdir(f"{path.rstrip('/')}/{d}")
             ),
             reverse=True,
         )
         for d in part_dirs:
             # skip stale empty dirs a dynamic-overwrite delete may leave
-            if table_exists(os.path.join(path, d)):
+            if table_exists(f"{path.rstrip('/')}/{d}", fs=fs):
                 return d[len(prefix):]
     row = (
         spark.read.parquet(path)

