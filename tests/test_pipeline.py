@@ -492,6 +492,39 @@ def test_reference_gold_views_split_stocks_and_etfs(spark, tmp_path):
     } == {"SPYX"}
 
 
+def test_reference_view_ddl_refreshes_on_relocation(spark, tmp_path):
+    """r9 review nit: the published-view DDL embeds catalog paths, and the
+    streaming maintainer used to key the write on file EXISTENCE — a
+    relocated lake (copied to a new root, DDL file riding along) kept
+    serving views over the old paths. The writer is now content-keyed."""
+    import shutil
+
+    from tickerlake_spark.sql import write_reference_gold_view_ddl
+    from tickerlake_spark.storage import write_table
+
+    root1, root2 = str(tmp_path / "lake1"), str(tmp_path / "lake2")
+    cat1 = Catalog(root=root1)
+    meta = spark.createDataFrame(
+        [("AAPL", "Apple", "CS", "XNAS", True, "1")],
+        "ticker string, name string, type string, primary_exchange string, "
+        "active boolean, cik string",
+    )
+    write_table(meta, cat1.silver("ticker_metadata"))
+    p1 = write_reference_gold_view_ddl(cat1)
+    assert root1 in open(p1).read()
+    # unchanged catalog: second call is a no-op (content identical)
+    mtime = __import__("os").path.getmtime(p1)
+    assert write_reference_gold_view_ddl(cat1) == p1
+    assert __import__("os").path.getmtime(p1) == mtime
+
+    # relocate the lake wholesale; stale DDL rides along
+    shutil.copytree(root1, root2)
+    cat2 = Catalog(root=root2)
+    p2 = write_reference_gold_view_ddl(cat2)
+    content = open(p2).read()
+    assert root2 in content and root1 not in content
+
+
 def test_validate_detects_indicator_drift(spark, env):
     """run_validate's third check recomputes sampled tickers' indicators
     from scratch and diffs stored rows — clean data passes, a tampered

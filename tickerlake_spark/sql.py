@@ -171,6 +171,15 @@ def write_reference_gold_view_ddl(catalog: Catalog) -> str | None:
     gold_root = os.path.dirname(catalog.gold("vwap_signals"))
     os.makedirs(gold_root, exist_ok=True)
     out = os.path.join(gold_root, "_reference_views.sql")
+    # content-keyed, not existence-keyed (r9 review nit): the DDL embeds
+    # catalog paths, so a relocated lake must refresh it — while unchanged
+    # content skips the write, keeping per-micro-batch calls free
+    try:
+        with open(out) as f:
+            if f.read() == ddl:
+                return out
+    except OSError:
+        pass
     tmp = out + ".tmp"
     with open(tmp, "w") as f:
         f.write(ddl)

@@ -419,18 +419,14 @@ def gold_maintenance_batch(
         write_table(
             schemas.conform(best, schemas.STAIRSTEP_PATTERNS), catalog.gold(out)
         )
-    # a pure-streaming lake carries the published 12-name view DDL too
-    # (batch run_gold rewrites it every run; here once is enough — the
-    # DDL depends only on catalog paths)
-    import os as _os
-
+    # a pure-streaming lake carries the published 12-name view DDL too.
+    # Unconditional call: the writer itself is content-keyed (a relocated
+    # catalog refreshes the embedded paths; unchanged content is a free
+    # string compare, r9 review nit — the old existence key left stale DDL
+    # after a relocation)
     from tickerlake_spark.sql import write_reference_gold_view_ddl
 
-    _ddl = _os.path.join(
-        _os.path.dirname(catalog.gold("vwap_signals")), "_reference_views.sql"
-    )
-    if not _os.path.exists(_ddl):
-        write_reference_gold_view_ddl(catalog)
+    write_reference_gold_view_ddl(catalog)
 
 
 def stream_bronze_to_silver(
