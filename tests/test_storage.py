@@ -1165,3 +1165,42 @@ def test_parquet_stats_all_non_null(spark, tmp_path):
     assert parquet_stats_all_non_null(dirty, ["b"]) is True
     assert parquet_stats_all_non_null(dirty, ["nope"]) is None
     assert parquet_stats_all_non_null(str(tmp_path / "missing"), ["a"]) is None
+
+
+def test_whole_table_swap_crash_then_upsert_retry(spark, tmp_path):
+    """r10: the whole-table rewrite swap (upsert/replace_keys/compact/
+    sketch-rollup) is journaled via replace_table. Simulate the worst
+    crash window — table renamed out, staged merge not yet renamed in —
+    and retry the upsert: the old bare two-rename code saw a MISSING
+    table, took the create branch, and rebuilt the table from the delta
+    alone (silent history loss). The journal repair must restore the full
+    merge first."""
+    import json
+    import os
+
+    from tickerlake_spark.storage import read_table, upsert_table, write_table
+
+    layer = tmp_path / "silver"
+    path = str(layer / "t")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, val string"
+    )
+    write_table(base, path)
+    updates = spark.createDataFrame([(100, "new"), (0, "patched")], "k long, val string")
+
+    # stage the merged output, then simulate the crash between the renames
+    merged = base.filter("k NOT IN (0)").unionByName(updates)
+    tmp = str(layer / "t__upsert_zz")
+    merged.write.parquet(tmp)
+    os.rename(path, str(layer / "_old_zz"))
+    with open(str(layer / "_swap_zz.json"), "w") as f:
+        json.dump({"part": "t", "tmp": "t__upsert_zz", "old": "_old_zz"}, f)
+    # the silent-loss window: Spark sees no table at all
+    assert not os.path.exists(path)
+
+    out = upsert_table(spark, path, updates, keys=["k"])
+    assert out["mode"] != "create", out  # repair ran BEFORE the branch
+    got = read_table(spark, path)
+    assert got.count() == 101  # full history + the insert — nothing lost
+    assert got.filter("k = 0").first()["val"] == "patched"
+    assert not os.path.exists(str(layer / "_swap_zz.json"))

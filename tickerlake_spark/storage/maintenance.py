@@ -44,6 +44,7 @@ __all__ = [
     "compact_partition_dirs",
     "table_file_stats",
     "swap_partition_dir",
+    "replace_table",
     "repair_partition_swaps",
 ]
 
@@ -99,6 +100,28 @@ def swap_partition_dir(
     _finish_swap(path, payload, fs=fs, marker=marker)
     fs.fsync_dir(path)
     fs.remove(marker)
+
+
+def replace_table(path: str, tmp_dir: str, fs: FS = LOCAL_FS) -> None:
+    """Journaled WHOLE-TABLE swap: replace the table at ``path`` with the
+    fully-written sibling ``tmp_dir`` (a ``{table}__suffix`` dir in the
+    same parent).
+
+    Same marker machinery as ``swap_partition_dir``, with the journal in
+    the table's PARENT (layer) directory — Spark never scans a layer dir
+    as a table root, so the ``_swap_*.json`` marker is invisible to
+    readers. Closes the crash window the bare two-rename swap had
+    (r10): between the renames the table is MISSING, and a retrying
+    writer that probes ``table_exists`` would take its create branch and
+    rebuild the table from the incoming delta alone — the whole-table
+    twin of the partition-dir silent-loss window ADVICE r8 flagged.
+    Callers run ``repair_partition_swaps(parent)`` at entry (see
+    ``upsert_table``/``replace_keys``/``compact_table``) to finish any
+    interrupted swap first.
+    """
+    base = path.rstrip("/")
+    parent, part = base.rsplit("/", 1)
+    swap_partition_dir(parent, part, tmp_dir, fs=fs)
 
 
 def _rel_files(fs: FS, root: str) -> set[str]:
@@ -300,6 +323,10 @@ def compact_table(
 
     Returns {files_before, files_after, bytes}.
     """
+    # finish any interrupted whole-table swap first (marker in the parent)
+    base = path.rstrip("/")
+    if "/" in base:
+        repair_partition_swaps(base.rsplit("/", 1)[0])
     before_n, total = table_file_stats(path)
     if before_n < min_files_to_compact and zorder_by is None:
         return {"files_before": before_n, "files_after": before_n, "bytes": total}
@@ -320,10 +347,7 @@ def compact_table(
         )
     else:
         df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    replace_table(path, tmp)
     after_n, _ = table_file_stats(path)
     return {"files_before": before_n, "files_after": after_n, "bytes": total}
 

@@ -38,8 +38,19 @@ from tickerlake_spark.storage.io import (
     table_exists,
     write_table,
 )
+from tickerlake_spark.storage.maintenance import replace_table
 
 __all__ = ["upsert_table", "replace_keys"]
+
+
+def _repair_parent(path: str) -> None:
+    """Finish any interrupted whole-table ``replace_table`` swap journaled
+    in ``path``'s parent (layer) dir before probing table existence."""
+    from tickerlake_spark.storage.maintenance import repair_partition_swaps
+
+    base = path.rstrip("/")
+    if "/" in base:
+        repair_partition_swaps(base.rsplit("/", 1)[0])
 
 
 def _reconcile_layout(path: str, partition_by: str | None) -> str | None:
@@ -101,6 +112,11 @@ def upsert_table(
     skips the observability count (one action per call; the summary then
     reports ``None``).
     """
+    # finish any interrupted whole-table swap first (replace_table journals
+    # to the parent layer dir; without this, a crash between its renames
+    # would make table_exists read False and the create branch would
+    # rebuild the table from this delta alone — silent loss)
+    _repair_parent(path)
     staged_dir = f"{path.rstrip('/')}__updates_{uuid.uuid4().hex[:8]}"
     if stage_updates:
         updates.write.parquet(staged_dir)
@@ -141,10 +157,7 @@ def upsert_table(
             if not table_exists(tmp):
                 # empty merged set + partitioned write -> keep readable
                 merged.limit(0).write.mode("overwrite").parquet(tmp)
-            old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-            os.rename(path, old)
-            os.rename(tmp, path)
-            shutil.rmtree(old)
+            replace_table(path, tmp)
             mode = "rewrite" if partition_by is None else "rewrite-migrate"
             return {"inserted_or_updated": n_updates, "mode": mode}
         return _upsert_partitioned(
@@ -263,6 +276,7 @@ def replace_keys(
     O(table) — dynamic partition overwrite plus explicit removal of key
     partitions whose recomputed row-set is empty.
     """
+    _repair_parent(path)  # same silent-loss guard as upsert_table
     key_values = key_values.select(*keys).distinct()
     if not table_exists(path):
         write_table(updates, path, partition_by=partition_by)
@@ -294,10 +308,7 @@ def replace_keys(
     # ``path``), and its lineage re-executes here — after the rename the
     # source files are gone and the count dies with FILE_NOT_EXIST.
     n_inserted = updates.count() if with_count else None
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    replace_table(path, tmp)
     return {"inserted": n_inserted, "mode": "rewrite"}
 
 

@@ -257,15 +257,14 @@ def cms_compact_rollup(
     spark: SparkSession, path: str, keys: list[str], keep_last: int = 2
 ) -> None:
     """Fold old batch partitions into the batch_id=-1 baseline partition
-    via write-tmp + rename swap. Serve results are unchanged (cell
-    sums are associative).
+    via write-tmp + journaled swap (``storage.maintenance.replace_table``:
+    crash states finish from the ``_swap_*`` marker on the next compaction
+    or repair — r10, previously a bare two-rename with a silent-loss
+    window). Serve results are unchanged (cell sums are associative).
 
-    Atomicity caveat (same contract as ``storage.upsert_table``): the swap
-    is two renames, not one — a crash between them leaves the table absent
-    until the tmp dir is renamed back in, and a concurrent read during that
-    window fails. On an object store / table format this becomes a single
-    metadata commit; run compaction from the maintenance job that owns the
-    table, not concurrently with serving.
+    Concurrency caveat: a concurrent read during the swap window can fail
+    (POSIX) or see a mix (object store) — run compaction from the
+    maintenance job that owns the table, not concurrently with serving.
 
     The ``keep_last`` most recent batch partitions are left UNFOLDED:
     folding a batch and then replaying it would double-count (the replay
@@ -279,6 +278,11 @@ def cms_compact_rollup(
 
     from pyspark.sql import functions as F
 
+    from tickerlake_spark.storage.maintenance import repair_partition_swaps
+
+    base = path.rstrip("/")
+    if "/" in base:  # finish any interrupted previous swap first
+        repair_partition_swaps(base.rsplit("/", 1)[0])
     stored = spark.read.parquet(path)
     ids = sorted(
         r[0] for r in stored.select("batch_id").distinct().collect() if r[0] >= 0
@@ -300,14 +304,14 @@ def cms_compact_rollup(
     merged = folded.unionByName(tail.select(*folded.columns))
     tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
     merged.write.partitionBy("batch_id").parquet(tmp)
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    # the params sidecar lives inside the table dir — carry it across
-    sidecar = os.path.join(old, _PARAMS_FILE)
+    # the params sidecar lives inside the table dir — copy it into the
+    # staged dir BEFORE the swap so every crash state carries it
+    sidecar = os.path.join(path, _PARAMS_FILE)
     if os.path.exists(sidecar):
-        shutil.copy(sidecar, os.path.join(path, _PARAMS_FILE))
-    shutil.rmtree(old)
+        shutil.copy(sidecar, os.path.join(tmp, _PARAMS_FILE))
+    from tickerlake_spark.storage.maintenance import replace_table
+
+    replace_table(path, tmp)
 
 
 def stream_cms_rollup(
