@@ -1204,3 +1204,77 @@ def test_whole_table_swap_crash_then_upsert_retry(spark, tmp_path):
     assert got.count() == 101  # full history + the insert — nothing lost
     assert got.filter("k = 0").first()["val"] == "patched"
     assert not os.path.exists(str(layer / "_swap_zz.json"))
+
+
+def test_pending_delete_journal_crash_states(spark, tmp_path):
+    """r10: emptied-partition deletes after a dynamic-overwrite merge are
+    journaled. committed-state marker -> repair finishes the deletes
+    (deleted rows can no longer resurrect); intent-state marker -> repair
+    drops the marker WITHOUT deleting (the overwrite may never have
+    committed, and those partitions still hold rows it was about to
+    rewrite elsewhere)."""
+    import json
+    import os
+
+    from tickerlake_spark.storage import read_table, write_table
+    from tickerlake_spark.storage.upsert import (
+        _PENDING_DELETES,
+        repair_pending_deletes,
+    )
+
+    def mk_table(sub):
+        path = str(tmp_path / sub)
+        df = spark.createDataFrame(
+            [("AAA", 1, 10.0), ("AAA", 2, 11.0), ("BBB", 1, 20.0)],
+            "ticker string, tb int, v double",
+        )
+        write_table(df, path, partition_by="tb")
+        return path
+
+    # committed: the merge's overwrite landed; repair must finish deletes
+    p = mk_table("committed")
+    with open(os.path.join(p, _PENDING_DELETES), "w") as f:
+        json.dump({"parts": ["tb=2"], "state": "committed"}, f)
+    repair_pending_deletes(p)
+    got = read_table(spark, p)
+    assert got.filter("tb = 2").count() == 0
+    assert got.count() == 2
+    assert not os.path.exists(os.path.join(p, _PENDING_DELETES))
+
+    # intent: overwrite unproven; repair must NOT delete
+    p = mk_table("intent")
+    with open(os.path.join(p, _PENDING_DELETES), "w") as f:
+        json.dump({"parts": ["tb=2"], "state": "intent"}, f)
+    repair_pending_deletes(p)
+    got = read_table(spark, p)
+    assert got.filter("tb = 2").count() == 1  # untouched
+    assert not os.path.exists(os.path.join(p, _PENDING_DELETES))
+
+
+def test_replace_keys_emptied_partition_journal_roundtrip(spark, tmp_path):
+    """The live merge path journals and applies emptied-partition deletes:
+    replacing a key with an EMPTY row-set drops its partition cleanly and
+    leaves no marker."""
+    import os
+
+    from tickerlake_spark.storage import read_table, replace_keys, write_table
+    from tickerlake_spark.storage.upsert import _PENDING_DELETES
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("AAA", 1, 10.0), ("BBB", 2, 20.0)], "ticker string, tb int, v double"
+    )
+    write_table(df, path, partition_by="tb")
+    empty = spark.createDataFrame([], "ticker string, tb int, v double")
+    replace_keys(
+        spark,
+        path,
+        spark.createDataFrame([("BBB", 2)], "ticker string, tb int"),
+        empty,
+        keys=["ticker", "tb"],
+        partition_by="tb",
+    )
+    got = read_table(spark, path)
+    assert got.count() == 1 and got.first()["ticker"] == "AAA"
+    assert not os.path.exists(os.path.join(path, "tb=2"))
+    assert not os.path.exists(os.path.join(path, _PENDING_DELETES))

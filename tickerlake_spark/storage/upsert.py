@@ -53,6 +53,70 @@ def _repair_parent(path: str) -> None:
         repair_partition_swaps(base.rsplit("/", 1)[0])
 
 
+# ---------------------------------------------------------------------------
+# Pending-delete journal for emptied partitions (r10). The dynamic-overwrite
+# merge must DELETE touched partitions whose recomputed row-set is empty —
+# their stored rows all matched deleted/migrated keys. A crash between the
+# overwrite's commit and the delete loop used to leave those rows readable
+# with nothing scheduled to remove them: deleted rows silently resurrect.
+# The fix is a two-state marker in the table root (same atomic-single-file
+# contract as the swap journal):
+#   state 'intent'    — written BEFORE the overwrite; repair REMOVES it
+#                       without deleting (the overwrite may not have
+#                       committed, and those partitions still hold rows the
+#                       overwrite was about to migrate/rewrite elsewhere);
+#                       the caller's retry of the same batch re-derives it.
+#   state 'committed' — advanced right after the overwrite commits; repair
+#                       finishes the deletes (each via the journaled
+#                       delete-intent partition swap, crash-safe itself).
+# The unguarded window shrinks from overwrite+collect+N rmtrees to the one
+# atomic marker advance.
+# ---------------------------------------------------------------------------
+
+_PENDING_DELETES = "_pending_deletes.json"
+
+
+def _write_pending_deletes(path: str, parts: list[str], state: str) -> None:
+    import json
+
+    from tickerlake_spark.storage.fs import LOCAL_FS
+
+    LOCAL_FS.write_file_atomic(
+        os.path.join(path, _PENDING_DELETES),
+        json.dumps({"parts": parts, "state": state}).encode(),
+    )
+
+
+def _apply_pending_deletes(path: str, parts: list[str]) -> None:
+    from tickerlake_spark.storage.maintenance import swap_partition_dir
+
+    for part in parts:
+        if os.path.isdir(os.path.join(path, part)):
+            swap_partition_dir(
+                path, part, os.path.join(path, "_absent"), delete=True
+            )
+    os.remove(os.path.join(path, _PENDING_DELETES))
+
+
+def repair_pending_deletes(path: str) -> None:
+    """Resolve a pending-delete marker a crashed merge left in ``path``.
+    Called (after ``repair_partition_swaps``) at the top of every
+    partitioned merge; also usable standalone after a crash."""
+    import json
+
+    marker = os.path.join(path, _PENDING_DELETES)
+    if not os.path.exists(marker):
+        return
+    with open(marker) as f:
+        m = json.load(f)
+    if m.get("state") == "committed":
+        _apply_pending_deletes(path, m["parts"])
+    else:
+        # overwrite never provably committed: deleting now could lose rows
+        # it was about to rewrite elsewhere — drop the stale intent
+        os.remove(marker)
+
+
 def _reconcile_layout(path: str, partition_by: str | None) -> str | None:
     """Resolve the caller's ``partition_by`` against the table's ACTUAL
     layout on disk.
@@ -190,6 +254,10 @@ def _upsert_partitioned(
     # rewritten away wherever they sit.
     # Values normalized to their Hive directory string form: the partition
     # column may surface as date/int on one side and string on the other.
+    from tickerlake_spark.storage.maintenance import repair_partition_swaps
+
+    repair_partition_swaps(path)
+    repair_pending_deletes(path)
     touched = {
         str(r[0]) for r in updates.select(partition_by).distinct().collect()
     }
@@ -215,6 +283,25 @@ def _upsert_partitioned(
     merged.write.parquet(tmp)
     staged = spark.read.parquet(tmp)
     try:
+        # Dynamic overwrite only replaces partitions present in the written
+        # data: a touched partition whose every row was migrated away has no
+        # output rows and would keep its stale files — those are journaled
+        # for deletion (intent BEFORE the overwrite, committed right after;
+        # see repair_pending_deletes) and dropped explicitly. When the
+        # partition column is part of the key, migration is impossible and
+        # every touched partition holds at least its own update rows, so
+        # written == touched and the probe is skipped.
+        if partition_by in keys:
+            written = set(touched)
+        else:
+            written = {
+                str(r[0]) for r in staged.select(partition_by).distinct().collect()
+            }
+        stale = sorted(
+            f"{partition_by}={v}" for v in set(touched) - written
+        )
+        if stale:
+            _write_pending_deletes(path, stale, "intent")
         # writer-level option, NOT session conf: takes precedence over the
         # session setting and keeps concurrent merges (the pipelines run
         # independent table maintenance from worker threads) from racing a
@@ -225,22 +312,9 @@ def _upsert_partitioned(
             .partitionBy(partition_by)
             .parquet(path)
         )
-        # Dynamic overwrite only replaces partitions present in the written
-        # data: a touched partition whose every row was migrated away has no
-        # output rows and would keep its stale files — drop it explicitly.
-        # When the partition column is part of the key, migration is
-        # impossible and every touched partition holds at least its own
-        # update rows, so written == touched and the probe is skipped.
-        if partition_by in keys:
-            written = set(touched)
-        else:
-            written = {
-                str(r[0]) for r in staged.select(partition_by).distinct().collect()
-            }
-        for value in set(touched) - written:
-            part_dir = os.path.join(path, f"{partition_by}={value}")
-            if os.path.isdir(part_dir):
-                shutil.rmtree(part_dir)
+        if stale:
+            _write_pending_deletes(path, stale, "committed")
+            _apply_pending_deletes(path, stale)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
@@ -335,6 +409,10 @@ def _replace_keys_partitioned(
             .collect()
         }
     )
+    from tickerlake_spark.storage.maintenance import repair_partition_swaps
+
+    repair_partition_swaps(path)
+    repair_pending_deletes(path)
     survivors = existing.filter(F.col(partition_by).isin(touched)).join(
         key_values, keys, "left_anti"
     )
@@ -344,6 +422,14 @@ def _replace_keys_partitioned(
     staged = spark.read.parquet(tmp)
     n_inserted = updates.count() if with_count else None
     try:
+        written = {
+            str(r[0]) for r in staged.select(partition_by).distinct().collect()
+        }
+        stale = sorted(
+            f"{partition_by}={v}" for v in set(touched) - written
+        )
+        if stale:  # journaled: see repair_pending_deletes
+            _write_pending_deletes(path, stale, "intent")
         # writer-level option (see _upsert_partitioned): thread-safe under
         # concurrent maintenance, no session-conf save/restore race
         (
@@ -352,13 +438,9 @@ def _replace_keys_partitioned(
             .partitionBy(partition_by)
             .parquet(path)
         )
-        written = {
-            str(r[0]) for r in staged.select(partition_by).distinct().collect()
-        }
-        for value in set(touched) - written:
-            part_dir = os.path.join(path, f"{partition_by}={value}")
-            if os.path.isdir(part_dir):
-                shutil.rmtree(part_dir)
+        if stale:
+            _write_pending_deletes(path, stale, "committed")
+            _apply_pending_deletes(path, stale)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
