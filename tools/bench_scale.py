@@ -191,8 +191,13 @@ def run(factor: int = 10, tickers: int = 100_000, skip_e2e: bool = False,
     from tickerlake_spark.plans import QUERIES
     from tickerlake_spark.plans.catalog import _ensure_loaded
     from tickerlake_spark.session import get_spark
+    from tools.bench_e2e import host_conditions
 
     _ensure_loaded()
+    # box-condition stamp for the QUERIES sweep too (the e2e and ann
+    # sections carry their own): a 10x headline read on a throttled box
+    # must explain itself without an adjudication cycle
+    host = host_conditions(tempfile.gettempdir())
     spark = get_spark(app_name="tickerlake-bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -297,6 +302,7 @@ def run(factor: int = 10, tickers: int = 100_000, skip_e2e: bool = False,
         "gen_sec": gen_sec,
         "headline_queries_sec": timings,
         "headline_total_sec": round(sum(timings.values()), 4),
+        "host": {**host, "loadavg_after": [round(x, 2) for x in os.getloadavg()]},
         "pagerank_prebuilt": pagerank_prebuilt,
         "ann_at_scale": out_ann,
     }
