@@ -42,6 +42,13 @@ class Checkpoints:
         try:
             with os.fdopen(fd, "w") as f:
                 json.dump(state, f, indent=2, sort_keys=True)
+                # fsync BEFORE the rename: without it a power loss can
+                # persist the rename while the data pages are still
+                # unflushed — an empty/torn checkpoint that reads as
+                # "no watermark" and silently re-ingests history (same
+                # ordering rule as the swap journal's marker writes)
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp, self.path)
         finally:
             if os.path.exists(tmp):
