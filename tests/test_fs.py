@@ -166,11 +166,58 @@ def test_state_d_delete_intent(kind, tmp_path):
     assert _layout(fs, root) == {"tb=1/part-old1.parquet": b"old1"}
 
 
-def _run_with_fault(nth: int, delete: bool = False):
-    """Drive a swap on a fresh object store, crashing at op ``nth``; then
+class _FaultLocalFS:
+    """LocalFS with a crash hook before every MUTATING call — the POSIX
+    twin of MemoryObjectStore's per-key hook. Granularity is per-call
+    (a POSIX rename IS atomic; rmtree is modeled as one op), so this
+    sweeps the sequence-level crash windows of the journal protocol."""
+
+    atomic_rename = True
+
+    def __init__(self, base):
+        self._b = base
+        self._op_hook = None
+
+    def __getattr__(self, name):
+        return getattr(self._b, name)
+
+    def _op(self):
+        if self._op_hook is not None:
+            self._op_hook()
+
+    def rename(self, s, d):
+        self._op()
+        self._b.rename(s, d)
+
+    def remove(self, p):
+        self._op()
+        self._b.remove(p)
+
+    def rmtree(self, p):
+        self._op()
+        self._b.rmtree(p)
+
+    def write_file_atomic(self, p, d):
+        self._op()
+        self._b.write_file_atomic(p, d)
+
+    def copy_tree(self, s, d):
+        self._op()
+        self._b.copy_tree(s, d)
+
+
+def _fresh_fault_fs(kind, tmp_path=None):
+    if kind == "posix":
+        import tempfile
+
+        return _FaultLocalFS(LocalFS()), tempfile.mkdtemp(prefix="fsx_") + "/t"
+    return MemoryObjectStore(), "/lake/t"
+
+
+def _run_with_fault(nth: int, delete: bool = False, kind: str = "objstore"):
+    """Drive a swap on a fresh filesystem, crashing at op ``nth``; then
     repair with faults off. Returns the repaired layout."""
-    fs = MemoryObjectStore()
-    root = "/lake/t"
+    fs, root = _fresh_fault_fs(kind)
     _seed_table(fs, root)
     if not delete:
         _stage(fs, root)
@@ -255,6 +302,42 @@ def test_objstore_fault_sweep_delete():
             swap_partition_dir(root, "tb=0", f"{root}/_gone", delete=True, fs=fs)
             got = _layout(fs, root)
         assert got == want, f"diverged after crash at op {k}"
+
+
+def test_posix_fault_sweep_replace():
+    """The same exhaustive crash sweep on the POSIX branch: a fault
+    before every mutating call of the rename-based journal sequence
+    (marker put, rename-out, rename-in, cleanups) must repair to the
+    exact swapped layout."""
+    want = {
+        "tb=0/part-new.parquet": b"new0",
+        "tb=0/part-new2.parquet": b"new2",
+        "tb=1/part-old1.parquet": b"old1",
+    }
+    fs2, root2 = _fresh_fault_fs("posix")
+    _seed_table(fs2, root2)
+    _stage(fs2, root2)
+    fs2.write_file_atomic(f"{root2}/_compact_x/part-new2.parquet", b"new2")
+    n_ops = {"n": 0}
+    fs2._op_hook = lambda: n_ops.__setitem__("n", n_ops["n"] + 1)
+    swap_partition_dir(root2, "tb=0", f"{root2}/_compact_x", fs=fs2)
+    fs2._op_hook = None
+    assert _layout(fs2, root2) == want
+    assert n_ops["n"] >= 4
+    for k in range(n_ops["n"]):
+        fs, root, crashed = _run_with_fault(k, kind="posix")
+        assert crashed, k
+        got = _layout(fs, root)
+        if not [
+            n for n in fs.listdir(root) if n.startswith("_swap_")
+        ] and "tb=0/part-old0.parquet" in got:
+            # crash before the marker landed: swap never happened — retry
+            swap_partition_dir(root, "tb=0", f"{root}/_compact_x", fs=fs)
+            got = _layout(fs, root)
+        assert got == want, f"posix diverged after crash at op {k}"
+        assert not [
+            n for n in fs.listdir(root) if n.startswith(("_swap_", "_compact_"))
+        ], k
 
 
 def test_objstore_interrupted_repair_retry():
