@@ -468,3 +468,83 @@ def test_footer_probes_through_objstore(spark, tmp_path):
     assert detect_partition_column(p, fs=fs) == "date"
     # partition-listing watermark never needs Spark: spark=None proves it
     assert get_max_date(None, p, fs=fs) == "2024-01-05"
+
+
+# ---------------------------------------------------------------------------
+# HadoopFS: the PRODUCTION adapter (s3a/gs/hdfs/abfs in deployment) driven
+# here over file:// through the same protocol surface. Both journal
+# branches run against it: atomic_rename=True (HDFS-style rename sequence)
+# and atomic_rename=False (object-store marker-state copy+delete — the
+# exact code path an s3a deployment takes, exercised on a real Hadoop
+# FileSystem rather than only the in-memory model).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("atomic", [True, False])
+def test_hadoopfs_swap_and_repair(spark, tmp_path, atomic):
+    from tickerlake_spark.storage.fs import HadoopFS
+
+    fs = HadoopFS(spark, atomic_rename=atomic)
+    root = str(tmp_path / f"t_{int(atomic)}")
+    _seed_table(fs, root)
+    _stage(fs, root)
+    swap_partition_dir(root, "tb=0", f"{root}/_compact_x", fs=fs)
+    assert _layout(fs, root) == SWAPPED
+
+    # state a crash (marker + staged, nothing mutated) repairs forward
+    _stage(fs, root, name="_compact_y", data=b"new1")
+    fs.write_file_atomic(
+        f"{root}/_swap_hh.json",
+        json.dumps({"part": "tb=1", "tmp": "_compact_y", "old": "_old_hh"}).encode(),
+    )
+    assert repair_partition_swaps(root, fs=fs) == 1
+    assert _layout(fs, root) == {
+        "tb=0/part-new.parquet": b"new0",
+        "tb=1/part-new.parquet": b"new1",
+    }
+
+    # delete intent
+    fs.write_file_atomic(
+        f"{root}/_swap_ii.json",
+        json.dumps(
+            {"part": "tb=0", "tmp": "_gone", "old": "_old_ii", "delete": True}
+        ).encode(),
+    )
+    assert repair_partition_swaps(root, fs=fs) == 1
+    assert _layout(fs, root) == {"tb=1/part-new.parquet": b"new1"}
+
+
+def test_hadoopfs_probes_and_walk_pruning(spark, tmp_path):
+    """Footer probes + staging-dir pruning through the Hadoop adapter."""
+    import datetime as dt
+
+    from tickerlake_spark.storage import (
+        detect_partition_column,
+        get_max_date,
+        parquet_stats_max,
+        table_exists,
+    )
+    from tickerlake_spark.storage.fs import HadoopFS
+
+    fs = HadoopFS(spark)
+    t = str(tmp_path / "state")
+    spark.createDataFrame(
+        [("A", dt.date(2024, 1, 2)), ("B", dt.date(2024, 1, 5))],
+        "ticker string, last_date date",
+    ).coalesce(1).write.parquet(t)
+    assert table_exists(t, fs=fs)
+    assert parquet_stats_max(t, "last_date", fs=fs) == dt.date(2024, 1, 5)
+
+    # staging residue is pruned by the shared walk rules
+    fs.write_file_atomic(
+        f"{t}/_compact_zz/part-9.parquet", fs.read_bytes(
+            f"{t}/" + [f for f in fs.listdir(t) if f.endswith(".parquet")][0]
+        )
+    )
+    assert parquet_stats_max(t, "last_date", fs=fs) == dt.date(2024, 1, 5)
+
+    p = str(tmp_path / "daily")
+    for d in ("2024-01-02", "2024-01-05"):
+        fs.write_file_atomic(f"{p}/date={d}/f.parquet", b"x")
+    assert detect_partition_column(p, fs=fs) == "date"
+    assert get_max_date(None, p, fs=fs) == "2024-01-05"

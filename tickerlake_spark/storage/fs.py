@@ -24,9 +24,12 @@ the marker's ``state`` field with atomic whole-object PUTs as it crosses
 the point of no return, and repair replays from the marker — so a crash at
 ANY key-granular step leaves a state the marker deterministically finishes.
 
-A production S3/GCS/HDFS adapter implements this same protocol over the
-store's list/get/put/delete API (or Hadoop's FileSystem via ``spark._jvm``);
-``MemoryObjectStore`` is its semantics-accurate stand-in for tests.
+``HadoopFS`` is the production adapter: the same protocol over Hadoop's
+``FileSystem`` via the session JVM, so whatever the cluster's Hadoop conf
+speaks (s3a://, gs://, hdfs://, abfs://, file://) serves the journaled
+swaps and footer probes unchanged — with ``atomic_rename`` declared per
+deployment to select the journal branch. ``MemoryObjectStore`` remains the
+fault-injectable semantics model for the exhaustive crash sweeps.
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ import os
 import shutil
 from typing import BinaryIO, Iterator, Protocol
 
-__all__ = ["FS", "LocalFS", "MemoryObjectStore", "LOCAL_FS"]
+__all__ = ["FS", "LocalFS", "MemoryObjectStore", "HadoopFS", "LOCAL_FS"]
 
 
 class FS(Protocol):
@@ -261,6 +264,165 @@ class MemoryObjectStore:
 
     def open_read(self, path: str) -> BinaryIO:
         return io.BytesIO(self.objects[_norm(path)])
+
+
+class HadoopFS:
+    """FS-protocol adapter over Hadoop's ``FileSystem`` via the session
+    JVM — the PRODUCTION implementation: whatever filesystems the Spark
+    cluster's Hadoop configuration speaks (``s3a://``, ``gs://``,
+    ``hdfs://``, ``abfs://``, ``file://``) serve the same journaled-swap
+    and footer-probe protocol the local tests pin.
+
+    ``atomic_rename`` is declared by the CALLER per deployment: True for
+    HDFS/local (rename is an atomic metadata op — the journal runs its
+    rename sequence), False for object-store connectors (s3a/gs rename is
+    a copy — the journal runs the marker-state copy+delete protocol, and
+    ``write_file_atomic`` becomes a single direct PUT, which IS atomic
+    there). Both branches are crash-window-tested in tests/test_fs.py
+    over this adapter on ``file://``.
+
+    Footer probes read the whole object into memory (``open_read`` →
+    BytesIO): correct everywhere, and the probes only ever target small
+    flat state tables (watermarks, vwap_state). A ranged-GET refinement
+    can drop in behind the same method if a deployment needs footer
+    probes on large files.
+    """
+
+    def __init__(self, spark, atomic_rename: bool = True) -> None:
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._JPath = spark._jvm.org.apache.hadoop.fs.Path
+        self.atomic_rename = bool(atomic_rename)
+
+    def _fs(self, path: str):
+        return self._JPath(path).getFileSystem(self._conf)
+
+    def _status(self, path: str):
+        fs = self._fs(path)
+        p = self._JPath(path)
+        if not fs.exists(p):
+            return None
+        return fs.getFileStatus(p)
+
+    # -- reads ---------------------------------------------------------------
+    def exists(self, path: str) -> bool:
+        return self._fs(path).exists(self._JPath(path))
+
+    def isfile(self, path: str) -> bool:
+        st = self._status(path)
+        return st is not None and st.isFile()
+
+    def isdir(self, path: str) -> bool:
+        st = self._status(path)
+        return st is not None and st.isDirectory()
+
+    def listdir(self, path: str) -> list[str]:
+        fs = self._fs(path)
+        return sorted(
+            s.getPath().getName() for s in fs.listStatus(self._JPath(path))
+        )
+
+    def walk(self, path: str):
+        root = path.rstrip("/")
+        if not self.isdir(root):
+            return
+        fs = self._fs(root)
+        dirs, files = [], []
+        for s in fs.listStatus(self._JPath(root)):
+            (dirs if s.isDirectory() else files).append(s.getPath().getName())
+        dirs.sort()
+        files.sort()
+        # yield THEN recurse over the same list: callers may prune dirs[:]
+        # in place, like os.walk
+        yield root, dirs, files
+        for d in dirs:
+            yield from self.walk(f"{root}/{d}")
+
+    def getsize(self, path: str) -> int:
+        return int(self._status(path).getLen())
+
+    def makedirs(self, path: str) -> None:
+        self._fs(path).mkdirs(self._JPath(path))
+
+    # -- mutations -----------------------------------------------------------
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs(src).rename(self._JPath(src), self._JPath(dst)):
+            raise OSError(f"hadoop rename failed: {src} -> {dst}")
+
+    def copy_tree(self, src: str, dst: str) -> None:
+        # file-by-file (the per-key object-store shape; FileUtil.copy of a
+        # DIRECTORY into an existing directory would nest it as a child)
+        FileUtil = self._jvm.org.apache.hadoop.fs.FileUtil
+        s_base, d_base = src.rstrip("/"), dst.rstrip("/")
+
+        def _copy_one(s: str, d: str) -> None:
+            ok = FileUtil.copy(
+                self._fs(s), self._JPath(s),
+                self._fs(d), self._JPath(d),
+                False,  # deleteSource
+                True,   # overwrite
+                self._conf,
+            )
+            if not ok:
+                raise OSError(f"hadoop copy failed: {s} -> {d}")
+
+        if self.isfile(s_base):
+            _copy_one(s_base, d_base)
+            return
+        for r, _dirs, files in self.walk(s_base):
+            rel = r[len(s_base):].lstrip("/")
+            for f in files:
+                _copy_one(
+                    f"{r.rstrip('/')}/{f}",
+                    f"{d_base}/{rel + '/' if rel else ''}{f}",
+                )
+
+    def remove(self, path: str) -> None:
+        self._fs(path).delete(self._JPath(path), False)
+
+    def rmtree(self, path: str) -> None:
+        self._fs(path).delete(self._JPath(path), True)
+
+    def read_bytes(self, path: str) -> bytes:
+        stream = self._fs(path).open(self._JPath(path))
+        try:
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
+    def write_file_atomic(self, path: str, data: bytes) -> None:
+        if self.atomic_rename:
+            # tmp + rename, the POSIX/HDFS discipline (create(+overwrite)
+            # then an atomic metadata rename)
+            tmp = path + ".tmp"
+            out = self._fs(tmp).create(self._JPath(tmp), True)
+            try:
+                out.write(bytearray(data))
+            finally:
+                out.close()
+            fs = self._fs(path)
+            p = self._JPath(path)
+            if fs.exists(p):
+                fs.delete(p, False)
+            self.rename(tmp, path)
+        else:
+            # object store: a single whole-object PUT is already atomic —
+            # a tmp+copy dance would only widen the window
+            out = self._fs(path).create(self._JPath(path), True)
+            try:
+                out.write(bytearray(data))
+            finally:
+                out.close()
+
+    def fsync_dir(self, path: str) -> None:
+        # no directory-entry fsync in the Hadoop API: HDFS journals
+        # metadata ops server-side; object stores have nothing to sync
+        pass
+
+    def open_read(self, path: str) -> BinaryIO:
+        return io.BytesIO(self.read_bytes(path))
 
 
 LOCAL_FS = LocalFS()
