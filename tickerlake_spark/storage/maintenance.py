@@ -72,9 +72,13 @@ def swap_partition_dir(
 ) -> None:
     """Atomically-journaled replacement of one ``col=value`` partition dir.
 
-    ``tmp_dir`` must be a fully-written '_'-prefixed sibling inside
-    ``path`` (or may be absent when ``delete=True`` — the intent is then
-    to remove the partition). POSIX sequence: marker in -> old out -> tmp
+    ``tmp_dir`` must be a fully-written sibling inside ``path`` — a
+    '_'-prefixed staging dir for partition swaps (Spark's file index
+    ignores it), or a ``{table}__suffix`` dir when ``path`` is a layer
+    dir and the swap replaces a whole table (``replace_table``; a layer
+    dir is never scanned as a table root, so no prefix rule applies). It
+    may be absent when ``delete=True`` — the intent is then to remove the
+    partition. POSIX sequence: marker in -> old out -> tmp
     in -> old deleted -> marker out. Object-store sequence: marker in ->
     copy tmp over part + delete extras -> marker state 'copied' -> tmp
     deleted -> marker out. A crash at ANY point is repaired by
