@@ -548,3 +548,204 @@ def test_hadoopfs_probes_and_walk_pruning(spark, tmp_path):
         fs.write_file_atomic(f"{p}/date={d}/f.parquet", b"x")
     assert detect_partition_column(p, fs=fs) == "date"
     assert get_max_date(None, p, fs=fs) == "2024-01-05"
+
+
+# ---------------------------------------------------------------------------
+# r10: the remaining driver-side mutation call sites migrated onto the FS
+# protocol — the pending-delete journal (upsert.py), pipeline checkpoints,
+# the indicator tail swap, and the edge-table layout marker — each driven
+# through object-store semantics.
+# ---------------------------------------------------------------------------
+
+
+def _seed_pending(state: str):
+    fs = MemoryObjectStore()
+    root = "/lake/t"
+    _seed_table(fs, root)
+    fs.write_file_atomic(
+        f"{root}/_pending_deletes.json",
+        json.dumps({"parts": ["tb=0"], "state": state}).encode(),
+    )
+    return fs, root
+
+
+def test_pending_deletes_objstore_committed_applies():
+    from tickerlake_spark.storage.upsert import repair_pending_deletes
+
+    fs, root = _seed_pending("committed")
+    repair_pending_deletes(root, fs=fs)
+    assert _layout(fs, root) == {"tb=1/part-old1.parquet": b"old1"}
+    assert not [n for n in fs.listdir(root) if n.startswith("_")]
+
+
+def test_pending_deletes_objstore_intent_dropped():
+    """Intent-state marker: the overwrite never provably committed, so the
+    partitions must SURVIVE (deleting would lose rows the overwrite was
+    about to migrate) and only the stale marker goes."""
+    from tickerlake_spark.storage.upsert import repair_pending_deletes
+
+    fs, root = _seed_pending("intent")
+    repair_pending_deletes(root, fs=fs)
+    assert _layout(fs, root) == ORIGINAL
+    assert not fs.isfile(f"{root}/_pending_deletes.json")
+
+
+def test_pending_deletes_objstore_fault_sweep():
+    """Crash between EVERY pair of key ops of the committed-delete apply;
+    the standard repair entry sequence (swap repair, then pending-delete
+    repair) must converge to the deleted layout every time."""
+    from tickerlake_spark.storage.upsert import repair_pending_deletes
+
+    # op count of a clean run
+    fs, root = _seed_pending("committed")
+    n_ops = {"n": 0}
+    fs._op_hook = lambda: n_ops.__setitem__("n", n_ops["n"] + 1)
+    repair_pending_deletes(root, fs=fs)
+    fs._op_hook = None
+    assert n_ops["n"] >= 3
+
+    want = {"tb=1/part-old1.parquet": b"old1"}
+    for k in range(n_ops["n"]):
+        fs, root = _seed_pending("committed")
+        left = {"n": k}
+
+        def _boom():
+            if left["n"] == 0:
+                raise RuntimeError("crash")
+            left["n"] -= 1
+
+        fs._op_hook = _boom
+        with pytest.raises(RuntimeError):
+            repair_pending_deletes(root, fs=fs)
+        fs._op_hook = None
+        repair_partition_swaps(root, fs=fs)
+        repair_pending_deletes(root, fs=fs)
+        assert _layout(fs, root) == want, f"diverged after crash at op {k}"
+        assert not [n for n in fs.listdir(root) if n.startswith("_")], k
+
+
+def test_checkpoints_objstore_roundtrip():
+    from tickerlake_spark.storage.checkpoints import Checkpoints
+
+    fs = MemoryObjectStore()
+    cp = Checkpoints("/lake/_checkpoints.json", fs=fs)
+    assert cp.load() == {}
+    cp.set("bronze_stocks_last_date", "2024-01-05")
+    cp.set("last_run_timestamp", "t1")
+    assert cp.get("bronze_stocks_last_date") == "2024-01-05"
+    assert Checkpoints("/lake/_checkpoints.json", fs=fs).load() == {
+        "bronze_stocks_last_date": "2024-01-05",
+        "last_run_timestamp": "t1",
+    }
+    # a crashed save is all-or-nothing: the PUT either landed or the old
+    # document is intact — never a torn file
+    fs._op_hook = lambda: (_ for _ in ()).throw(RuntimeError("crash"))
+    with pytest.raises(RuntimeError):
+        cp.set("last_run_timestamp", "t2")
+    fs._op_hook = None
+    assert cp.get("last_run_timestamp") == "t1"
+
+
+def test_upsert_objstore_semantics(spark, tmp_path):
+    """The full keyed-merge surface through the production adapter in its
+    rename-less mode (the exact branch an s3a deployment takes): create,
+    dynamic-partition merge, and a replace_keys that EMPTIES a partition
+    (pending-delete journal through the FS). No POSIX residue."""
+    import os
+
+    from tickerlake_spark.storage.fs import HadoopFS
+    from tickerlake_spark.storage.upsert import replace_keys, upsert_table
+
+    fs = HadoopFS(spark, atomic_rename=False)
+    path = str(tmp_path / "obj_t")
+    df = spark.createDataFrame(
+        [("A", 1, 10.0), ("B", 1, 20.0), ("C", 2, 30.0)],
+        "k string, d int, v double",
+    )
+    r = upsert_table(spark, path, df, keys=["k", "d"], partition_by="d", fs=fs)
+    assert r["mode"] == "create"
+
+    up = spark.createDataFrame([("B", 1, 21.0), ("D", 2, 40.0)],
+                               "k string, d int, v double")
+    r = upsert_table(spark, path, up, keys=["k", "d"], partition_by="d", fs=fs)
+    assert r["mode"] == "dynamic-partition"
+    got = {(x.k, x.d, x.v) for x in spark.read.parquet(path).collect()}
+    assert got == {("A", 1, 10.0), ("B", 1, 21.0), ("C", 2, 30.0),
+                   ("D", 2, 40.0)}
+
+    # replace away every key of partition d=2: its dir must be deleted via
+    # the journaled pending-delete path, not left stale
+    kv = spark.createDataFrame([("C", 2), ("D", 2)], "k string, d int")
+    empty = spark.createDataFrame([], "k string, d int, v double")
+    replace_keys(spark, path, kv, empty, keys=["k", "d"],
+                 partition_by="d", fs=fs)
+    got = {(x.k, x.d, x.v) for x in spark.read.parquet(path).collect()}
+    assert got == {("A", 1, 10.0), ("B", 1, 21.0)}
+    residue = [n for n in os.listdir(path)
+               if n.startswith(("_swap_", "_pending", "_old_"))]
+    assert residue == []
+    assert not [n for n in os.listdir(os.path.dirname(path))
+                if "__" in n or n.startswith("_swap_")]
+
+
+def test_replace_tail_objstore(spark, tmp_path):
+    """Tail swap on rename-less semantics: delegates to the journaled
+    replace_table (a partial two-rename copy would read as a silently
+    TRUNCATED context table), finishes an interrupted predecessor's
+    marker, and sweeps its orphans."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tickerlake_spark.operators.indicator_state import replace_tail
+    from tickerlake_spark.storage.fs import HadoopFS
+
+    fs = HadoopFS(spark, atomic_rename=False)
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    path = str(lake / "tail_daily")
+
+    v1 = spark.createDataFrame([("A", 1)], "ticker string, v int")
+    replace_tail(spark, v1, path, fs=fs)
+    assert [r.v for r in spark.read.parquet(path).collect()] == [1]
+
+    # self-lineage overwrite (the real call shape: new tail reads old)
+    v2 = spark.read.parquet(path).withColumn("v", F.lit(2))
+    replace_tail(spark, v2, path, fs=fs)
+    assert [r.v for r in spark.read.parquet(path).collect()] == [2]
+
+    # interrupted predecessor: a journaled marker referencing a staged
+    # __tail_ dir (state intent). The next replace_tail must FINISH it
+    # before sweeping — then install its own data on top.
+    stale = spark.createDataFrame([("A", 99)], "ticker string, v int")
+    staged = f"{path}__tail_deadbeef"
+    stale.write.parquet(staged)
+    marker = str(lake / "_swap_dead.json")
+    with open(marker, "w") as f:
+        json.dump({"part": "tail_daily", "tmp": "tail_daily__tail_deadbeef",
+                   "old": "_old_dead", "delete": False}, f)
+    v3 = spark.createDataFrame([("A", 3)], "ticker string, v int")
+    replace_tail(spark, v3, path, fs=fs)
+    assert [r.v for r in spark.read.parquet(path).collect()] == [3]
+    names = os.listdir(lake)
+    assert not [n for n in names if n.startswith("_swap_") or "__" in n], names
+
+
+def test_upsert_edges_objstore(spark, tmp_path):
+    """Edge-table maintenance (canonicalized upsert + layout marker)
+    through the rename-less adapter."""
+    from tickerlake_spark.operators.graph import read_edges, upsert_edges
+    from tickerlake_spark.storage.fs import HadoopFS
+
+    fs = HadoopFS(spark, atomic_rename=False)
+    path = str(tmp_path / "edges")
+    pairs = spark.createDataFrame([("u1", "p1"), ("p1", "u1"), ("u2", "p1")],
+                                  "a string, b string")
+    upsert_edges(spark, path, pairs, fs=fs)
+    got = {(r.src, r.dst) for r in read_edges(spark, path,
+                                              symmetrize=False).collect()}
+    assert got == {("p1", "u1"), ("p1", "u2")}
+    assert fs.isfile(f"{path}/_edge_layout.json")
+    # idempotent replay through the same fs
+    upsert_edges(spark, path, pairs, fs=fs)
+    assert read_edges(spark, path, symmetrize=False).count() == 2

@@ -256,6 +256,7 @@ def upsert_edges(
     a: str = "a",
     b: str = "b",
     n_buckets: int = _EDGE_BUCKETS,
+    fs=None,
 ) -> dict:
     """MERGE a batch of (a, b) pairs into the persisted edge table at
     ``path``, deduplicating against stored edges.
@@ -284,8 +285,10 @@ def upsert_edges(
     keys, same rows) — the foreachBatch replay contract.
     """
     from tickerlake_spark.storage import table_exists, upsert_table
+    from tickerlake_spark.storage.fs import LOCAL_FS
 
-    _assert_canonical_layout(spark, path)
+    fs = fs if fs is not None else LOCAL_FS
+    _assert_canonical_layout(spark, path, fs=fs)
     lo, hi = F.least(F.col(a), F.col(b)), F.greatest(F.col(a), F.col(b))
     edges = (
         pairs.select(lo.alias("src"), hi.alias("dst"))
@@ -299,26 +302,29 @@ def upsert_edges(
         keys=["sb", "src", "dst"],
         partition_by="sb",
         validate_unique=False,  # distinct() above guarantees uniqueness
+        fs=fs,
     )
-    if table_exists(path):
-        _write_layout_marker(path)
+    if table_exists(path, fs=fs):
+        _write_layout_marker(path, fs=fs)
     return res
 
 
 _EDGE_LAYOUT_MARKER = "_edge_layout.json"
 
 
-def _write_layout_marker(path: str) -> None:
+def _write_layout_marker(path: str, fs=None) -> None:
     import json
-    import os
 
-    tmp = os.path.join(path, _EDGE_LAYOUT_MARKER + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump({"edge_canonical": "least-greatest", "version": 1}, f)
-    os.replace(tmp, os.path.join(path, _EDGE_LAYOUT_MARKER))
+    from tickerlake_spark.storage.fs import LOCAL_FS
+
+    fs = fs if fs is not None else LOCAL_FS
+    fs.write_file_atomic(
+        f"{path.rstrip('/')}/{_EDGE_LAYOUT_MARKER}",
+        json.dumps({"edge_canonical": "least-greatest", "version": 1}).encode(),
+    )
 
 
-def _assert_canonical_layout(spark, path: str) -> None:
+def _assert_canonical_layout(spark, path: str, fs=None) -> None:
     """Refuse to merge into an edge table holding non-canonical rows.
 
     Marker present -> this build (or a verified one) wrote the table: no
@@ -326,13 +332,13 @@ def _assert_canonical_layout(spark, path: str) -> None:
     (count of src > dst rows); clean tables get the marker so the scan
     never repeats, dirty ones raise with the rebuild instruction.
     """
-    import os
-
     from tickerlake_spark.storage import table_exists
+    from tickerlake_spark.storage.fs import LOCAL_FS
 
-    if not table_exists(path):
+    fs = fs if fs is not None else LOCAL_FS
+    if not table_exists(path, fs=fs):
         return
-    if os.path.exists(os.path.join(path, _EDGE_LAYOUT_MARKER)):
+    if fs.isfile(f"{path.rstrip('/')}/{_EDGE_LAYOUT_MARKER}"):
         return
     bad = (
         spark.read.parquet(path)
@@ -348,7 +354,7 @@ def _assert_canonical_layout(spark, path: str) -> None:
             "source (reversed duplicates would double-count in serving "
             "queries otherwise)."
         )
-    _write_layout_marker(path)
+    _write_layout_marker(path, fs=fs)
 
 
 def read_edges(spark, path: str, symmetrize: bool = True) -> DataFrame:

@@ -48,8 +48,6 @@ history.
 from __future__ import annotations
 
 import datetime as dt
-import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -57,6 +55,7 @@ from pyspark.sql import functions as F
 
 from tickerlake_spark.operators.incremental_silver import CONTEXT_ROWS
 from tickerlake_spark.operators.indicators import compute_indicators
+from tickerlake_spark.storage.fs import FS, LOCAL_FS
 
 __all__ = [
     "TAIL_ROWS",
@@ -126,7 +125,9 @@ def advance_tail(tail: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
-def replace_tail(spark: SparkSession, df: DataFrame, path: str) -> None:
+def replace_tail(
+    spark: SparkSession, df: DataFrame, path: str, fs: FS = LOCAL_FS
+) -> None:
     """Overwrite the tail table at ``path`` with ``df`` even when ``df``'s
     lineage reads ``path`` itself: stage to a sibling temp dir, then swap
     atomically (the same contract the keyed-merge primitives use).
@@ -137,34 +138,62 @@ def replace_tail(spark: SparkSession, df: DataFrame, path: str) -> None:
     window's natural hash partitioning writes a handful of small files; a
     state table this size reads them in one task anyway.
 
-    Crash contract (VERDICT r8 nit): a crash between the two renames
-    leaves NO tail table at ``path``. That state is deliberately
-    UNJOURNALED — unlike the closes-extract buckets, the tails are a pure
-    cache of the last 205 rows per ticker: the callers' gate
-    (``silver_tail_as_of`` is committed only after ALL tail swaps
+    Crash contract (VERDICT r8 nit): on an atomic-rename FS, a crash
+    between the two renames leaves NO tail table at ``path``. That state
+    is deliberately UNJOURNALED — unlike the closes-extract buckets, the
+    tails are a pure cache of the last 205 rows per ticker: the callers'
+    gate (``silver_tail_as_of`` is committed only after ALL tail swaps
     succeed) sees the mismatch and the next append falls back to one
     horizon scan that rebuilds them. Self-healing by design; journaling
-    here would buy nothing but code."""
-    # sweep orphans a crashed previous swap left at the sibling level
-    # (`...__tail_*` staged dirs / `...__old_*` displaced dirs): nothing
-    # reads them — the gate already forces the rebuild that called us —
-    # but without the sweep they would accumulate disk forever
-    import glob as _glob
+    here would buy nothing but code.
 
+    On a RENAME-LESS object store the cheap two-rename shape is unsound in
+    a different way: a crash mid-copy would leave a PARTIAL table at
+    ``path`` that reads as valid-but-truncated context (silently wrong
+    indicators, not a detectable absence). There the swap delegates to the
+    journaled ``replace_table`` marker protocol instead."""
     base = path.rstrip("/")
-    # glob-escape the table path: a metacharacter in the lake root (e.g.
-    # '[' in a pytest-parametrized tmp dir) would otherwise make the
-    # pattern miss orphans — or match under a DIFFERENT parent and rmtree
-    # an unrelated sibling
-    esc = _glob.escape(base)
-    for orphan in _glob.glob(f"{esc}__tail_*") + _glob.glob(f"{esc}__old_*"):
-        shutil.rmtree(orphan, ignore_errors=True)
+    parent, name = base.rsplit("/", 1)
+    if fs.isdir(parent):
+        # finish any journaled swap a crashed object-store replace left
+        # for THIS table before sweeping: its marker may still reference
+        # a `__tail_*` staged dir, and an unfinished 'intent' marker that
+        # already part-copied over `path` MUST be completed, not orphaned
+        # (a later blanket repair replaying it would revive stale state
+        # over a newer table). Scoped to this table's markers only — a
+        # parent-wide repair could race a sibling table's in-flight swap.
+        import json as _json
+
+        from tickerlake_spark.storage import maintenance as _mnt
+
+        for sib in fs.listdir(parent):
+            if sib.startswith("_swap_") and sib.endswith(".json"):
+                marker = f"{parent}/{sib}"
+                m = _json.loads(fs.read_bytes(marker).decode())
+                if m.get("part") == name:
+                    _mnt._finish_swap(parent, m, fs=fs, marker=marker)
+                    fs.remove(marker)
+        # sweep orphans a crashed previous swap left at the sibling level
+        # (`...__tail_*` staged dirs / `...__old_*` displaced dirs):
+        # nothing reads them — the gate already forces the rebuild that
+        # called us — but without the sweep they would accumulate disk
+        # forever. Exact prefix match over the parent listing (no glob: a
+        # metacharacter in the lake root must not widen the match to
+        # unrelated siblings).
+        for sib in fs.listdir(parent):
+            if sib.startswith((f"{name}__tail_", f"{name}__old_")):
+                fs.rmtree(f"{parent}/{sib}")
     tmp = f"{base}__tail_{uuid.uuid4().hex[:8]}"
     df.write.parquet(tmp)
-    if os.path.exists(path):
-        old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+    if not fs.atomic_rename:
+        from tickerlake_spark.storage.maintenance import replace_table
+
+        replace_table(path, tmp, fs=fs)
+        return
+    if fs.exists(path):
+        old = f"{base}__old_{uuid.uuid4().hex[:8]}"
+        fs.rename(path, old)
+        fs.rename(tmp, path)
+        fs.rmtree(old)
     else:
-        os.rename(tmp, path)
+        fs.rename(tmp, path)

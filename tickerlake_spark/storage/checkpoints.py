@@ -4,16 +4,18 @@ Same design as the reference (reference: storage/checkpoints.py:13-70): a tiny
 JSON document with watermark keys (``bronze_stocks_last_date``,
 ``silver_last_full_rewrite``, ``last_run_timestamp``). State this small does
 not belong in the cluster; a driver-side file (or object-store key) is the
-right scale. Writes are atomic (tmp + rename) so a crashed run never leaves a
-torn checkpoint.
+right scale. Writes go through the storage FS protocol's
+``write_file_atomic`` — tmp + fsync + atomic rename on POSIX, a single
+atomic whole-object PUT on rename-less stores — so a crashed run never
+leaves a torn checkpoint on either.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import tempfile
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+
+from tickerlake_spark.storage.fs import FS, LOCAL_FS
 
 __all__ = ["Checkpoints"]
 
@@ -27,32 +29,22 @@ KNOWN_KEYS = (
 @dataclass
 class Checkpoints:
     path: str
+    fs: FS = field(default=LOCAL_FS)
 
     def load(self) -> dict:
-        if not os.path.exists(self.path):
+        if not self.fs.isfile(self.path):
             return {}
-        with open(self.path) as f:
-            return json.load(f)
+        return json.loads(self.fs.read_bytes(self.path).decode())
 
     def save(self, state: dict) -> None:
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        fd, tmp = tempfile.mkstemp(
-            dir=os.path.dirname(self.path) or ".", suffix=".tmp"
-        )
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(state, f, indent=2, sort_keys=True)
-                # fsync BEFORE the rename: without it a power loss can
-                # persist the rename while the data pages are still
-                # unflushed — an empty/torn checkpoint that reads as
-                # "no watermark" and silently re-ingests history (same
-                # ordering rule as the swap journal's marker writes)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self.path)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        # write_file_atomic fsyncs BEFORE its rename on POSIX: without
+        # that a power loss can persist the rename while the data pages
+        # are still unflushed — an empty/torn checkpoint that reads as
+        # "no watermark" and silently re-ingests history (same ordering
+        # rule as the swap journal's marker writes). On object stores the
+        # write is one atomic PUT.
+        data = json.dumps(state, indent=2, sort_keys=True).encode()
+        self.fs.write_file_atomic(self.path, data)
 
     def get(self, key: str, default=None):
         return self.load().get(key, default)

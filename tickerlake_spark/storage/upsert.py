@@ -20,19 +20,21 @@ Scale posture:
   decides); a billion-row update batch degrades gracefully to a shuffle
   join on the key.
 
-On an object store / table format the swap and partition replacement become
-metadata commits; the local-FS rename models the same atomicity contract.
+All driver-side mutations (staging cleanup, the pending-delete journal, the
+swap/repair calls) go through the storage FS protocol (``fs`` parameter,
+``storage/fs.py``): POSIX rename on LocalFS/HDFS, the marker-state
+copy+delete protocol on rename-less object stores. Spark's bulk reads and
+writes are Hadoop-FS-native already.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tickerlake_spark.storage.fs import FS, LOCAL_FS
 from tickerlake_spark.storage.io import (
     detect_partition_column,
     table_exists,
@@ -43,14 +45,14 @@ from tickerlake_spark.storage.maintenance import replace_table
 __all__ = ["upsert_table", "replace_keys"]
 
 
-def _repair_parent(path: str) -> None:
+def _repair_parent(path: str, fs: FS = LOCAL_FS) -> None:
     """Finish any interrupted whole-table ``replace_table`` swap journaled
     in ``path``'s parent (layer) dir before probing table existence."""
     from tickerlake_spark.storage.maintenance import repair_partition_swaps
 
     base = path.rstrip("/")
     if "/" in base:
-        repair_partition_swaps(base.rsplit("/", 1)[0])
+        repair_partition_swaps(base.rsplit("/", 1)[0], fs=fs)
 
 
 # ---------------------------------------------------------------------------
@@ -76,48 +78,52 @@ def _repair_parent(path: str) -> None:
 _PENDING_DELETES = "_pending_deletes.json"
 
 
-def _write_pending_deletes(path: str, parts: list[str], state: str) -> None:
+def _write_pending_deletes(
+    path: str, parts: list[str], state: str, fs: FS = LOCAL_FS
+) -> None:
     import json
 
-    from tickerlake_spark.storage.fs import LOCAL_FS
-
-    LOCAL_FS.write_file_atomic(
-        os.path.join(path, _PENDING_DELETES),
+    fs.write_file_atomic(
+        f"{path.rstrip('/')}/{_PENDING_DELETES}",
         json.dumps({"parts": parts, "state": state}).encode(),
     )
 
 
-def _apply_pending_deletes(path: str, parts: list[str]) -> None:
+def _apply_pending_deletes(
+    path: str, parts: list[str], fs: FS = LOCAL_FS
+) -> None:
     from tickerlake_spark.storage.maintenance import swap_partition_dir
 
+    base = path.rstrip("/")
     for part in parts:
-        if os.path.isdir(os.path.join(path, part)):
+        if fs.isdir(f"{base}/{part}"):
             swap_partition_dir(
-                path, part, os.path.join(path, "_absent"), delete=True
+                path, part, f"{base}/_absent", delete=True, fs=fs
             )
-    os.remove(os.path.join(path, _PENDING_DELETES))
+    fs.remove(f"{base}/{_PENDING_DELETES}")
 
 
-def repair_pending_deletes(path: str) -> None:
+def repair_pending_deletes(path: str, fs: FS = LOCAL_FS) -> None:
     """Resolve a pending-delete marker a crashed merge left in ``path``.
     Called (after ``repair_partition_swaps``) at the top of every
     partitioned merge; also usable standalone after a crash."""
     import json
 
-    marker = os.path.join(path, _PENDING_DELETES)
-    if not os.path.exists(marker):
+    marker = f"{path.rstrip('/')}/{_PENDING_DELETES}"
+    if not fs.isfile(marker):
         return
-    with open(marker) as f:
-        m = json.load(f)
+    m = json.loads(fs.read_bytes(marker).decode())
     if m.get("state") == "committed":
-        _apply_pending_deletes(path, m["parts"])
+        _apply_pending_deletes(path, m["parts"], fs=fs)
     else:
         # overwrite never provably committed: deleting now could lose rows
         # it was about to rewrite elsewhere — drop the stale intent
-        os.remove(marker)
+        fs.remove(marker)
 
 
-def _reconcile_layout(path: str, partition_by: str | None) -> str | None:
+def _reconcile_layout(
+    path: str, partition_by: str | None, fs: FS = LOCAL_FS
+) -> str | None:
     """Resolve the caller's ``partition_by`` against the table's ACTUAL
     layout on disk.
 
@@ -130,7 +136,11 @@ def _reconcile_layout(path: str, partition_by: str | None) -> str | None:
     - Both set and different -> error; silently preferring either side
       would corrupt the layout or the caller's pruning assumptions.
     """
-    detected = detect_partition_column(path) if table_exists(path) else None
+    detected = (
+        detect_partition_column(path, fs=fs)
+        if table_exists(path, fs=fs)
+        else None
+    )
     if detected is None:
         return partition_by
     if partition_by is None:
@@ -152,6 +162,7 @@ def upsert_table(
     validate_unique: bool = True,
     stage_updates: bool = True,
     with_count: bool = True,
+    fs: FS = LOCAL_FS,
 ) -> dict:
     """MERGE ``updates`` into the Parquet table at ``path`` on ``keys``.
 
@@ -180,7 +191,7 @@ def upsert_table(
     # to the parent layer dir; without this, a crash between its renames
     # would make table_exists read False and the create branch would
     # rebuild the table from this delta alone — silent loss)
-    _repair_parent(path)
+    _repair_parent(path, fs=fs)
     staged_dir = f"{path.rstrip('/')}__updates_{uuid.uuid4().hex[:8]}"
     if stage_updates:
         updates.write.parquet(staged_dir)
@@ -199,12 +210,12 @@ def upsert_table(
                 raise ValueError(f"updates are not unique on {keys}")
 
         n_updates = updates.count() if with_count else None
-        if not table_exists(path):
+        if not table_exists(path, fs=fs):
             write_table(updates, path, partition_by=partition_by)
             return {"inserted_or_updated": n_updates, "mode": "create"}
 
-        on_disk = detect_partition_column(path)
-        partition_by = _reconcile_layout(path, partition_by)
+        on_disk = detect_partition_column(path, fs=fs)
+        partition_by = _reconcile_layout(path, partition_by, fs=fs)
         existing = spark.read.parquet(path)
         if partition_by is None or on_disk is None:
             # unpartitioned table: full rewrite + atomic swap. When the
@@ -218,17 +229,18 @@ def upsert_table(
             if partition_by is not None:
                 writer = writer.partitionBy(partition_by)
             writer.parquet(tmp)
-            if not table_exists(tmp):
+            if not table_exists(tmp, fs=fs):
                 # empty merged set + partitioned write -> keep readable
                 merged.limit(0).write.mode("overwrite").parquet(tmp)
-            replace_table(path, tmp)
+            replace_table(path, tmp, fs=fs)
             mode = "rewrite" if partition_by is None else "rewrite-migrate"
             return {"inserted_or_updated": n_updates, "mode": mode}
         return _upsert_partitioned(
-            spark, path, existing, updates, keys, partition_by, n_updates
+            spark, path, existing, updates, keys, partition_by, n_updates,
+            fs=fs,
         )
     finally:
-        shutil.rmtree(staged_dir, ignore_errors=True)
+        fs.rmtree(staged_dir)
 
 def _upsert_partitioned(
     spark: SparkSession,
@@ -238,6 +250,7 @@ def _upsert_partitioned(
     keys: list[str],
     partition_by: str,
     n_updates: int,
+    fs: FS = LOCAL_FS,
 ) -> dict:
     # Partitioned: rebuild only the touched partitions, then dynamic-overwrite
     # them. The isin filter prunes the existing scan to those partitions.
@@ -256,8 +269,8 @@ def _upsert_partitioned(
     # column may surface as date/int on one side and string on the other.
     from tickerlake_spark.storage.maintenance import repair_partition_swaps
 
-    repair_partition_swaps(path)
-    repair_pending_deletes(path)
+    repair_partition_swaps(path, fs=fs)
+    repair_pending_deletes(path, fs=fs)
     touched = {
         str(r[0]) for r in updates.select(partition_by).distinct().collect()
     }
@@ -301,7 +314,7 @@ def _upsert_partitioned(
             f"{partition_by}={v}" for v in set(touched) - written
         )
         if stale:
-            _write_pending_deletes(path, stale, "intent")
+            _write_pending_deletes(path, stale, "intent", fs=fs)
         # writer-level option, NOT session conf: takes precedence over the
         # session setting and keeps concurrent merges (the pipelines run
         # independent table maintenance from worker threads) from racing a
@@ -313,10 +326,10 @@ def _upsert_partitioned(
             .parquet(path)
         )
         if stale:
-            _write_pending_deletes(path, stale, "committed")
-            _apply_pending_deletes(path, stale)
+            _write_pending_deletes(path, stale, "committed", fs=fs)
+            _apply_pending_deletes(path, stale, fs=fs)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs.rmtree(tmp)
     return {
         "inserted_or_updated": n_updates,
         "mode": "dynamic-partition",
@@ -332,6 +345,7 @@ def replace_keys(
     keys: list[str],
     partition_by: str | None = None,
     with_count: bool = True,
+    fs: FS = LOCAL_FS,
 ) -> dict:
     """Replace the full row-set of every key in ``key_values``: delete all
     stored rows matching those keys, then insert ``updates``.
@@ -350,20 +364,20 @@ def replace_keys(
     O(table) — dynamic partition overwrite plus explicit removal of key
     partitions whose recomputed row-set is empty.
     """
-    _repair_parent(path)  # same silent-loss guard as upsert_table
+    _repair_parent(path, fs=fs)  # same silent-loss guard as upsert_table
     key_values = key_values.select(*keys).distinct()
-    if not table_exists(path):
+    if not table_exists(path, fs=fs):
         write_table(updates, path, partition_by=partition_by)
         return {"inserted": updates.count(), "mode": "create"}
-    partition_by = _reconcile_layout(path, partition_by)
+    partition_by = _reconcile_layout(path, partition_by, fs=fs)
     existing = spark.read.parquet(path)
     if (
         partition_by in keys
-        and detect_partition_column(path) == partition_by
+        and detect_partition_column(path, fs=fs) == partition_by
     ):
         return _replace_keys_partitioned(
             spark, path, existing, key_values, updates, keys, partition_by,
-            with_count,
+            with_count, fs=fs,
         )
     merged = existing.join(key_values, keys, "left_anti").unionByName(
         updates.select(*existing.columns)
@@ -373,7 +387,7 @@ def replace_keys(
     if partition_by is not None:
         writer = writer.partitionBy(partition_by)
     writer.parquet(tmp)
-    if not table_exists(tmp):
+    if not table_exists(tmp, fs=fs):
         # empty merged set + partitioned write -> no data files; keep the
         # table readable with a flat zero-row schema file (see write_table)
         merged.limit(0).write.mode("overwrite").parquet(tmp)
@@ -382,7 +396,7 @@ def replace_keys(
     # ``path``), and its lineage re-executes here — after the rename the
     # source files are gone and the count dies with FILE_NOT_EXIST.
     n_inserted = updates.count() if with_count else None
-    replace_table(path, tmp)
+    replace_table(path, tmp, fs=fs)
     return {"inserted": n_inserted, "mode": "rewrite"}
 
 
@@ -395,6 +409,7 @@ def _replace_keys_partitioned(
     keys: list[str],
     partition_by: str,
     with_count: bool = True,
+    fs: FS = LOCAL_FS,
 ) -> dict:
     # Touched partitions: wherever a replaced key lives (partition value is
     # part of the key, so key_values names them directly) plus wherever
@@ -411,8 +426,8 @@ def _replace_keys_partitioned(
     )
     from tickerlake_spark.storage.maintenance import repair_partition_swaps
 
-    repair_partition_swaps(path)
-    repair_pending_deletes(path)
+    repair_partition_swaps(path, fs=fs)
+    repair_pending_deletes(path, fs=fs)
     survivors = existing.filter(F.col(partition_by).isin(touched)).join(
         key_values, keys, "left_anti"
     )
@@ -429,7 +444,7 @@ def _replace_keys_partitioned(
             f"{partition_by}={v}" for v in set(touched) - written
         )
         if stale:  # journaled: see repair_pending_deletes
-            _write_pending_deletes(path, stale, "intent")
+            _write_pending_deletes(path, stale, "intent", fs=fs)
         # writer-level option (see _upsert_partitioned): thread-safe under
         # concurrent maintenance, no session-conf save/restore race
         (
@@ -439,10 +454,10 @@ def _replace_keys_partitioned(
             .parquet(path)
         )
         if stale:
-            _write_pending_deletes(path, stale, "committed")
-            _apply_pending_deletes(path, stale)
+            _write_pending_deletes(path, stale, "committed", fs=fs)
+            _apply_pending_deletes(path, stale, fs=fs)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs.rmtree(tmp)
     return {
         "inserted": n_inserted,
         "mode": "dynamic-partition",
