@@ -1,0 +1,230 @@
+"""Manifest-committed snapshot tables (storage/snapshots.py, r10).
+
+The property under test is the one the journaled-swap layer cannot give:
+READ ATOMICITY against concurrent rewrites on rename-less stores. A reader
+pinned to version N keeps seeing exactly version N while any number of
+commits land, because commits never touch existing files and become
+visible only through one atomic put_if_absent of the manifest.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from tickerlake_spark.storage.fs import HadoopFS, LocalFS, MemoryObjectStore
+from tickerlake_spark.storage.snapshots import (
+    SnapshotConflict,
+    snap_current_version,
+    snap_history,
+    snap_read,
+    snap_upsert,
+    snap_vacuum,
+    snap_write,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, d date, v double")
+
+
+R1 = [("A", dt.date(2024, 1, 1), 1.0), ("B", dt.date(2024, 1, 2), 2.0)]
+R2 = [("C", dt.date(2024, 2, 1), 3.0), ("D", dt.date(2024, 2, 2), 4.0)]
+
+
+def _rows(df):
+    return {(r.k, r.d, r.v) for r in df.collect()}
+
+
+@pytest.mark.parametrize("objstore", [False, True])
+def test_write_read_append_time_travel(spark, tmp_path, objstore):
+    fs = HadoopFS(spark, atomic_rename=False) if objstore else LocalFS()
+    path = str(tmp_path / "t")
+    r = snap_write(spark, _df(spark, R1), path, stats_cols=("d",), fs=fs)
+    assert r["version"] == 1
+    assert _rows(snap_read(spark, path, fs=fs)) == set(R1)
+
+    r = snap_write(spark, _df(spark, R2), path, mode="append",
+                   stats_cols=("d",), fs=fs)
+    assert r["version"] == 2
+    assert _rows(snap_read(spark, path, fs=fs)) == set(R1) | set(R2)
+    # time travel: version 1 is still exactly version 1
+    assert _rows(snap_read(spark, path, version=1, fs=fs)) == set(R1)
+
+    h = snap_history(path, fs=fs)
+    assert [x["version"] for x in h] == [1, 2]
+    assert h[1]["op"] == "append" and h[1]["rows"] == 4
+
+
+def test_reader_pinned_during_overwrite(spark, tmp_path):
+    """The headline property: a DataFrame resolved at version 1 returns
+    version-1 rows even after a full overwrite commits version 2."""
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path)
+    pinned = snap_read(spark, path)  # resolves v1's file list NOW
+    snap_write(spark, _df(spark, R2), path, mode="overwrite")
+    assert snap_current_version(path) == 2
+    assert _rows(pinned) == set(R1)  # executed AFTER v2 committed
+    assert _rows(snap_read(spark, path)) == set(R2)
+
+
+def test_append_schema_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path)
+    bad = spark.createDataFrame([("A", 1)], "k string, other int")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snap_write(spark, bad, path, mode="append")
+
+
+def test_manifest_stat_pruning(spark, tmp_path):
+    """Files provably outside the predicate are skipped from the scan;
+    files without stats survive (pruning is never a filter)."""
+    from tickerlake_spark.storage.snapshots import _load, _prune_entries
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1).coalesce(1), path, stats_cols=("d",))
+    snap_write(spark, _df(spark, R2).coalesce(1), path, mode="append",
+               stats_cols=("d",))
+    m = _load(path, 2, LocalFS())
+    assert len(m["files"]) == 2
+    assert all("d" in e["stats"] for e in m["files"])
+
+    kept = _prune_entries(m["files"], ("d", dt.date(2024, 2, 1), None))
+    assert len(kept) == 1  # the January file is provably out
+
+    got = snap_read(spark, path, prune=("d", dt.date(2024, 2, 1), None))
+    assert _rows(got) == set(R2)
+    # a column with no stats keeps everything
+    assert len(_prune_entries(m["files"], ("v_missing", 0, 1))) == 2
+
+
+def test_upsert_rewrites_only_overlapping_files(spark, tmp_path):
+    # keyed on the date column: INT32-backed stats are always exact, so
+    # file-level pruning engages (string stats without an exactness flag
+    # are correctly distrusted — pyarrow < 17 can't read the flag)
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1).coalesce(1), path, stats_cols=("d",))
+    snap_write(spark, _df(spark, R2).coalesce(1), path, mode="append",
+               stats_cols=("d",))
+    up = _df(spark, [("C", dt.date(2024, 2, 1), 30.0)])
+    r = snap_upsert(spark, path, up, keys=["d"], stats_cols=("d",))
+    assert r["rewrote_files"] == 1  # the January file carried by reference
+    got = _rows(snap_read(spark, path))
+    assert got == set(R1) | {("C", dt.date(2024, 2, 1), 30.0),
+                             ("D", dt.date(2024, 2, 2), 4.0)}
+    # the untouched file is the SAME path in both manifests
+    from tickerlake_spark.storage.snapshots import _load
+
+    f2 = {e["path"] for e in _load(path, 2, LocalFS())["files"]}
+    f3 = {e["path"] for e in _load(path, 3, LocalFS())["files"]}
+    assert len(f2 & f3) == 1
+
+
+def test_commit_race_append_retries_upsert_raises(spark, tmp_path):
+    """Optimistic concurrency: a losing append rebuilds against the
+    winner and retries to success; a losing upsert refuses to publish its
+    stale merge."""
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path)
+
+    class RacingFS(LocalFS):
+        """First contended put loses: an INDEPENDENT writer claims that
+        version number a moment earlier (its manifest is a replay of the
+        parent version — content unrelated to the contender's)."""
+
+        def __init__(self):
+            self.raced = False
+
+        def put_if_absent(self, p, data):
+            if not self.raced and "_snap/v" in p:
+                self.raced = True
+                mine = json.loads(data.decode())
+                parent = json.loads(
+                    self.read_bytes(
+                        p[: p.rindex("v")] + f"v{mine['parent']:010d}.json"
+                    ).decode()
+                )
+                parent.update(version=mine["version"], writer="other",
+                              parent=mine["parent"], op="other")
+                assert super().put_if_absent(p, json.dumps(parent).encode())
+                return False
+            return super().put_if_absent(p, data)
+
+    rfs = RacingFS()
+    r = snap_write(spark, _df(spark, R2), path, mode="append", fs=rfs)
+    assert rfs.raced and r["version"] == 3  # v2 went to the interloper
+    cur = snap_read(spark, path)
+    assert _rows(cur) == set(R1) | set(R2)
+    assert cur.count() == 4  # rebuilt against the winner: nothing doubled
+
+    rfs2 = RacingFS()
+    with pytest.raises(SnapshotConflict):
+        snap_upsert(spark, path,
+                    _df(spark, [("A", dt.date(2024, 1, 1), 9.0)]),
+                    keys=["k"], fs=rfs2)
+    # nothing published: the stale merge (A -> 9.0) is invisible
+    cur = snap_read(spark, path)
+    assert _rows(cur) == set(R1) | set(R2) and cur.count() == 4
+
+
+def test_crash_before_manifest_put_is_invisible(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path)
+
+    class CrashFS(LocalFS):
+        def put_if_absent(self, p, data):
+            if "_snap/v" in p:
+                raise RuntimeError("crash before commit")
+            return super().put_if_absent(p, data)
+
+    with pytest.raises(RuntimeError):
+        snap_write(spark, _df(spark, R2), path, mode="append", fs=CrashFS())
+    assert snap_current_version(path) == 1
+    assert _rows(snap_read(spark, path)) == set(R1)
+    # the orphan commit dir is cleaned by vacuum's quiesced orphan sweep
+    out = snap_vacuum(path, keep_last=1, clean_orphans=True)
+    assert out["deleted_files"] >= 1
+    assert _rows(snap_read(spark, path)) == set(R1)
+
+
+def test_vacuum_keeps_retained_versions_exact(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path)
+    snap_write(spark, _df(spark, R2), path)  # overwrite: v1 files now dead
+    snap_write(spark, _df(spark, R1), path, mode="append")
+    out = snap_vacuum(path, keep_last=2)
+    assert out["dropped_versions"] == 1
+    # v1 is gone, v2 and v3 read exactly
+    with pytest.raises(FileNotFoundError):
+        snap_read(spark, path, version=1)
+    assert _rows(snap_read(spark, path, version=2)) == set(R2)
+    assert _rows(snap_read(spark, path, version=3)) == set(R1) | set(R2)
+
+
+def test_put_if_absent_semantics():
+    """The CAS primitive on the object-store model: exactly one writer
+    wins a key."""
+    fs = MemoryObjectStore()
+    assert fs.put_if_absent("/t/_snap/v1.json", b"a")
+    assert not fs.put_if_absent("/t/_snap/v1.json", b"b")
+    assert fs.read_bytes("/t/_snap/v1.json") == b"a"
+
+
+def test_put_if_absent_local(tmp_path):
+    fs = LocalFS()
+    p = str(tmp_path / "v1.json")
+    assert fs.put_if_absent(p, b"a")
+    assert not fs.put_if_absent(p, b"b")
+    assert fs.read_bytes(p) == b"a"
+    # no claim-file residue either way
+    assert [n for n in fs.listdir(str(tmp_path)) if "claim" in n] == []
+
+
+def test_put_if_absent_hadoop(spark, tmp_path):
+    fs = HadoopFS(spark, atomic_rename=False)
+    p = str(tmp_path / "v1.json")
+    assert fs.put_if_absent(p, b"a")
+    assert not fs.put_if_absent(p, b"b")
+    assert fs.read_bytes(p) == b"a"

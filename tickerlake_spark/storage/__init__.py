@@ -13,6 +13,15 @@ from tickerlake_spark.storage.io import (
     table_exists,
     write_table,
 )
+from tickerlake_spark.storage.snapshots import (
+    SnapshotConflict,
+    snap_current_version,
+    snap_history,
+    snap_read,
+    snap_upsert,
+    snap_vacuum,
+    snap_write,
+)
 from tickerlake_spark.storage.upsert import replace_keys, upsert_table
 
 __all__ = [
@@ -36,4 +45,11 @@ __all__ = [
     "attach_bucketed",
     "upsert_table",
     "replace_keys",
+    "SnapshotConflict",
+    "snap_write",
+    "snap_upsert",
+    "snap_read",
+    "snap_history",
+    "snap_current_version",
+    "snap_vacuum",
 ]

@@ -66,6 +66,7 @@ class FS(Protocol):
     def rmtree(self, path: str) -> None: ...
     def read_bytes(self, path: str) -> bytes: ...
     def write_file_atomic(self, path: str, data: bytes) -> None: ...
+    def put_if_absent(self, path: str, data: bytes) -> bool: ...
     def fsync_dir(self, path: str) -> None: ...
     def open_read(self, path: str) -> BinaryIO: ...
 
@@ -135,6 +136,31 @@ class LocalFS:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        """Atomically create ``path`` with ``data`` iff it does not exist.
+        Returns False (and writes nothing) when it does — the
+        compare-and-set primitive optimistic manifest commits race on.
+
+        POSIX implementation: write+fsync a tmp file, then ``os.link`` it
+        to the target — link(2) fails atomically with EEXIST, and the
+        visible file is always complete (never a partially-written
+        winner)."""
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        tmp = f"{path}.claim.{os.getpid()}.{os.urandom(4).hex()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
 
     def fsync_dir(self, path: str) -> None:
         """Flush directory-entry changes (renames, creates) to stable
@@ -258,6 +284,16 @@ class MemoryObjectStore:
     def write_file_atomic(self, path: str, data: bytes) -> None:
         self._op()
         self.objects[_norm(path)] = data  # single-object PUT is atomic
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        """Conditional PUT (If-None-Match) — the object-store CAS
+        primitive; S3/GCS/ABFS all expose it natively."""
+        self._op()
+        k = _norm(path)
+        if k in self.objects:
+            return False
+        self.objects[k] = data
+        return True
 
     def fsync_dir(self, path: str) -> None:
         pass
@@ -415,6 +451,24 @@ class HadoopFS:
                 out.write(bytearray(data))
             finally:
                 out.close()
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        """``create(overwrite=False)``: atomic create-exclusive on
+        HDFS/local. On s3a this is check-then-act unless the connector's
+        conditional-write support is enabled
+        (``fs.s3a.create.conditional.enabled``, Hadoop 3.4.1+, mapping to
+        S3 If-None-Match) — enable it for multi-writer snapshot commits;
+        the single-writer-per-table pipeline model needs only the crash
+        atomicity, which the whole-object PUT already gives."""
+        try:
+            out = self._fs(path).create(self._JPath(path), False)
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        return True
 
     def fsync_dir(self, path: str) -> None:
         # no directory-entry fsync in the Hadoop API: HDFS journals
