@@ -228,3 +228,74 @@ def test_put_if_absent_hadoop(spark, tmp_path):
     assert fs.put_if_absent(p, b"a")
     assert not fs.put_if_absent(p, b"b")
     assert fs.read_bytes(p) == b"a"
+
+
+def test_snap_compact_folds_small_files(spark, tmp_path):
+    from tickerlake_spark.storage.snapshots import _load, snap_compact
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1).coalesce(1), path, stats_cols=("d",))
+    for i in range(3):
+        snap_write(spark, _df(spark, R2).coalesce(1), path, mode="append",
+                   stats_cols=("d",))
+    before = _load(path, 4, LocalFS())["files"]
+    assert len(before) == 4
+    r = snap_compact(spark, path, stats_cols=("d",))
+    assert r["compacted_files"] == 4 and r["files"] == 1
+    cur = snap_read(spark, path)
+    assert cur.count() == 8  # 1 R1 commit + 3 R2 commits, rows preserved
+    # prior versions untouched until vacuum
+    assert snap_read(spark, path, version=4).count() == 8
+    assert snap_read(spark, path, version=1).count() == 2
+    h = snap_history(path)
+    assert h[-1]["op"] == "compact"
+
+
+def test_snapshot_sink_exactly_once(spark, tmp_path):
+    """foreachBatch snapshot sink: three 1-file micro-batches commit three
+    versions; a replayed batch id is a no-op, even with a maintenance
+    commit interleaved between failure and replay."""
+    from tickerlake_spark.storage.snapshots import snap_compact, snapshot_sink
+    from tickerlake_spark.streaming.windows import stream_events
+
+    landing = str(tmp_path / "landing")
+    events = spark.range(30).selectExpr(
+        "id as event_id", "cast(id % 3 as string) as k", "id * 1.5 as v"
+    )
+    for i in range(3):
+        events.filter(events.event_id % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    target = str(tmp_path / "snap_events")
+    sink = snapshot_sink(target)
+    stream = stream_events(spark, landing, events.schema,
+                           max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert snap_read(spark, target).count() == 30
+    hist = snap_history(target)
+    assert len(hist) >= 2 and all(h["op"] == "stream_append" for h in hist)
+
+    # at-least-once replay of the final batch: skipped
+    last_batch = events.filter(events.event_id % 3 == 2)
+    from tickerlake_spark.storage.snapshots import _list_versions, _load
+
+    last_sid = _load(target, _list_versions(target, LocalFS())[-1],
+                     LocalFS())["stream_batch_id"]
+    sink(last_batch, last_sid)
+    assert snap_read(spark, target).count() == 30
+
+    # replay AFTER an interleaved compaction still dedupes (the sink walks
+    # back past non-stream commits)
+    snap_compact(spark, target, stats_cols=())
+    sink(last_batch, last_sid)
+    assert snap_read(spark, target).count() == 30
+    # but a genuinely NEW batch id appends
+    sink(last_batch.limit(2), last_sid + 1)
+    assert snap_read(spark, target).count() == 32

@@ -15,12 +15,14 @@ from tickerlake_spark.storage.io import (
 )
 from tickerlake_spark.storage.snapshots import (
     SnapshotConflict,
+    snap_compact,
     snap_current_version,
     snap_history,
     snap_read,
     snap_upsert,
     snap_vacuum,
     snap_write,
+    snapshot_sink,
 )
 from tickerlake_spark.storage.upsert import replace_keys, upsert_table
 
@@ -52,4 +54,6 @@ __all__ = [
     "snap_history",
     "snap_current_version",
     "snap_vacuum",
+    "snap_compact",
+    "snapshot_sink",
 ]

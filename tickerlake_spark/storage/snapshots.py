@@ -63,6 +63,8 @@ __all__ = [
     "snap_history",
     "snap_current_version",
     "snap_vacuum",
+    "snap_compact",
+    "snapshot_sink",
 ]
 
 _SNAP = "_snap"
@@ -208,6 +210,7 @@ def snap_write(
     stats_cols: tuple = (),
     fs: FS = LOCAL_FS,
     max_retries: int = 5,
+    extra: dict | None = None,
 ) -> dict:
     """Commit ``df`` as a new snapshot version of the table at ``path``.
 
@@ -250,6 +253,7 @@ def snap_write(
             "parent": cur_v,
             "schema_json": df.schema.json(),
             "files": files,
+            **(extra or {}),
         }
         if _try_commit(path, manifest, cur_v + 1, fs):
             return {"version": cur_v + 1, "files": len(files), "op": mode}
@@ -403,6 +407,110 @@ def snap_history(path: str, fs: FS = LOCAL_FS) -> list[dict]:
             }
         )
     return out
+
+
+def snap_compact(
+    spark: SparkSession,
+    path: str,
+    small_file_bytes: int = 32 << 20,
+    target_file_bytes: int = 128 << 20,
+    stats_cols: tuple = (),
+    fs: FS = LOCAL_FS,
+) -> dict:
+    """Fold the current version's small files into target-sized ones and
+    commit the result as a new version — OPTIMIZE for snapshot tables.
+    Files already at size are carried by reference; total rows are
+    re-proven from the new files' footers before the manifest is allowed
+    to publish. Readers pinned to prior versions are untouched (compaction
+    is just another commit); the superseded small files are reclaimed by
+    ``snap_vacuum`` once their versions expire.
+
+    Optimistic like ``snap_upsert``: a commit landing mid-compaction means
+    the folded file set is stale — raises ``SnapshotConflict`` without
+    publishing (re-run against the new current)."""
+    cur_v = snap_current_version(path, fs)
+    if cur_v == 0:
+        return {"version": 0, "compacted_files": 0}
+    m = _load(path, cur_v, fs)
+    small = [e for e in m["files"] if e["bytes"] < small_file_bytes]
+    if len(small) < 2:
+        return {"version": cur_v, "compacted_files": 0}
+    carried = [e for e in m["files"] if e["bytes"] >= small_file_bytes]
+    base = path.rstrip("/")
+    schema = StructType.fromJson(json.loads(m["schema_json"]))
+    df = spark.read.schema(schema).parquet(
+        *[f"{base}/{e['path']}" for e in small]
+    )
+    n_out = max(1, sum(e["bytes"] for e in small) // target_file_bytes + 1)
+    new_files = _write_commit_files(df.coalesce(n_out), path, stats_cols, fs)
+    want_rows = sum(e["rows"] for e in small)
+    got_rows = sum(e["rows"] for e in new_files)
+    if got_rows != want_rows:
+        raise RuntimeError(
+            f"compaction row drift at {path!r}: {want_rows} in, "
+            f"{got_rows} out — refusing to publish"
+        )
+    manifest = {
+        "op": "compact",
+        "writer": uuid.uuid4().hex[:8],
+        "parent": cur_v,
+        "schema_json": m["schema_json"],
+        "files": carried + new_files,
+    }
+    if not _try_commit(path, manifest, cur_v + 1, fs):
+        raise SnapshotConflict(
+            f"version {cur_v + 1} committed during compaction at {path!r}"
+        )
+    return {
+        "version": cur_v + 1,
+        "compacted_files": len(small),
+        "files": len(carried) + len(new_files),
+    }
+
+
+def snapshot_sink(
+    path: str, stats_cols: tuple = (), fs: FS = LOCAL_FS
+):
+    """``foreachBatch`` sink appending each micro-batch as a snapshot
+    commit — EXACTLY-ONCE visible effects under Structured Streaming's
+    at-least-once replay: the manifest records ``stream_batch_id``, and a
+    replayed batch (same id as the most recent stream commit) is skipped.
+    The scan walks manifests newest-first to the last stream commit, so
+    interleaved maintenance commits (compact/vacuum/upsert) between the
+    failure and the replay cannot unmask a duplicate.
+
+    Single-stream-per-table contract (batch ids are per-query monotonic);
+    concurrent MAINTENANCE writers are fine — the commit itself is the
+    same optimistic append as ``snap_write``.
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(snapshot_sink(table_path))
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def _last_stream_batch(path: str, fs: FS):
+        for v in reversed(_list_versions(path, fs)):
+            m = _load(path, v, fs)
+            if "stream_batch_id" in m:
+                return m["stream_batch_id"]
+        return None
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if _last_stream_batch(path, fs) == batch_id:
+            return  # replay of a batch whose commit already published
+        snap_write(
+            batch_df.sparkSession,
+            batch_df,
+            path,
+            mode="append" if snap_current_version(path, fs) else "overwrite",
+            stats_cols=stats_cols,
+            fs=fs,
+            extra={"stream_batch_id": batch_id, "op": "stream_append"},
+        )
+
+    return sink
 
 
 def snap_vacuum(
