@@ -2571,3 +2571,59 @@ def q152_cms_exact_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("w").alias("token"), "exact_n", "cms_n"
     ).orderBy(F.col("exact_n").desc(), F.col("token").asc())
+
+
+@register(
+    "q153_snapshot_merge",
+    doc="Snapshot-table MERGE semantics end to end (storage/snapshots.py, "
+    "r10): overwrite-commit a base slice of documents, append-commit a "
+    "second slice, then keyed-upsert a correction batch (doc_id %% 6 == 0, "
+    "n_chars bumped) — three manifest-committed versions, the upsert "
+    "rewriting only files whose committed doc_id range overlaps the batch. "
+    "Returns the CURRENT version via snap_read (the manifest's pinned file "
+    "list, no directory listing). The oracle is the equivalent SQL MERGE "
+    "(anti-join + union), so the snapshot layer's visible semantics are "
+    "value-hash-checked against a plain-SQL engine, not just pytest-pinned. "
+    "Builds in a throwaway temp dir per invocation.",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 IN (0, 1)
+),
+ups AS (
+  SELECT doc_id, lang, n_chars + 1000 AS n_chars
+  FROM documents WHERE doc_id % 6 = 0
+)
+SELECT b.doc_id, b.lang, b.n_chars FROM base b
+WHERE b.doc_id NOT IN (SELECT doc_id FROM ups)
+UNION ALL
+SELECT doc_id, lang, n_chars FROM ups
+""",
+)
+def q153_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from tickerlake_spark.storage.snapshots import (
+        snap_current_version,
+        snap_read,
+        snap_upsert,
+        snap_write,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="q153_snap_") + "/t"
+    snap_write(
+        spark, d.filter(F.col("doc_id") % 3 == 0), path, stats_cols=("doc_id",)
+    )
+    snap_write(
+        spark,
+        d.filter(F.col("doc_id") % 3 == 1),
+        path,
+        mode="append",
+        stats_cols=("doc_id",),
+    )
+    ups = d.filter(F.col("doc_id") % 6 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    snap_upsert(spark, path, ups, keys=["doc_id"], stats_cols=("doc_id",))
+    assert snap_current_version(path) == 3
+    return snap_read(spark, path)
