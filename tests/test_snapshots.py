@@ -299,3 +299,29 @@ def test_snapshot_sink_exactly_once(spark, tmp_path):
     # but a genuinely NEW batch id appends
     sink(last_batch.limit(2), last_sid + 1)
     assert snap_read(spark, target).count() == 32
+
+
+def test_snap_read_keeps_pushdown_and_pruning(spark, tmp_path):
+    """snap_read is a plain parquet scan over the manifest's file list:
+    Catalyst's predicate pushdown and column pruning must survive, and
+    manifest stat pruning must shrink the scanned file set BEFORE Spark
+    ever lists anything."""
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1).coalesce(1), path, stats_cols=("d",))
+    snap_write(spark, _df(spark, R2).coalesce(1), path, mode="append",
+               stats_cols=("d",))
+
+    got = snap_read(spark, path).filter("v > 1.0").select("k")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "v" in pushed, plan  # predicate reached the parquet reader
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "d:date" not in read_schema, plan  # unused column pruned from scan
+    assert "k:string" in read_schema and "v:double" in read_schema, plan
+
+    # manifest pruning: the pruned read plans over ONE file, not two
+    pruned = snap_read(spark, path, prune=("d", dt.date(2024, 2, 1), None))
+    n_files = pruned.select(
+        __import__("pyspark.sql.functions", fromlist=["F"]).input_file_name()
+    ).distinct().count()
+    assert n_files == 1

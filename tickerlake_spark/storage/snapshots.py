@@ -41,6 +41,16 @@ Tables are read through ``snap_read`` ONLY: the data dir is
 '_'-prefixed, so pointing a bare ``spark.read.parquet`` at the table root
 fails fast ("unable to infer schema") instead of silently reading every
 live and dead file.
+
+Manifest scale bound (stated, not hidden): one JSON object holding every
+file entry (~200 B each). At the 128 MB target file size a 100 TB table
+is ~800k files ≈ 160 MB of manifest — workable but at the edge; past
+that, the table wants the open formats' split manifests (a manifest list
+pointing at per-partition manifest files, same commit protocol one level
+up). The single-object design is the right complexity for the state and
+gold tables this engine versions; a table expected to hold millions of
+files should use the Hive-partitioned mutable layer (storage/upsert.py)
+whose metadata IS the directory tree.
 """
 
 from __future__ import annotations
