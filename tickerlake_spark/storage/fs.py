@@ -462,8 +462,14 @@ class HadoopFS:
         atomicity, which the whole-object PUT already gives."""
         try:
             out = self._fs(path).create(self._JPath(path), False)
-        except Exception:
-            return False
+        except Exception as e:  # noqa: BLE001 — py4j wraps the Java class
+            # only an already-exists outcome means "lost the race"; any
+            # other failure (permissions, transport) must surface, not
+            # masquerade as a conflict the committer would retry forever
+            name = str(getattr(e, "java_exception", e))
+            if "AlreadyExists" in name or "already exists" in name:
+                return False
+            raise
         try:
             out.write(bytearray(data))
         finally:

@@ -541,11 +541,15 @@ def snap_vacuum(
     orphans; run it only when no writer is active (the same quiesce
     contract every table format's orphan-file cleanup has).
     """
+    if keep_last < 1:
+        # retaining zero versions would delete every manifest AND every
+        # data file — that's drop_table, not vacuum; refuse
+        raise ValueError("snap_vacuum requires keep_last >= 1")
     base = path.rstrip("/")
     versions = _list_versions(path, fs)
     if not versions:
         return {"dropped_versions": 0, "deleted_files": 0}
-    retained = versions[-keep_last:] if keep_last > 0 else []
+    retained = versions[-keep_last:]
     dropped = [v for v in versions if v not in retained]
     keep_files = set()
     for v in retained:
