@@ -749,3 +749,94 @@ def test_upsert_edges_objstore(spark, tmp_path):
     # idempotent replay through the same fs
     upsert_edges(spark, path, pairs, fs=fs)
     assert read_edges(spark, path, symmetrize=False).count() == 2
+
+
+def test_repair_table_swaps_is_scoped():
+    """A merge entry's repair must finish only ITS table's markers: a
+    parent-wide repair would replay a sibling table's live marker
+    concurrently with the sibling's own swap (renaming the just-installed
+    table away). Here the sibling's marker must survive untouched."""
+    from tickerlake_spark.storage.maintenance import repair_table_swaps
+
+    fs = MemoryObjectStore()
+    layer = "/lake/gold"
+    # table A: interrupted swap (marker + staged)
+    fs.write_file_atomic(f"{layer}/ta/part-0.parquet", b"a-old")
+    fs.write_file_atomic(f"{layer}/ta__new/part-1.parquet", b"a-new")
+    fs.write_file_atomic(
+        f"{layer}/_swap_aa.json",
+        json.dumps({"part": "ta", "tmp": "ta__new", "old": "_old_aa"}).encode(),
+    )
+    # table B: a LIVE sibling marker mid-swap
+    fs.write_file_atomic(f"{layer}/tb/part-0.parquet", b"b-old")
+    fs.write_file_atomic(f"{layer}/tb__new/part-1.parquet", b"b-new")
+    fs.write_file_atomic(
+        f"{layer}/_swap_bb.json",
+        json.dumps({"part": "tb", "tmp": "tb__new", "old": "_old_bb"}).encode(),
+    )
+    assert repair_table_swaps(layer, "ta", fs=fs) == 1
+    assert _layout(fs, f"{layer}/ta") == {"part-1.parquet": b"a-new"}
+    # sibling untouched: marker still present, table still old
+    assert fs.isfile(f"{layer}/_swap_bb.json")
+    assert _layout(fs, f"{layer}/tb") == {"part-0.parquet": b"b-old"}
+
+
+def test_replace_table_single_component_relative_path(tmp_path, monkeypatch):
+    """A relative one-component table path swaps against '.' as its layer
+    dir (the pre-journal two-rename handled these; rsplit alone raised)."""
+    from tickerlake_spark.storage.fs import LocalFS
+    from tickerlake_spark.storage.maintenance import replace_table
+
+    monkeypatch.chdir(tmp_path)
+    fs = LocalFS()
+    fs.write_file_atomic("reltable/part-0.parquet", b"old")
+    fs.write_file_atomic("reltable__new/part-0.parquet", b"new")
+    replace_table("reltable", "reltable__new", fs=fs)
+    assert fs.read_bytes("reltable/part-0.parquet") == b"new"
+    assert not fs.isdir("reltable__new")
+    assert not [n for n in fs.listdir(".") if n.startswith("_swap_")]
+
+
+def test_hadoopfs_write_file_atomic_overwrites_atomically(spark, tmp_path):
+    """Updating an EXISTING file goes through FileContext's
+    rename-with-OVERWRITE — one metadata op, no delete-then-rename window
+    where the file is absent (a vanished checkpoint reads as 'no
+    watermark' and silently re-ingests history)."""
+    from tickerlake_spark.storage.fs import HadoopFS
+
+    fs = HadoopFS(spark, atomic_rename=True)
+    p = str(tmp_path / "cp.json")
+    fs.write_file_atomic(p, b"v1")
+    fs.write_file_atomic(p, b"v2")
+    fs.write_file_atomic(p, b"v3")
+    assert fs.read_bytes(p) == b"v3"
+    import os
+
+    assert not [n for n in os.listdir(tmp_path) if n.endswith(".tmp")]
+
+
+def test_upsert_retry_after_committed_pending_delete_crash(spark, tmp_path):
+    """Crash-recovery ordering: a committed pending-delete marker left by
+    a crashed merge is applied BEFORE the retry's read builds its file
+    index — the retried merge that touches the same partition must
+    succeed, not die scanning files the repair just deleted."""
+    import json as _json
+    import os
+
+    from tickerlake_spark.storage.upsert import upsert_table
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("A", 1, 1.0), ("B", 2, 2.0)], "k string, d int, v double"
+    )
+    upsert_table(spark, path, df, keys=["k"], partition_by="d")
+    # simulate the crash state: overwrite committed, d=2's delete pending
+    with open(os.path.join(path, "_pending_deletes.json"), "w") as f:
+        _json.dump({"parts": ["d=2"], "state": "committed"}, f)
+    up = spark.createDataFrame([("C", 2, 3.0)], "k string, d int, v double")
+    r = upsert_table(spark, path, up, keys=["k"], partition_by="d")
+    assert r["mode"] == "dynamic-partition"
+    got = {(x.k, x.d, x.v) for x in spark.read.parquet(path).collect()}
+    # B's rows died with the journaled delete; the retry's C landed
+    assert got == {("A", 1, 1.0), ("C", 2, 3.0)}
+    assert not os.path.exists(os.path.join(path, "_pending_deletes.json"))

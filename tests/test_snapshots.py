@@ -325,3 +325,66 @@ def test_snap_read_keeps_pushdown_and_pruning(spark, tmp_path):
         __import__("pyspark.sql.functions", fromlist=["F"]).input_file_name()
     ).distinct().count()
     assert n_files == 1
+
+
+def test_append_type_drift_raises_and_schema_stays_pinned(spark, tmp_path):
+    """Same column NAMES but a drifted type must refuse to commit — a
+    name-set check alone would pin the batch's schema over old files."""
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path)
+    drift = spark.createDataFrame(
+        [("A", "2024-03-01", 5.0)], "k string, d string, v double"
+    )
+    with pytest.raises(ValueError, match="schema mismatch.*'d'"):
+        snap_write(spark, drift, path, mode="append")
+    # a good append keeps the TABLE schema as the manifest authority
+    snap_write(spark, _df(spark, R2), path, mode="append")
+    from tickerlake_spark.storage.snapshots import _load
+
+    assert (_load(path, 2, LocalFS())["schema_json"]
+            == _load(path, 1, LocalFS())["schema_json"])
+
+
+def test_upsert_duplicate_update_keys_raise(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path)
+    dup = _df(spark, [("A", dt.date(2024, 1, 1), 7.0),
+                      ("A", dt.date(2024, 1, 1), 8.0)])
+    with pytest.raises(ValueError, match="not unique"):
+        snap_upsert(spark, path, dup, keys=["k"])
+
+
+def test_sink_dedup_survives_vacuum(spark, tmp_path):
+    """The exactly-once marker must survive a vacuum that drops the
+    manifest the stream commit wrote: maintenance commits propagate
+    stream_batch_id forward."""
+    from tickerlake_spark.storage.snapshots import snap_compact, snapshot_sink
+
+    path = str(tmp_path / "t")
+    sink = snapshot_sink(path)
+    batch = _df(spark, R1)
+    sink(batch, 7)                      # v1: stream commit, sbi=7
+    snap_compact(spark, path)           # no-op (1 file) or v2
+    snap_write(spark, _df(spark, R2), path, mode="append")  # v2/v3
+    snap_upsert(spark, path, _df(spark, [("A", dt.date(2024, 1, 1), 9.0)]),
+                keys=["k"])             # one more version
+    snap_vacuum(path, keep_last=1)      # the sbi=7 manifest is GONE
+    h = snap_history(path)
+    assert len(h) == 1
+    n = snap_read(spark, path).count()
+    sink(batch, 7)                      # replay after vacuum: must dedup
+    assert snap_read(spark, path).count() == n
+    sink(_df(spark, [("E", dt.date(2024, 3, 1), 5.0)]), 8)  # new id appends
+    assert snap_read(spark, path).count() == n + 1
+
+
+def test_vacuum_sweeps_dead_commit_dirs(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1).coalesce(1), path)
+    snap_write(spark, _df(spark, R2).coalesce(1), path)  # overwrite: v1 dead
+    snap_vacuum(path, keep_last=1)
+    dirs = os.listdir(os.path.join(path, "_data"))
+    assert len(dirs) == 1  # the dropped version's commit dir is GONE
+    assert snap_read(spark, path).count() == 2

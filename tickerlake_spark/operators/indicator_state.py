@@ -162,17 +162,9 @@ def replace_tail(
         # (a later blanket repair replaying it would revive stale state
         # over a newer table). Scoped to this table's markers only — a
         # parent-wide repair could race a sibling table's in-flight swap.
-        import json as _json
+        from tickerlake_spark.storage.maintenance import repair_table_swaps
 
-        from tickerlake_spark.storage import maintenance as _mnt
-
-        for sib in fs.listdir(parent):
-            if sib.startswith("_swap_") and sib.endswith(".json"):
-                marker = f"{parent}/{sib}"
-                m = _json.loads(fs.read_bytes(marker).decode())
-                if m.get("part") == name:
-                    _mnt._finish_swap(parent, m, fs=fs, marker=marker)
-                    fs.remove(marker)
+        repair_table_swaps(parent, name, fs=fs)
         # sweep orphans a crashed previous swap left at the sibling level
         # (`...__tail_*` staged dirs / `...__old_*` displaced dirs):
         # nothing reads them — the gate already forces the rebuild that

@@ -326,6 +326,7 @@ class HadoopFS:
 
     def __init__(self, spark, atomic_rename: bool = True) -> None:
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
         self._JPath = spark._jvm.org.apache.hadoop.fs.Path
         self.atomic_rename = bool(atomic_rename)
@@ -428,21 +429,38 @@ class HadoopFS:
         finally:
             stream.close()
 
+    def _rename_overwrite(self, src: str, dst: str) -> None:
+        """Atomic rename REPLACING an existing destination: FileContext's
+        rename(…, Options.Rename.OVERWRITE) — one metadata op on
+        HDFS/local. The plain FileSystem.rename refuses an existing dst,
+        and delete-then-rename opens a window with NO file at all: for a
+        checkpoint that window reads back as "no watermark" (silent
+        re-ingest), for the pending-delete journal it loses the
+        intent→committed advance."""
+        fs_pkg = self._jvm.org.apache.hadoop.fs
+        try:
+            fc = fs_pkg.FileContext.getFileContext(
+                self._JPath(dst).toUri(), self._conf
+            )
+        except Exception:  # scheme-less path: the default filesystem
+            fc = fs_pkg.FileContext.getFileContext(self._conf)
+        rename_opt = getattr(fs_pkg, "Options$Rename")
+        opts = self._gateway.new_array(rename_opt, 1)
+        opts[0] = rename_opt.OVERWRITE
+        fc.rename(self._JPath(src), self._JPath(dst), opts)
+
     def write_file_atomic(self, path: str, data: bytes) -> None:
         if self.atomic_rename:
-            # tmp + rename, the POSIX/HDFS discipline (create(+overwrite)
-            # then an atomic metadata rename)
+            # tmp + rename-with-overwrite, the POSIX/HDFS discipline
+            # (create, then ONE atomic metadata op replaces any existing
+            # destination — never a window where the file is absent)
             tmp = path + ".tmp"
             out = self._fs(tmp).create(self._JPath(tmp), True)
             try:
                 out.write(bytearray(data))
             finally:
                 out.close()
-            fs = self._fs(path)
-            p = self._JPath(path)
-            if fs.exists(p):
-                fs.delete(p, False)
-            self.rename(tmp, path)
+            self._rename_overwrite(tmp, path)
         else:
             # object store: a single whole-object PUT is already atomic —
             # a tmp+copy dance would only widen the window

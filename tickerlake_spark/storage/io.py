@@ -146,6 +146,28 @@ def detect_partition_column(path: str, fs: FS = LOCAL_FS) -> str | None:
     return next(iter(cols)) if cols else None
 
 
+# parquet physical types whose footer min/max is ALWAYS exact; BYTE_ARRAY /
+# FLBA (strings, binary, big decimals) stats may be writer-truncated and are
+# only trusted under an explicit exactness flag. The single source of truth
+# for every footer-stats consumer (watermark probes here, snapshot manifest
+# stats in storage/snapshots.py) — a divergent copy would make the probes
+# silently disagree on which stats are trustworthy.
+EXACT_STAT_PHYSICAL = {"INT32", "INT64", "INT96", "FLOAT", "DOUBLE", "BOOLEAN"}
+
+
+def stats_minmax_exact(st) -> bool:
+    """True iff this row-group statistics object's min AND max are safe to
+    treat as exact values (see ``EXACT_STAT_PHYSICAL``)."""
+    if st is None or not st.has_min_max:
+        return False
+    if st.physical_type in EXACT_STAT_PHYSICAL:
+        return True
+    return bool(
+        getattr(st, "is_min_value_exact", False)
+        and getattr(st, "is_max_value_exact", False)
+    )
+
+
 def _data_files(path: str, fs: FS = LOCAL_FS) -> list[str]:
     """Parquet data files of a table, skipping the ``_``/``.``-prefixed
     directories and files Spark's file index ignores — the load-bearing
@@ -192,8 +214,6 @@ def parquet_stats_max(path: str, column: str, fs: FS = LOCAL_FS):
     """
     import pyarrow.parquet as pq
 
-    _EXACT_PHYSICAL = {"INT32", "INT64", "INT96", "FLOAT", "DOUBLE", "BOOLEAN"}
-
     if not table_exists(path, fs=fs):
         return None
     files = _data_files(path, fs=fs)
@@ -209,7 +229,7 @@ def parquet_stats_max(path: str, column: str, fs: FS = LOCAL_FS):
             st = col.statistics
             if st is None or not st.has_min_max:
                 return None
-            if st.physical_type not in _EXACT_PHYSICAL:
+            if st.physical_type not in EXACT_STAT_PHYSICAL:
                 # string/binary stats may be writer-truncated: only trust
                 # them when the footer says the max is exact
                 if not getattr(st, "is_max_value_exact", False):

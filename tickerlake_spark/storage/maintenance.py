@@ -106,6 +106,31 @@ def swap_partition_dir(
     fs.remove(marker)
 
 
+def repair_table_swaps(parent: str, name: str, fs: FS = LOCAL_FS) -> int:
+    """Finish interrupted ``replace_table`` swaps journaled in ``parent``
+    for the table ``name`` ONLY. The scoped variant every mutation entry
+    point must use on a shared layer dir: a parent-WIDE repair would race
+    a sibling table's in-flight swap (two threads replaying the same live
+    marker rename the just-installed table away — the gold stairstep pair
+    runs exactly that shape concurrently). A crashed sibling's marker is
+    repaired by that table's own next mutation, or by an explicit
+    standalone ``repair_partition_swaps`` when nothing is running."""
+    if not fs.isdir(parent):
+        return 0
+    repaired = 0
+    for n in fs.listdir(parent):
+        if not (n.startswith("_swap_") and n.endswith(".json")):
+            continue
+        marker = f"{parent.rstrip('/')}/{n}"
+        m = json.loads(fs.read_bytes(marker).decode())
+        if m.get("part") != name:
+            continue
+        _finish_swap(parent, m, fs=fs, marker=marker)
+        fs.remove(marker)
+        repaired += 1
+    return repaired
+
+
 def replace_table(path: str, tmp_dir: str, fs: FS = LOCAL_FS) -> None:
     """Journaled WHOLE-TABLE swap: replace the table at ``path`` with the
     fully-written sibling ``tmp_dir`` (a ``{table}__suffix`` dir in the
@@ -124,8 +149,10 @@ def replace_table(path: str, tmp_dir: str, fs: FS = LOCAL_FS) -> None:
     interrupted swap first.
     """
     base = path.rstrip("/")
-    parent, part = base.rsplit("/", 1)
-    swap_partition_dir(parent, part, tmp_dir, fs=fs)
+    # a single-component relative path has the cwd as its layer dir (the
+    # old two-rename code handled these; rsplit alone would raise)
+    parent, _, part = base.rpartition("/")
+    swap_partition_dir(parent or ".", part, tmp_dir, fs=fs)
 
 
 def _rel_files(fs: FS, root: str) -> set[str]:
@@ -306,6 +333,7 @@ def compact_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 2,
     zorder_by: list[str] | None = None,
+    fs: FS = LOCAL_FS,
 ) -> dict:
     """Rewrite ``path`` into ceil(total_bytes / target) files, atomically.
 
@@ -327,11 +355,12 @@ def compact_table(
 
     Returns {files_before, files_after, bytes}.
     """
-    # finish any interrupted whole-table swap first (marker in the parent)
+    # finish any interrupted whole-table swap first (marker in the parent;
+    # scoped to THIS table — a parent-wide repair races sibling swaps)
     base = path.rstrip("/")
-    if "/" in base:
-        repair_partition_swaps(base.rsplit("/", 1)[0])
-    before_n, total = table_file_stats(path)
+    parent, _, name = base.rpartition("/")
+    repair_table_swaps(parent or ".", name, fs=fs)
+    before_n, total = table_file_stats(path, fs=fs)
     if before_n < min_files_to_compact and zorder_by is None:
         return {"files_before": before_n, "files_after": before_n, "bytes": total}
     n_files = max(1, math.ceil(total / target_file_bytes))
@@ -351,8 +380,8 @@ def compact_table(
         )
     else:
         df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    replace_table(path, tmp)
-    after_n, _ = table_file_stats(path)
+    replace_table(path, tmp, fs=fs)
+    after_n, _ = table_file_stats(path, fs=fs)
     return {"files_before": before_n, "files_after": after_n, "bytes": total}
 
 

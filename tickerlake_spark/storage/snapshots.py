@@ -80,10 +80,6 @@ __all__ = [
 _SNAP = "_snap"
 _DATA = "_data"
 
-# parquet physical types whose footer min/max is always exact (string /
-# binary stats may be writer-truncated — same rule as io.parquet_stats_max)
-_EXACT_PHYSICAL = {"INT32", "INT64", "INT96", "FLOAT", "DOUBLE", "BOOLEAN"}
-
 
 class SnapshotConflict(RuntimeError):
     """Another writer committed between this operation's read of the
@@ -144,6 +140,8 @@ def _file_entry(f: str, base: str, stats_cols, fs: FS) -> dict:
     fails HERE, before the manifest that would publish it exists."""
     import pyarrow.parquet as pq
 
+    from tickerlake_spark.storage.io import stats_minmax_exact
+
     md = pq.ParquetFile(fs.open_read(f)).metadata
     entry = {
         "path": f[len(base.rstrip("/")) + 1:],
@@ -160,13 +158,8 @@ def _file_entry(f: str, base: str, stats_cols, fs: FS) -> dict:
         ok = True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                ok = False
-                break
-            if st.physical_type not in _EXACT_PHYSICAL and not (
-                getattr(st, "is_min_value_exact", False)
-                and getattr(st, "is_max_value_exact", False)
-            ):
+            if not stats_minmax_exact(st):
+                # shared exactness rule with io.parquet_stats_max
                 ok = False
                 break
             emin, emax = _enc(st.min), _enc(st.max)
@@ -243,26 +236,25 @@ def snap_write(
     writer = uuid.uuid4().hex[:8]
     for _ in range(max_retries):
         cur_v = snap_current_version(path, fs)
+        cur = _load(path, cur_v, fs) if cur_v else None
         files = list(new_files)
-        if mode == "append" and cur_v:
-            cur = _load(path, cur_v, fs)
-            cur_names = {
-                f["name"]
-                for f in json.loads(cur["schema_json"])["fields"]
-            }
-            if cur_names != {f.name for f in df.schema.fields}:
-                raise ValueError(
-                    f"append schema mismatch at {path!r}: table has "
-                    f"{sorted(cur_names)}, batch has "
-                    f"{sorted(f.name for f in df.schema.fields)}"
-                )
+        schema_json = df.schema.json()
+        if mode == "append" and cur is not None:
+            # compare (name, type) — a name-set check alone would let a
+            # type-drifted batch commit and its schema would then be
+            # pinned over every OLD file in the version (silently wrong
+            # or failing reads on files the batch never touched)
+            _check_append_schema(path, cur, df)
             files = cur["files"] + files
+            # the TABLE's schema stays authoritative across appends
+            schema_json = cur["schema_json"]
         manifest = {
             "op": mode,
             "writer": writer,
             "parent": cur_v,
-            "schema_json": df.schema.json(),
+            "schema_json": schema_json,
             "files": files,
+            **_carry_stream_marker(cur),
             **(extra or {}),
         }
         if _try_commit(path, manifest, cur_v + 1, fs):
@@ -270,6 +262,37 @@ def snap_write(
     raise SnapshotConflict(
         f"lost the commit race {max_retries} times on {path!r}"
     )
+
+
+def _schema_sig(schema_json: str) -> dict:
+    return {
+        f["name"]: json.dumps(f["type"], sort_keys=True)
+        for f in json.loads(schema_json)["fields"]
+    }
+
+
+def _check_append_schema(path: str, cur: dict, df: DataFrame) -> None:
+    have, got = _schema_sig(cur["schema_json"]), _schema_sig(df.schema.json())
+    if have != got:
+        drift = sorted(
+            k for k in have.keys() | got.keys() if have.get(k) != got.get(k)
+        )
+        raise ValueError(
+            f"append schema mismatch at {path!r} on {drift}: table "
+            f"{ {k: have.get(k) for k in drift} }, batch "
+            f"{ {k: got.get(k) for k in drift} }"
+        )
+
+
+def _carry_stream_marker(cur: dict | None) -> dict:
+    """Maintenance commits (append/overwrite/upsert/compact) propagate the
+    last stream_batch_id forward, so the LATEST manifest always carries
+    the most recent stream commit's id — the exactly-once dedup in
+    ``snapshot_sink`` survives vacuum dropping the original stream
+    manifest (and stays O(1) instead of a history walk)."""
+    if cur is not None and "stream_batch_id" in cur:
+        return {"stream_batch_id": cur["stream_batch_id"]}
+    return {}
 
 
 def _prune_entries(entries: list[dict], prune) -> list[dict]:
@@ -333,6 +356,7 @@ def snap_upsert(
     keys: list[str],
     stats_cols: tuple = (),
     fs: FS = LOCAL_FS,
+    validate_unique: bool = True,
 ) -> dict:
     """Keyed MERGE as a snapshot commit: last-write-wins on ``keys``,
     rewriting ONLY the files whose committed key range overlaps the update
@@ -345,6 +369,19 @@ def snap_upsert(
     merge result is stale) — the caller re-runs the upsert. The orphaned
     commit dir is invisible to readers and removed by vacuum.
     """
+    if validate_unique:
+        # same contract as the mutable layer's upsert_table: a duplicate
+        # key in the batch would anti-join the stored row away and insert
+        # BOTH copies — a permanent, silent break of last-write-wins
+        dup = (
+            updates.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(f"updates are not unique on {keys}")
     cur_v = snap_current_version(path, fs)
     if cur_v == 0:
         r = snap_write(spark, updates, path, "overwrite", stats_cols, fs)
@@ -385,6 +422,7 @@ def snap_upsert(
         "parent": cur_v,
         "schema_json": m["schema_json"],
         "files": carried + new_files,
+        **_carry_stream_marker(m),
     }
     if not _try_commit(path, manifest, cur_v + 1, fs):
         raise SnapshotConflict(
@@ -466,6 +504,7 @@ def snap_compact(
         "parent": cur_v,
         "schema_json": m["schema_json"],
         "files": carried + new_files,
+        **_carry_stream_marker(m),
     }
     if not _try_commit(path, manifest, cur_v + 1, fs):
         raise SnapshotConflict(
@@ -485,9 +524,11 @@ def snapshot_sink(
     commit — EXACTLY-ONCE visible effects under Structured Streaming's
     at-least-once replay: the manifest records ``stream_batch_id``, and a
     replayed batch (same id as the most recent stream commit) is skipped.
-    The scan walks manifests newest-first to the last stream commit, so
-    interleaved maintenance commits (compact/vacuum/upsert) between the
-    failure and the replay cannot unmask a duplicate.
+    Every maintenance commit PROPAGATES the marker forward
+    (``_carry_stream_marker``), so the latest manifest always carries the
+    most recent stream id — the dedup survives interleaved
+    compact/upsert commits AND a vacuum that drops the original stream
+    manifest. The newest-first walk below is defense in depth on top.
 
     Single-stream-per-table contract (batch ids are per-query monotonic);
     concurrent MAINTENANCE writers are fine — the commit itself is the
@@ -558,11 +599,15 @@ def snap_vacuum(
     drop_files = set()
     for v in dropped:
         drop_files.update(e["path"] for e in _load(path, v, fs)["files"])
+    # manifests FIRST, then their exclusive files: a crash in between
+    # leaves only unreferenced orphans (clean_orphans territory), never a
+    # listed manifest whose time-travel read dies mid-scan on missing
+    # files
+    for v in dropped:
+        fs.remove(_mpath(path, v))
     for rel in sorted(drop_files - keep_files):
         fs.remove(f"{base}/{rel}")
         deleted += 1
-    for v in dropped:
-        fs.remove(_mpath(path, v))
     if clean_orphans:
         # the dropped manifests are gone: anything under the data root not
         # referenced by a retained version is dead weight
@@ -574,12 +619,22 @@ def snap_vacuum(
                     if full[len(base) + 1:] not in keep_files:
                         fs.remove(full)
                         deleted += 1
-    # sweep now-empty commit dirs (no-op on object stores: prefixes with
-    # no keys simply stop existing)
+    # sweep dead commit dirs: a dir whose every DATA file is gone holds
+    # only write sidecars (_SUCCESS, .crc) that no manifest ever
+    # references — without this check the "empty" test never fires on
+    # LocalFS and every vacuumed version would leak its directory. No-op
+    # on object stores (prefixes with no keys stop existing).
     data_root = f"{base}/{_DATA}"
     if fs.isdir(data_root):
         for d in fs.listdir(data_root):
             cdir = f"{data_root}/{d}"
-            if fs.isdir(cdir) and not any(True for _ in fs.walk(cdir) if _[2]):
+            if not fs.isdir(cdir):
+                continue
+            has_data = any(
+                n.endswith(".parquet") and not n.startswith(("_", "."))
+                for _r, _d, names in fs.walk(cdir)
+                for n in names
+            )
+            if not has_data:
                 fs.rmtree(cdir)
     return {"dropped_versions": len(dropped), "deleted_files": deleted}

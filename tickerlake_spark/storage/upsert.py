@@ -47,12 +47,16 @@ __all__ = ["upsert_table", "replace_keys"]
 
 def _repair_parent(path: str, fs: FS = LOCAL_FS) -> None:
     """Finish any interrupted whole-table ``replace_table`` swap journaled
-    in ``path``'s parent (layer) dir before probing table existence."""
-    from tickerlake_spark.storage.maintenance import repair_partition_swaps
+    in ``path``'s parent (layer) dir before probing table existence.
+    Scoped to THIS table's markers: a parent-wide repair would race a
+    sibling table's in-flight swap when two tables of the same layer are
+    maintained concurrently (the gold stairstep pair does exactly that) —
+    replaying a live marker renames the just-installed sibling away."""
+    from tickerlake_spark.storage.maintenance import repair_table_swaps
 
     base = path.rstrip("/")
-    if "/" in base:
-        repair_partition_swaps(base.rsplit("/", 1)[0], fs=fs)
+    parent, _, name = base.rpartition("/")
+    repair_table_swaps(parent or ".", name, fs=fs)
 
 
 # ---------------------------------------------------------------------------
@@ -216,6 +220,15 @@ def upsert_table(
 
         on_disk = detect_partition_column(path, fs=fs)
         partition_by = _reconcile_layout(path, partition_by, fs=fs)
+        # crash-recovery repairs BEFORE the read: spark.read.parquet lists
+        # the table's files into an InMemoryFileIndex, so a repair that
+        # deletes a journaled-stale partition AFTER this point would make
+        # the recovery run itself die on FileNotFound when the merge scans
+        # the cached listing
+        from tickerlake_spark.storage.maintenance import repair_partition_swaps
+
+        repair_partition_swaps(path, fs=fs)
+        repair_pending_deletes(path, fs=fs)
         existing = spark.read.parquet(path)
         if partition_by is None or on_disk is None:
             # unpartitioned table: full rewrite + atomic swap. When the
@@ -267,10 +280,8 @@ def _upsert_partitioned(
     # rewritten away wherever they sit.
     # Values normalized to their Hive directory string form: the partition
     # column may surface as date/int on one side and string on the other.
-    from tickerlake_spark.storage.maintenance import repair_partition_swaps
-
-    repair_partition_swaps(path, fs=fs)
-    repair_pending_deletes(path, fs=fs)
+    # (Crash-recovery repairs already ran in upsert_table, BEFORE the
+    # `existing` file index was built.)
     touched = {
         str(r[0]) for r in updates.select(partition_by).distinct().collect()
     }
@@ -370,6 +381,11 @@ def replace_keys(
         write_table(updates, path, partition_by=partition_by)
         return {"inserted": updates.count(), "mode": "create"}
     partition_by = _reconcile_layout(path, partition_by, fs=fs)
+    # repairs BEFORE the read builds its file index (see upsert_table)
+    from tickerlake_spark.storage.maintenance import repair_partition_swaps
+
+    repair_partition_swaps(path, fs=fs)
+    repair_pending_deletes(path, fs=fs)
     existing = spark.read.parquet(path)
     if (
         partition_by in keys
@@ -424,10 +440,8 @@ def _replace_keys_partitioned(
             .collect()
         }
     )
-    from tickerlake_spark.storage.maintenance import repair_partition_swaps
-
-    repair_partition_swaps(path, fs=fs)
-    repair_pending_deletes(path, fs=fs)
+    # (crash-recovery repairs already ran in replace_keys, BEFORE the
+    # `existing` file index was built)
     survivors = existing.filter(F.col(partition_by).isin(touched)).join(
         key_values, keys, "left_anti"
     )

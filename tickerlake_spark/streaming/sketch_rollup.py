@@ -278,11 +278,13 @@ def cms_compact_rollup(
 
     from pyspark.sql import functions as F
 
-    from tickerlake_spark.storage.maintenance import repair_partition_swaps
+    from tickerlake_spark.storage.maintenance import repair_table_swaps
 
     base = path.rstrip("/")
-    if "/" in base:  # finish any interrupted previous swap first
-        repair_partition_swaps(base.rsplit("/", 1)[0])
+    # finish any interrupted previous swap first — scoped to THIS table's
+    # markers (a parent-wide repair races sibling tables' in-flight swaps)
+    parent, _, name = base.rpartition("/")
+    repair_table_swaps(parent or ".", name)
     stored = spark.read.parquet(path)
     ids = sorted(
         r[0] for r in stored.select("batch_id").distinct().collect() if r[0] >= 0
