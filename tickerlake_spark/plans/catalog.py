@@ -309,6 +309,7 @@ _COST_RANK = [
     "q134_fuzzy_entity_join",
     "q145_fuzzy_join_edits",
     "q136_pagerank",
+    "q153_snapshot_merge",  # three snapshot commits (2 writes + upsert)
 ]
 
 
