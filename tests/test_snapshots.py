@@ -388,3 +388,38 @@ def test_vacuum_sweeps_dead_commit_dirs(spark, tmp_path):
     dirs = os.listdir(os.path.join(path, "_data"))
     assert len(dirs) == 1  # the dropped version's commit dir is GONE
     assert snap_read(spark, path).count() == 2
+
+
+def test_clustered_commit_disjoint_ranges_and_view(spark, tmp_path):
+    """cluster_by range-partitions + sorts the commit: per-file manifest
+    ranges are pairwise DISJOINT, so pruning is maximally selective; and
+    snap_view serves the pinned version through plain SQL."""
+    from tickerlake_spark.storage.snapshots import _load, snap_view
+
+    path = str(tmp_path / "t")
+    rows = [(f"k{i}", dt.date(2024, 1 + i % 12, 1 + i % 28), float(i))
+            for i in range(200)]
+    snap_write(spark, _df(spark, rows), path,
+               cluster_by=("d",), target_files=4)
+    m = _load(path, 1, LocalFS())
+    entries = [e for e in m["files"] if "d" in e.get("stats", {})]
+    assert len(entries) == len(m["files"]) >= 2
+    spans = sorted((e["stats"]["d"]["min"], e["stats"]["d"]["max"])
+                   for e in entries)
+    for (_, hi), (lo2, _) in zip(spans, spans[1:]):
+        assert hi <= lo2, spans  # pairwise disjoint (boundaries may touch)
+
+    # pruning shrinks the SCAN (not a filter): fewer files planned, and
+    # with the caller's own filter on top the result is exact
+    from pyspark.sql import functions as F
+
+    pruned = snap_read(spark, path, prune=("d", dt.date(2024, 11, 1), None))
+    n_files = pruned.select(F.input_file_name()).distinct().count()
+    assert n_files < len(m["files"])
+    got = pruned.filter(F.col("d") >= F.lit(dt.date(2024, 11, 1)))
+    want = {r for r in rows if r[1] >= dt.date(2024, 11, 1)}
+    assert _rows(got) == want
+
+    snap_view(spark, path, "snap_t")
+    n = spark.sql("SELECT COUNT(*) AS n FROM snap_t").collect()[0].n
+    assert n == 200

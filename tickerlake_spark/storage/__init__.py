@@ -21,6 +21,7 @@ from tickerlake_spark.storage.snapshots import (
     snap_read,
     snap_upsert,
     snap_vacuum,
+    snap_view,
     snap_write,
     snapshot_sink,
 )
@@ -55,5 +56,6 @@ __all__ = [
     "snap_current_version",
     "snap_vacuum",
     "snap_compact",
+    "snap_view",
     "snapshot_sink",
 ]

@@ -67,6 +67,7 @@ from tickerlake_spark.storage.fs import FS, LOCAL_FS
 
 __all__ = [
     "SnapshotConflict",
+    "snap_view",
     "snap_write",
     "snap_upsert",
     "snap_read",
@@ -214,8 +215,18 @@ def snap_write(
     fs: FS = LOCAL_FS,
     max_retries: int = 5,
     extra: dict | None = None,
+    cluster_by: tuple = (),
+    target_files: int | None = None,
 ) -> dict:
     """Commit ``df`` as a new snapshot version of the table at ``path``.
+
+    ``cluster_by`` range-partitions and sorts the commit on those columns
+    before writing (``target_files`` output files, default: the incoming
+    partition count), so each file's manifest min/max covers a DISJOINT
+    slice — the layout that makes manifest pruning maximally selective
+    (the snapshot twin of ``storage/clustering.write_clustered``). Columns
+    in ``cluster_by`` are implicitly added to ``stats_cols``: clustering
+    without recording the ranges would buy nothing.
 
     ``mode='overwrite'``: the new version references only this commit's
     files. ``mode='append'``: the new version references the current
@@ -232,6 +243,12 @@ def snap_write(
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
+    if cluster_by:
+        stats_cols = tuple(dict.fromkeys(tuple(stats_cols) + tuple(cluster_by)))
+        n = target_files or df.rdd.getNumPartitions()
+        df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
     new_files = _write_commit_files(df, path, stats_cols, fs)
     writer = uuid.uuid4().hex[:8]
     for _ in range(max_retries):
@@ -435,6 +452,22 @@ def snap_upsert(
         "op": "upsert",
         "rewrote_files": len(overlap),
     }
+
+
+def snap_view(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+    fs: FS = LOCAL_FS,
+) -> DataFrame:
+    """Register the (optionally time-traveled) snapshot as a SQL temp view
+    — the same every-table-is-a-view discipline as ``sql.py``. The view is
+    pinned to the resolved version's file list: stable under concurrent
+    commits until re-registered."""
+    df = snap_read(spark, path, version=version, fs=fs)
+    df.createOrReplaceTempView(name)
+    return df
 
 
 def snap_history(path: str, fs: FS = LOCAL_FS) -> list[dict]:
