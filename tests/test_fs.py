@@ -840,3 +840,66 @@ def test_upsert_retry_after_committed_pending_delete_crash(spark, tmp_path):
     # B's rows died with the journaled delete; the retry's C landed
     assert got == {("A", 1, 1.0), ("C", 2, 3.0)}
     assert not os.path.exists(os.path.join(path, "_pending_deletes.json"))
+
+
+def test_repair_table_swaps_tolerates_vanishing_sibling_marker():
+    """TOCTOU with a live sibling: its marker disappears between our
+    listdir and read (the sibling finished its own swap). The scoped
+    repair must skip it, not crash this table's mutation."""
+    from tickerlake_spark.storage.maintenance import repair_table_swaps
+
+    class VanishingFS(MemoryObjectStore):
+        def read_bytes(self, path):
+            if path.endswith("_swap_bb.json"):
+                self.objects.pop(path, None)  # sibling finished its swap
+                raise KeyError(path)  # object-store missing-key shape
+            return super().read_bytes(path)
+
+    fs = VanishingFS()
+    layer = "/lake/gold"
+    fs.write_file_atomic(f"{layer}/ta/part-0.parquet", b"a-old")
+    fs.write_file_atomic(f"{layer}/ta__new/part-1.parquet", b"a-new")
+    fs.write_file_atomic(
+        f"{layer}/_swap_aa.json",
+        json.dumps({"part": "ta", "tmp": "ta__new", "old": "_old_aa"}).encode(),
+    )
+    fs.write_file_atomic(f"{layer}/_swap_bb.json", b'{"part": "tb"}')
+    assert repair_table_swaps(layer, "ta", fs=fs) == 1
+    assert _layout(fs, f"{layer}/ta") == {"part-1.parquet": b"a-new"}
+
+
+def test_split_layer_edges():
+    from tickerlake_spark.storage.maintenance import split_layer
+
+    assert split_layer("/a/b/") == ("/a", "b")
+    assert split_layer("/t") == ("/", "t")  # root-level, NOT cwd
+    assert split_layer("t") == (".", "t")
+
+
+def test_upsert_repairs_before_layout_probe(spark, tmp_path):
+    """A crashed swap hiding the table's ONLY partition under _old_* must
+    be repaired BEFORE layout detection: otherwise the caller's
+    partition_by=None reads an 'unpartitioned' table and the merge
+    silently flattens the Hive layout."""
+    import os
+    import shutil
+
+    from tickerlake_spark.storage.io import detect_partition_column
+    from tickerlake_spark.storage.upsert import upsert_table
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([("A", 1, 1.0)], "k string, d int, v double")
+    upsert_table(spark, path, df, keys=["k"], partition_by="d")
+    assert detect_partition_column(path) == "d"
+    # crash state b: the only partition renamed out, staged dir + marker
+    shutil.copytree(os.path.join(path, "d=1"), os.path.join(path, "_compact_x"))
+    os.rename(os.path.join(path, "d=1"), os.path.join(path, "_old_x"))
+    with open(os.path.join(path, "_swap_x.json"), "w") as f:
+        json.dump({"part": "d=1", "tmp": "_compact_x", "old": "_old_x"}, f)
+    # caller doesn't know the layout (partition_by=None)
+    up = spark.createDataFrame([("B", 1, 2.0)], "k string, d int, v double")
+    r = upsert_table(spark, path, up, keys=["k"])
+    assert detect_partition_column(path) == "d", "layout was flattened"
+    assert r["mode"] == "dynamic-partition"
+    got = {(x.k, x.v) for x in spark.read.parquet(path).collect()}
+    assert got == {("A", 1.0), ("B", 2.0)}

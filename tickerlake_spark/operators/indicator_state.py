@@ -152,8 +152,10 @@ def replace_tail(
     ``path`` that reads as valid-but-truncated context (silently wrong
     indicators, not a detectable absence). There the swap delegates to the
     journaled ``replace_table`` marker protocol instead."""
+    from tickerlake_spark.storage.maintenance import split_layer
+
     base = path.rstrip("/")
-    parent, name = base.rsplit("/", 1)
+    parent, name = split_layer(path)
     if fs.isdir(parent):
         # finish any journaled swap a crashed object-store replace left
         # for THIS table before sweeping: its marker may still reference

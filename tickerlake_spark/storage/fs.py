@@ -438,12 +438,16 @@ class HadoopFS:
         re-ingest), for the pending-delete journal it loses the
         intent→committed advance."""
         fs_pkg = self._jvm.org.apache.hadoop.fs
-        try:
-            fc = fs_pkg.FileContext.getFileContext(
-                self._JPath(dst).toUri(), self._conf
-            )
-        except Exception:  # scheme-less path: the default filesystem
+        uri = self._JPath(dst).toUri()
+        if uri.getScheme() is None:
+            # scheme-less path: the default filesystem's context. ONLY
+            # this case falls back — a scheme'd URI whose FileContext
+            # binding is missing must surface its real error, not be
+            # silently retargeted at the default FS (whose rename of the
+            # foreign-scheme paths would fail confusingly)
             fc = fs_pkg.FileContext.getFileContext(self._conf)
+        else:
+            fc = fs_pkg.FileContext.getFileContext(uri, self._conf)
         rename_opt = getattr(fs_pkg, "Options$Rename")
         opts = self._gateway.new_array(rename_opt, 1)
         opts[0] = rename_opt.OVERWRITE
@@ -485,7 +489,16 @@ class HadoopFS:
             # other failure (permissions, transport) must surface, not
             # masquerade as a conflict the committer would retry forever
             name = str(getattr(e, "java_exception", e))
-            if "AlreadyExists" in name or "already exists" in name:
+            # FileAlreadyExistsException (file landed) OR HDFS's
+            # AlreadyBeingCreatedException (the race winner's create
+            # stream is still open) — both mean "lost the race"
+            lost = (
+                "AlreadyExists" in name
+                or "already exists" in name
+                or "AlreadyBeingCreated" in name
+                or "being created" in name
+            )
+            if lost:
                 return False
             raise
         try:

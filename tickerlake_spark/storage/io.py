@@ -146,6 +146,23 @@ def detect_partition_column(path: str, fs: FS = LOCAL_FS) -> str | None:
     return next(iter(cols)) if cols else None
 
 
+def assert_unique_keys(df: DataFrame, keys: list[str]) -> None:
+    """Raise unless ``df`` is unique on ``keys`` (one keys-only
+    aggregation). The shared precondition of every last-write-wins merge
+    (mutable ``upsert_table`` and snapshot ``snap_upsert``): a duplicate
+    key in the batch would anti-join the stored row away and insert BOTH
+    copies — silent, permanent corruption of the merge contract."""
+    dup = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(f"updates are not unique on {list(keys)}")
+
+
 # parquet physical types whose footer min/max is ALWAYS exact; BYTE_ARRAY /
 # FLBA (strings, binary, big decimals) stats may be writer-truncated and are
 # only trusted under an explicit exactness flag. The single source of truth

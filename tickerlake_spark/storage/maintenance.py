@@ -122,13 +122,35 @@ def repair_table_swaps(parent: str, name: str, fs: FS = LOCAL_FS) -> int:
         if not (n.startswith("_swap_") and n.endswith(".json")):
             continue
         marker = f"{parent.rstrip('/')}/{n}"
-        m = json.loads(fs.read_bytes(marker).decode())
+        try:
+            m = json.loads(fs.read_bytes(marker).decode())
+        except Exception:
+            # TOCTOU with a concurrent SIBLING's swap: it finished and
+            # removed its own marker between our listdir and this read.
+            # That's exactly the live-concurrency this scoped repair
+            # exists to tolerate — skip if the marker is truly gone,
+            # surface anything else
+            if not fs.isfile(marker):
+                continue
+            raise
         if m.get("part") != name:
             continue
         _finish_swap(parent, m, fs=fs, marker=marker)
         fs.remove(marker)
         repaired += 1
     return repaired
+
+
+def split_layer(path: str) -> tuple[str, str]:
+    """(layer_dir, table_name) of a table path. Handles the edge the bare
+    ``rpartition`` mapping got wrong: a ROOT-LEVEL absolute table ('/t')
+    has layer '/', not the cwd; a single-component relative table has
+    layer '.'."""
+    base = path.rstrip("/")
+    parent, _, name = base.rpartition("/")
+    if not parent:
+        parent = "/" if base.startswith("/") else "."
+    return parent, name
 
 
 def replace_table(path: str, tmp_dir: str, fs: FS = LOCAL_FS) -> None:
@@ -148,11 +170,8 @@ def replace_table(path: str, tmp_dir: str, fs: FS = LOCAL_FS) -> None:
     ``upsert_table``/``replace_keys``/``compact_table``) to finish any
     interrupted swap first.
     """
-    base = path.rstrip("/")
-    # a single-component relative path has the cwd as its layer dir (the
-    # old two-rename code handled these; rsplit alone would raise)
-    parent, _, part = base.rpartition("/")
-    swap_partition_dir(parent or ".", part, tmp_dir, fs=fs)
+    parent, part = split_layer(path)
+    swap_partition_dir(parent, part, tmp_dir, fs=fs)
 
 
 def _rel_files(fs: FS, root: str) -> set[str]:
@@ -357,9 +376,8 @@ def compact_table(
     """
     # finish any interrupted whole-table swap first (marker in the parent;
     # scoped to THIS table — a parent-wide repair races sibling swaps)
-    base = path.rstrip("/")
-    parent, _, name = base.rpartition("/")
-    repair_table_swaps(parent or ".", name, fs=fs)
+    parent, name = split_layer(path)
+    repair_table_swaps(parent, name, fs=fs)
     before_n, total = table_file_stats(path, fs=fs)
     if before_n < min_files_to_compact and zorder_by is None:
         return {"files_before": before_n, "files_after": before_n, "bytes": total}

@@ -253,6 +253,12 @@ def snap_write(
     writer = uuid.uuid4().hex[:8]
     for _ in range(max_retries):
         cur_v = snap_current_version(path, fs)
+        # the current manifest is loaded in BOTH modes: append needs its
+        # file list; overwrite reads it only to carry the exactly-once
+        # stream marker forward. On a huge table that's one manifest read
+        # per overwrite commit — accepted: losing the marker would let a
+        # post-overwrite replay double-append, and an overwrite of a 100
+        # TB table dwarfs one metadata GET
         cur = _load(path, cur_v, fs) if cur_v else None
         files = list(new_files)
         schema_json = df.schema.json()
@@ -387,18 +393,9 @@ def snap_upsert(
     commit dir is invisible to readers and removed by vacuum.
     """
     if validate_unique:
-        # same contract as the mutable layer's upsert_table: a duplicate
-        # key in the batch would anti-join the stored row away and insert
-        # BOTH copies — a permanent, silent break of last-write-wins
-        dup = (
-            updates.groupBy(*keys)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise ValueError(f"updates are not unique on {keys}")
+        from tickerlake_spark.storage.io import assert_unique_keys
+
+        assert_unique_keys(updates, keys)
     cur_v = snap_current_version(path, fs)
     if cur_v == 0:
         r = snap_write(spark, updates, path, "overwrite", stats_cols, fs)

@@ -52,11 +52,12 @@ def _repair_parent(path: str, fs: FS = LOCAL_FS) -> None:
     sibling table's in-flight swap when two tables of the same layer are
     maintained concurrently (the gold stairstep pair does exactly that) —
     replaying a live marker renames the just-installed sibling away."""
-    from tickerlake_spark.storage.maintenance import repair_table_swaps
+    from tickerlake_spark.storage.maintenance import (
+        repair_table_swaps,
+        split_layer,
+    )
 
-    base = path.rstrip("/")
-    parent, _, name = base.rpartition("/")
-    repair_table_swaps(parent or ".", name, fs=fs)
+    repair_table_swaps(*split_layer(path), fs=fs)
 
 
 # ---------------------------------------------------------------------------
@@ -196,6 +197,16 @@ def upsert_table(
     # would make table_exists read False and the create branch would
     # rebuild the table from this delta alone — silent loss)
     _repair_parent(path, fs=fs)
+    # in-table crash-recovery BEFORE anything probes the layout or lists
+    # files: a crashed partition swap can hide a table's only partition
+    # under an '_old_*' dir, making detect_partition_column read None and
+    # the post-repair rewrite silently FLATTEN the Hive layout — and a
+    # repair that deletes journaled-stale partitions after spark.read
+    # lists them makes the recovery run die on FileNotFound
+    from tickerlake_spark.storage.maintenance import repair_partition_swaps
+
+    repair_partition_swaps(path, fs=fs)
+    repair_pending_deletes(path, fs=fs)
     staged_dir = f"{path.rstrip('/')}__updates_{uuid.uuid4().hex[:8]}"
     if stage_updates:
         updates.write.parquet(staged_dir)
@@ -203,15 +214,9 @@ def upsert_table(
         if stage_updates:
             updates = spark.read.parquet(staged_dir)
         if validate_unique:
-            dup = (
-                updates.groupBy(*keys)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .count()
-            )
-            if dup:
-                raise ValueError(f"updates are not unique on {keys}")
+            from tickerlake_spark.storage.io import assert_unique_keys
+
+            assert_unique_keys(updates, keys)
 
         n_updates = updates.count() if with_count else None
         if not table_exists(path, fs=fs):
@@ -220,15 +225,6 @@ def upsert_table(
 
         on_disk = detect_partition_column(path, fs=fs)
         partition_by = _reconcile_layout(path, partition_by, fs=fs)
-        # crash-recovery repairs BEFORE the read: spark.read.parquet lists
-        # the table's files into an InMemoryFileIndex, so a repair that
-        # deletes a journaled-stale partition AFTER this point would make
-        # the recovery run itself die on FileNotFound when the merge scans
-        # the cached listing
-        from tickerlake_spark.storage.maintenance import repair_partition_swaps
-
-        repair_partition_swaps(path, fs=fs)
-        repair_pending_deletes(path, fs=fs)
         existing = spark.read.parquet(path)
         if partition_by is None or on_disk is None:
             # unpartitioned table: full rewrite + atomic swap. When the
@@ -376,16 +372,17 @@ def replace_keys(
     partitions whose recomputed row-set is empty.
     """
     _repair_parent(path, fs=fs)  # same silent-loss guard as upsert_table
+    # in-table repairs BEFORE the layout probes and the read build any
+    # state from unrepaired directories (see upsert_table)
+    from tickerlake_spark.storage.maintenance import repair_partition_swaps
+
+    repair_partition_swaps(path, fs=fs)
+    repair_pending_deletes(path, fs=fs)
     key_values = key_values.select(*keys).distinct()
     if not table_exists(path, fs=fs):
         write_table(updates, path, partition_by=partition_by)
         return {"inserted": updates.count(), "mode": "create"}
     partition_by = _reconcile_layout(path, partition_by, fs=fs)
-    # repairs BEFORE the read builds its file index (see upsert_table)
-    from tickerlake_spark.storage.maintenance import repair_partition_swaps
-
-    repair_partition_swaps(path, fs=fs)
-    repair_pending_deletes(path, fs=fs)
     existing = spark.read.parquet(path)
     if (
         partition_by in keys

@@ -278,13 +278,14 @@ def cms_compact_rollup(
 
     from pyspark.sql import functions as F
 
-    from tickerlake_spark.storage.maintenance import repair_table_swaps
+    from tickerlake_spark.storage.maintenance import (
+        repair_table_swaps,
+        split_layer,
+    )
 
-    base = path.rstrip("/")
     # finish any interrupted previous swap first — scoped to THIS table's
     # markers (a parent-wide repair races sibling tables' in-flight swaps)
-    parent, _, name = base.rpartition("/")
-    repair_table_swaps(parent or ".", name)
+    repair_table_swaps(*split_layer(path))
     stored = spark.read.parquet(path)
     ids = sorted(
         r[0] for r in stored.select("batch_id").distinct().collect() if r[0] >= 0
