@@ -423,3 +423,33 @@ def test_clustered_commit_disjoint_ranges_and_view(spark, tmp_path):
     snap_view(spark, path, "snap_t")
     n = spark.sql("SELECT COUNT(*) AS n FROM snap_t").collect()[0].n
     assert n == 200
+
+
+def test_snap_changes_incremental_consumption(spark, tmp_path):
+    """A consumer checkpoints the last version it processed and reads
+    only the files added since — append/stream commits deliver exactly
+    their new rows; a rewrite commit re-delivers the rewritten files
+    (documented at-least-once on rewritten keys)."""
+    from tickerlake_spark.storage.snapshots import snap_changes, snap_file_diff
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path)                       # v1
+    snap_write(spark, _df(spark, R2), path, mode="append")        # v2
+    # pure appends: the delta since v1 is exactly R2
+    assert _rows(snap_changes(spark, path, since_version=1)) == set(R2)
+    assert _rows(snap_changes(spark, path, 0, version=1)) == set(R1)
+    # no change between a version and itself
+    assert snap_changes(spark, path, 2, version=2).count() == 0
+
+    d = snap_file_diff(path, 1, 2)
+    assert d["removed"] == [] and len(d["added"]) >= 1
+
+    # an upsert rewrites overlapping files: the delta carries the
+    # rewritten rows (merged content), removed lists the replaced files
+    up = _df(spark, [("A", dt.date(2024, 1, 1), 9.0)])
+    snap_upsert(spark, path, up, keys=["k"])                      # v3
+    changed = _rows(snap_changes(spark, path, since_version=2))
+    assert ("A", dt.date(2024, 1, 1), 9.0) in changed
+    assert ("A", dt.date(2024, 1, 1), 1.0) not in changed
+    d = snap_file_diff(path, 2, 3)
+    assert len(d["removed"]) >= 1
