@@ -903,3 +903,55 @@ def test_upsert_repairs_before_layout_probe(spark, tmp_path):
     assert r["mode"] == "dynamic-partition"
     got = {(x.k, x.v) for x in spark.read.parquet(path).collect()}
     assert got == {("A", 1.0), ("B", 2.0)}
+
+
+def test_hadoopfs_put_if_absent_crash_leaves_no_torn_manifest(spark, tmp_path):
+    """ADVICE r10 high: create(overwrite=False) made the manifest path
+    VISIBLE (and version-listed) before its bytes landed — a crash between
+    create and close left a permanently torn 'current' manifest. The fix
+    writes a sibling tmp claim fully, then CASes it in with one atomic
+    rename: a crash at any point leaves the destination absent."""
+    from tickerlake_spark.storage.fs import HadoopFS
+    from tickerlake_spark.storage.snapshots import snap_current_version
+
+    class CrashyFS(HadoopFS):
+        def __init__(self, spark):
+            super().__init__(spark, atomic_rename=True)
+            self.crashed = False
+
+        def _create_write(self, path, data, overwrite):
+            if not self.crashed:
+                self.crashed = True
+                super()._create_write(path, data[: len(data) // 2], overwrite)
+                raise RuntimeError("injected crash mid-write")
+            super()._create_write(path, data, overwrite)
+
+    fs = CrashyFS(spark)
+    table = str(tmp_path / "t")
+    p = f"{table}/_snap/v0000000001.json"
+    with pytest.raises(RuntimeError, match="injected crash"):
+        fs.put_if_absent(p, b'{"version": 1, "files": []}')
+    # the destination NEVER appeared: no reader can load a torn manifest,
+    # and the version listing still says "no table"
+    assert not fs.exists(p)
+    assert snap_current_version(table, fs=fs) == 0
+    # retry wins cleanly with complete content; CAS then refuses a second
+    assert fs.put_if_absent(p, b'{"version": 1, "files": []}')
+    assert fs.read_bytes(p) == b'{"version": 1, "files": []}'
+    assert not fs.put_if_absent(p, b"other")
+    assert fs.read_bytes(p) == b'{"version": 1, "files": []}'
+    # no .claim residue is ever surfaced as a version, win or lose
+    assert snap_current_version(table, fs=fs) == 1
+
+
+def test_hadoopfs_put_if_absent_loser_cleans_claim(spark, tmp_path):
+    from tickerlake_spark.storage.fs import HadoopFS
+
+    fs = HadoopFS(spark, atomic_rename=True)
+    p = str(tmp_path / "m.json")
+    assert fs.put_if_absent(p, b"winner")
+    assert not fs.put_if_absent(p, b"loser")
+    assert fs.read_bytes(p) == b"winner"
+    # the loser's tmp claim is removed, not leaked next to the manifest
+    leftovers = [n for n in fs.listdir(str(tmp_path)) if ".claim." in n]
+    assert leftovers == []

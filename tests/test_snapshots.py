@@ -453,3 +453,118 @@ def test_snap_changes_incremental_consumption(spark, tmp_path):
     assert ("A", dt.date(2024, 1, 1), 1.0) not in changed
     d = snap_file_diff(path, 2, 3)
     assert len(d["removed"]) >= 1
+
+
+def test_upsert_schema_drift_raises(spark, tmp_path):
+    """ADVICE r10 medium: a type-drifted update batch must be rejected
+    BEFORE any data file is written — otherwise the new manifest pins the
+    old schema_json over files holding the batch's types and the committed
+    version fails (or silently coerces) at read time."""
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path)
+    drifted = spark.createDataFrame(
+        [("A", dt.date(2024, 1, 1), "9.0")], "k string, d date, v string"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snap_upsert(spark, path, drifted, keys=["k"])
+    # nothing published, no orphan commit dir either (failed pre-write)
+    assert snap_current_version(path) == 1
+    import os
+
+    assert len(os.listdir(os.path.join(path, "_data"))) == 1
+
+
+def test_upsert_initial_commit_race_merges_not_clobbers(spark, tmp_path):
+    """ADVICE r10: an upsert on an EMPTY table that loses the v1 race must
+    merge against the winner (or conflict), never retry as an overwrite
+    that silently replaces the winner's rows."""
+    path = str(tmp_path / "t")
+
+    class RacingFS(LocalFS):
+        def __init__(self):
+            self.raced = False
+
+        def put_if_absent(self, p, data):
+            if not self.raced and "_snap/v" in p:
+                self.raced = True
+                # an independent writer lands v1 with R1 a moment earlier
+                snap_write(spark, _df(spark, R1), path)
+                return False
+            return super().put_if_absent(p, data)
+
+    up = _df(spark, [("A", dt.date(2024, 1, 1), 9.0),
+                     ("Z", dt.date(2024, 3, 1), 7.0)])
+    r = snap_upsert(spark, path, up, keys=["k"], fs=RacingFS())
+    assert r["op"] == "upsert" and r["version"] == 2
+    cur = _rows(snap_read(spark, path))
+    # merged: the winner's B row survives, A is updated, Z inserted
+    assert ("B", dt.date(2024, 1, 2), 2.0) in cur
+    assert ("A", dt.date(2024, 1, 1), 9.0) in cur
+    assert ("Z", dt.date(2024, 3, 1), 7.0) in cur
+    assert ("A", dt.date(2024, 1, 1), 1.0) not in cur
+
+
+def test_vacuum_default_spares_inflight_commit_dir(spark, tmp_path):
+    """ADVICE r10: a concurrent writer's freshly-created commit dir has no
+    data files yet — the default vacuum (documented safe alongside active
+    writers) must not sweep it; clean_orphans=True (quiesced) may."""
+    import os
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1).coalesce(1), path)
+    snap_write(spark, _df(spark, R2).coalesce(1), path)  # overwrite: v1 dead
+    inflight = os.path.join(path, "_data", "c_inflight")
+    os.makedirs(inflight)
+    # a write-in-progress sidecar, no parquet yet
+    with open(os.path.join(inflight, "_temporary"), "w") as f:
+        f.write("x")
+    snap_vacuum(path, keep_last=1)
+    assert os.path.isdir(inflight)  # spared: not a dir this vacuum touched
+    # the dropped version's own dir IS swept (dataless after its deletes)
+    assert len(os.listdir(os.path.join(path, "_data"))) == 2
+    snap_vacuum(path, keep_last=1, clean_orphans=True)
+    assert not os.path.isdir(inflight)
+
+
+def test_prune_entries_int_float_cross_type():
+    """r10 nit: a float-bounded prune over int-statted files must stay
+    selective (numeric cross-type compares exactly in Python); bool never
+    aliases 0/1, mismatched non-numeric types keep the file."""
+    from tickerlake_spark.storage.snapshots import _prune_entries
+
+    entries = [
+        {"path": "a", "stats": {"x": {"min": 0, "max": 10}}},
+        {"path": "b", "stats": {"x": {"min": 100, "max": 200}}},
+        {"path": "c"},  # no stats: always kept
+    ]
+    kept = _prune_entries(entries, ("x", 20.5, 50.5))
+    assert [e["path"] for e in kept] == ["c"]
+    kept = _prune_entries(entries, ("x", 5.0, None))
+    assert [e["path"] for e in kept] == ["a", "b", "c"]
+    # string bound over int stats: incomparable -> keep everything
+    kept = _prune_entries(entries, ("x", "20", "50"))
+    assert len(kept) == 3
+    # bool bound is never treated as the number 1
+    kept = _prune_entries(entries, ("x", True, True))
+    assert len(kept) == 3
+
+
+def test_sink_second_stream_rejected(spark, tmp_path):
+    """r10 nit: the single-stream-per-table contract is enforced, not
+    prose — a second stream's sink construction fails fast instead of
+    silently interleaving batch-id sequences."""
+    from tickerlake_spark.storage.snapshots import snapshot_sink
+
+    path = str(tmp_path / "t")
+    sink_a = snapshot_sink(path, stream_id="ckpt-A")
+    sink_a(_df(spark, R1), 0)
+    sink_a(_df(spark, R2), 1)
+    assert _rows(snap_read(spark, path)) == set(R1) | set(R2)
+    # same stream reconstructs fine (restart case)
+    snapshot_sink(path, stream_id="ckpt-A")
+    with pytest.raises(ValueError, match="single-stream"):
+        snapshot_sink(path, stream_id="ckpt-B")
+    # maintenance commits carry the id forward: still enforced after
+    snap_write(spark, _df(spark, R1), path, mode="append")
+    with pytest.raises(ValueError, match="single-stream"):
+        snapshot_sink(path, stream_id="ckpt-B")

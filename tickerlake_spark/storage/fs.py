@@ -453,35 +453,68 @@ class HadoopFS:
         opts[0] = rename_opt.OVERWRITE
         fc.rename(self._JPath(src), self._JPath(dst), opts)
 
+    def _create_write(self, path: str, data: bytes, overwrite: bool) -> None:
+        """Create ``path`` and write ``data`` fully (single seam for the
+        crash-injection tests: everything that becomes durable on this
+        adapter funnels through here or ``put_if_absent``'s exclusive
+        create)."""
+        out = self._fs(path).create(self._JPath(path), overwrite)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
     def write_file_atomic(self, path: str, data: bytes) -> None:
         if self.atomic_rename:
             # tmp + rename-with-overwrite, the POSIX/HDFS discipline
             # (create, then ONE atomic metadata op replaces any existing
             # destination — never a window where the file is absent)
             tmp = path + ".tmp"
-            out = self._fs(tmp).create(self._JPath(tmp), True)
-            try:
-                out.write(bytearray(data))
-            finally:
-                out.close()
+            self._create_write(tmp, data, True)
             self._rename_overwrite(tmp, path)
         else:
             # object store: a single whole-object PUT is already atomic —
             # a tmp+copy dance would only widen the window
-            out = self._fs(path).create(self._JPath(path), True)
-            try:
-                out.write(bytearray(data))
-            finally:
-                out.close()
+            self._create_write(path, data, True)
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
-        """``create(overwrite=False)``: atomic create-exclusive on
-        HDFS/local. On s3a this is check-then-act unless the connector's
-        conditional-write support is enabled
-        (``fs.s3a.create.conditional.enabled``, Hadoop 3.4.1+, mapping to
-        S3 If-None-Match) — enable it for multi-writer snapshot commits;
-        the single-writer-per-table pipeline model needs only the crash
-        atomicity, which the whole-object PUT already gives."""
+        """Atomically create ``path`` with ``data`` iff absent.
+
+        On atomic-rename filesystems (HDFS/local): write+close a sibling
+        tmp file FULLY, then one plain ``FileSystem.rename(tmp, dst)`` as
+        the CAS — rename atomically fails (returns False) when dst exists,
+        and the destination only ever appears complete. A bare
+        ``create(overwrite=False)`` is NOT safe here (ADVICE r10 high): it
+        makes the path visible — and listed by manifest version scans —
+        before any bytes are written, so a concurrent reader could load a
+        torn/empty manifest, and a writer crash between create and close
+        would leave a permanently torn file the listing treats as current.
+        This mirrors ``LocalFS``'s fsync+``os.link`` discipline.
+
+        On rename-less stores, ``create(overwrite=False)`` maps to the
+        connector's conditional PUT (``fs.s3a.create.conditional.enabled``,
+        Hadoop 3.4.1+, S3 If-None-Match) — there the object only becomes
+        visible at close (single-PUT semantics), so create-exclusive is
+        both atomic and torn-write-free."""
+        import uuid as _uuid
+
+        if self.atomic_rename:
+            tmp = f"{path}.claim.{_uuid.uuid4().hex[:12]}"
+            self._create_write(tmp, data, True)
+            try:
+                if self._fs(path).rename(self._JPath(tmp), self._JPath(path)):
+                    return True
+                # rename reports failure as a bare False: distinguish the
+                # lost-race outcome (dst exists) from a real error, which
+                # must surface rather than masquerade as a conflict
+                if self.exists(path):
+                    return False
+                raise OSError(
+                    f"hadoop rename failed in put_if_absent: {tmp} -> {path}"
+                )
+            finally:
+                # lost race or error: the tmp claim must not linger
+                self._fs(tmp).delete(self._JPath(tmp), False)
         try:
             out = self._fs(path).create(self._JPath(path), False)
         except Exception as e:  # noqa: BLE001 — py4j wraps the Java class

@@ -31,7 +31,6 @@ from __future__ import annotations
 import json
 import math
 import os
-import shutil
 import uuid
 
 from pyspark.sql import SparkSession

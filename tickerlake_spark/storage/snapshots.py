@@ -247,7 +247,12 @@ def snap_write(
         raise ValueError(f"unknown mode {mode!r}")
     if cluster_by:
         stats_cols = tuple(dict.fromkeys(tuple(stats_cols) + tuple(cluster_by)))
-        n = target_files or df.rdd.getNumPartitions()
+        # default file count: the session's shuffle parallelism — a plan-level
+        # constant. (Asking df.rdd.getNumPartitions() would force a
+        # Python-RDD conversion plan just to read a number; r10 nit.)
+        n = target_files or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
         df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
             *cluster_by
         )
@@ -315,9 +320,12 @@ def _carry_stream_marker(cur: dict | None) -> dict:
     the most recent stream commit's id — the exactly-once dedup in
     ``snapshot_sink`` survives vacuum dropping the original stream
     manifest (and stays O(1) instead of a history walk)."""
+    out = {}
     if cur is not None and "stream_batch_id" in cur:
-        return {"stream_batch_id": cur["stream_batch_id"]}
-    return {}
+        out["stream_batch_id"] = cur["stream_batch_id"]
+    if cur is not None and "stream_id" in cur:
+        out["stream_id"] = cur["stream_id"]
+    return out
 
 
 def _prune_entries(entries: list[dict], prune) -> list[dict]:
@@ -328,6 +336,23 @@ def _prune_entries(entries: list[dict], prune) -> list[dict]:
     if prune is None:
         return entries
     col, lo, hi = prune
+
+    def _lt(a, b):
+        """a < b when the pair is safely comparable, else None (keep the
+        file). int/float cross-compare exactly in Python, so a
+        float-bounded prune over int-statted files stays selective (r10
+        nit: the old same-type-only rule silently kept everything there);
+        bools are excluded (True == 1 would alias), strings compare only
+        with strings."""
+        num = (int, float)
+        if isinstance(a, num) and isinstance(b, num) and not (
+            isinstance(a, bool) or isinstance(b, bool)
+        ):
+            return a < b
+        if type(a) is type(b):
+            return a < b
+        return None
+
     lo_e, hi_e = _enc(lo), _enc(hi)
     kept = []
     for e in entries:
@@ -335,9 +360,9 @@ def _prune_entries(entries: list[dict], prune) -> list[dict]:
         if st is None:
             kept.append(e)
             continue
-        if lo_e is not None and type(st["max"]) is type(lo_e) and st["max"] < lo_e:
+        if lo_e is not None and _lt(st["max"], lo_e):
             continue
-        if hi_e is not None and type(st["min"]) is type(hi_e) and st["min"] > hi_e:
+        if hi_e is not None and _lt(hi_e, st["min"]):
             continue
         kept.append(e)
     return kept
@@ -400,9 +425,25 @@ def snap_upsert(
         assert_unique_keys(updates, keys)
     cur_v = snap_current_version(path, fs)
     if cur_v == 0:
-        r = snap_write(spark, updates, path, "overwrite", stats_cols, fs)
-        return {**r, "op": "upsert", "rewrote_files": 0}
+        # initial commit: max_retries=1 so a lost race surfaces as
+        # SnapshotConflict instead of snap_write's overwrite retry silently
+        # REPLACING the race winner's rows (ADVICE r10: the upsert contract
+        # is merge-or-conflict, never clobber); on conflict fall through to
+        # a real merge against the winner's version
+        try:
+            r = snap_write(
+                spark, updates, path, "overwrite", stats_cols, fs,
+                max_retries=1,
+            )
+            return {**r, "op": "upsert", "rewrote_files": 0}
+        except SnapshotConflict:
+            cur_v = snap_current_version(path, fs)
     m = _load(path, cur_v, fs)
+    # pinned-schema gate (ADVICE r10 medium): without it a type-drifted
+    # batch writes new data files in ITS types while the manifest keeps
+    # pinning the old schema_json — the committed version then fails (or
+    # silently coerces) at read time, on files the batch never touched
+    _check_append_schema(path, m, updates)
     base = path.rstrip("/")
 
     # file-level pruning on the first key column with committed stats:
@@ -608,7 +649,8 @@ def snap_compact(
 
 
 def snapshot_sink(
-    path: str, stats_cols: tuple = (), fs: FS = LOCAL_FS
+    path: str, stats_cols: tuple = (), fs: FS = LOCAL_FS,
+    stream_id: str | None = None,
 ):
     """``foreachBatch`` sink appending each micro-batch as a snapshot
     commit — EXACTLY-ONCE visible effects under Structured Streaming's
@@ -622,14 +664,31 @@ def snapshot_sink(
 
     Single-stream-per-table contract (batch ids are per-query monotonic);
     concurrent MAINTENANCE writers are fine — the commit itself is the
-    same optimistic append as ``snap_write``.
+    same optimistic append as ``snap_write``. Pass ``stream_id`` (e.g. the
+    query's checkpoint dir) to ENFORCE the contract instead of relying on
+    prose (r10 nit): the id is recorded in each stream commit's manifest
+    and carried forward by maintenance commits, and sink CONSTRUCTION
+    fails fast when the table already belongs to a different stream —
+    turning what would be silent batch-id interleaving (two queries'
+    independent batch-id sequences defeating each other's replay dedup)
+    into an error at start-up.
 
     Usage::
 
         q = (stream.writeStream
-             .foreachBatch(snapshot_sink(table_path))
+             .foreachBatch(snapshot_sink(table_path, stream_id=ckpt))
              .option("checkpointLocation", ckpt).start())
     """
+    if stream_id is not None:
+        cur_v = snap_current_version(path, fs)
+        if cur_v:
+            have = _load(path, cur_v, fs).get("stream_id")
+            if have is not None and have != stream_id:
+                raise ValueError(
+                    f"snapshot table {path!r} is already written by stream "
+                    f"{have!r}; refusing a second stream {stream_id!r} "
+                    "(single-stream-per-table contract)"
+                )
 
     def _last_stream_batch(path: str, fs: FS):
         for v in reversed(_list_versions(path, fs)):
@@ -641,6 +700,9 @@ def snapshot_sink(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if _last_stream_batch(path, fs) == batch_id:
             return  # replay of a batch whose commit already published
+        extra = {"stream_batch_id": batch_id, "op": "stream_append"}
+        if stream_id is not None:
+            extra["stream_id"] = stream_id
         snap_write(
             batch_df.sparkSession,
             batch_df,
@@ -648,7 +710,7 @@ def snapshot_sink(
             mode="append" if snap_current_version(path, fs) else "overwrite",
             stats_cols=stats_cols,
             fs=fs,
-            extra={"stream_batch_id": batch_id, "op": "stream_append"},
+            extra=extra,
         )
 
     return sink
@@ -714,9 +776,23 @@ def snap_vacuum(
     # references — without this check the "empty" test never fires on
     # LocalFS and every vacuumed version would leak its directory. No-op
     # on object stores (prefixes with no keys stop existing).
+    #
+    # Scope (ADVICE r10): by default only dirs THIS vacuum deleted files
+    # from are candidates — a concurrent writer's freshly-created commit
+    # dir also has no data files yet (its first task hasn't committed) and
+    # an unconditional empty-dir sweep would rmtree the in-flight commit.
+    # ``clean_orphans=True`` (the quiesced contract) sweeps every dataless
+    # dir, including pre-upgrade leftovers.
+    touched_dirs = {
+        rel.split("/")[1]
+        for rel in drop_files - keep_files
+        if rel.startswith(f"{_DATA}/") and rel.count("/") >= 2
+    }
     data_root = f"{base}/{_DATA}"
     if fs.isdir(data_root):
         for d in fs.listdir(data_root):
+            if not clean_orphans and d not in touched_dirs:
+                continue
             cdir = f"{data_root}/{d}"
             if not fs.isdir(cdir):
                 continue
