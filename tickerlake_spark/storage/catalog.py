@@ -13,6 +13,7 @@ import os
 from dataclasses import dataclass, field
 
 from tickerlake_spark.config import Settings
+from tickerlake_spark.storage.fs import FS, LOCAL_FS, make_lake_fs
 
 __all__ = ["get_table_path", "Catalog"]
 
@@ -29,9 +30,28 @@ def get_table_path(root: str, layer: str, table: str) -> str:
 @dataclass
 class Catalog:
     """Path catalog bound to a storage root (defaults to $TICKERLAKE_DATA
-    or ./data)."""
+    or ./data) and the mutation-layer filesystem serving it.
+
+    ``fs`` is what every journaled swap, checkpoint, footer probe, and
+    manifest commit against this catalog's paths runs over — POSIX by
+    default, the Hadoop adapter for s3a/gs/hdfs roots
+    (``Catalog.from_settings`` wires it from config). Spark's bulk
+    read/write speaks the root URI natively either way.
+    """
 
     root: str = field(default_factory=lambda: Settings.from_env().data_dir)
+    fs: FS = field(default_factory=lambda: LOCAL_FS)
+
+    @classmethod
+    def from_settings(cls, settings: Settings | None = None, spark=None) -> "Catalog":
+        """Catalog wired from configuration: root from ``data_dir``, fs
+        from ``lake_fs``/``fs_atomic_rename`` (``spark`` required when
+        lake_fs='hadoop' — the adapter runs over the session JVM)."""
+        s = settings if settings is not None else Settings.from_env()
+        return cls(
+            root=s.data_dir,
+            fs=make_lake_fs(s.lake_fs, spark=spark, atomic_rename=s.fs_atomic_rename),
+        )
 
     def path(self, layer: str, table: str) -> str:
         return get_table_path(self.root, layer, table)

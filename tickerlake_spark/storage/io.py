@@ -54,6 +54,7 @@ def write_table(
     dynamic: bool = False,
     bloom_cols: dict[str, int] | None = None,
     options: dict[str, str] | None = None,
+    fs: FS = LOCAL_FS,
 ) -> None:
     """Write ``df`` as a Parquet table.
 
@@ -82,7 +83,12 @@ def write_table(
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
     writer.parquet(path)
-    if partition_by and mode == "overwrite" and not dynamic and not table_exists(path):
+    if (
+        partition_by
+        and mode == "overwrite"
+        and not dynamic
+        and not table_exists(path, fs=fs)
+    ):
         # Partitioned overwrite of an EMPTY frame writes no data files, so
         # the table would be unreadable (no schema to infer). Fall back to a
         # flat zero-row file — full schema preserved; the first nonempty

@@ -65,7 +65,7 @@ def silver_maintenance_batch(
     # so a pre-join emptiness probe was a second Spark job on the
     # streaming hot path buying nothing.
     meta_path = catalog.silver("ticker_metadata")
-    if table_exists(meta_path):
+    if table_exists(meta_path, fs=catalog.fs):
         universe = read_table(spark, meta_path).select("ticker")
         batch = batch.join(F.broadcast(universe), "ticker", "left_semi")
     if batch.isEmpty():
@@ -79,7 +79,7 @@ def silver_maintenance_batch(
     from tickerlake_spark.storage import get_max_date
 
     daily_path = catalog.silver("daily_aggregates")
-    wm_before = get_max_date(spark, daily_path)  # directory listing
+    wm_before = get_max_date(spark, daily_path, fs=catalog.fs)  # dir listing
     since = batch.agg(F.min("date")).first()[0]
     tail_paths = {
         g: catalog.silver(f"indicator_tail_{g}") for g in ("daily", "week", "month")
@@ -89,12 +89,12 @@ def silver_maintenance_batch(
         and wm_before is not None
         and checkpoints.get("silver_tail_as_of") == wm_before
         and str(since) > wm_before  # strictly-forward batch; ISO compare
-        and all(table_exists(p) for p in tail_paths.values())
+        and all(table_exists(p, fs=catalog.fs) for p in tail_paths.values())
     )
 
     splits = (
         read_table(spark, catalog.bronze("splits"))
-        if table_exists(catalog.bronze("splits"))
+        if table_exists(catalog.bronze("splits"), fs=catalog.fs)
         else spark.createDataFrame([], schemas.SPLITS)
     )
     adjusted = schemas.conform(
@@ -108,6 +108,7 @@ def silver_maintenance_batch(
         keys=["ticker", "date"],
         partition_by="date",  # silver tables are date-partitioned (pipeline.py)
         validate_unique=False,  # (ticker, date) unique per bronze contract
+        fs=catalog.fs,
     )
 
     new_tails: dict = {}
@@ -128,6 +129,7 @@ def silver_maintenance_batch(
         keys=["ticker", "date"],
         partition_by="date",
         validate_unique=False,
+        fs=catalog.fs,
     )
     from tickerlake_spark.pipeline import _bucket_start
 
@@ -147,6 +149,7 @@ def silver_maintenance_batch(
             keys=["ticker", "date"],
             partition_by="date",
             validate_unique=False,
+            fs=catalog.fs,
         )
         bucket_since = _bucket_start(period, since)
         if tails_valid:
@@ -169,13 +172,14 @@ def silver_maintenance_batch(
             keys=["ticker", "date"],
             partition_by="date",
             validate_unique=False,
+            fs=catalog.fs,
         )
 
     if checkpoints is not None:
         # maintain (or install) the tail state; as_of committed only after
         # all three swaps — a crash mid-way fails the next batch's gate and
         # the horizon fallback rebuilds (same contract as run_silver)
-        new_wm = get_max_date(spark, daily_path)
+        new_wm = get_max_date(spark, daily_path, fs=catalog.fs)
         for grain, agg_table, cutoff, horizon in (
             ("daily", "daily_aggregates", since, 600),
             ("week", "weekly_aggregates", _bucket_start("week", since), 2_800),
@@ -190,7 +194,7 @@ def silver_maintenance_batch(
                     horizon_days=horizon,
                     as_of=_dt.date.fromisoformat(new_wm),
                 )
-            replace_tail(spark, nt, tail_paths[grain])
+            replace_tail(spark, nt, tail_paths[grain], fs=catalog.fs)
         checkpoints.set("silver_tail_as_of", new_wm)
 
 
@@ -270,6 +274,7 @@ def gold_maintenance_batch(
         keys=["ticker", "date"],
         partition_by="date",
         validate_unique=False,
+        fs=catalog.fs,
     )
     # keep the batch pipeline's O(delta) companions in lockstep, so a lake
     # alternating streaming and batch maintenance never forces run_gold back
@@ -281,24 +286,25 @@ def gold_maintenance_batch(
     #   the partition column leads the key, so the merge rewrites only the
     #   batch tickers' hash buckets, and a replayed batch converges.
     state_path = catalog.gold("vwap_state")
-    if table_exists(state_path):
+    if table_exists(state_path, fs=catalog.fs):
         upsert_table(
             spark,
             state_path,
             vwap_state(aff_daily.filter(F.col("date") >= F.lit(year_start))),
             keys=["ticker", "year", "quarter"],
             validate_unique=False,
+            fs=catalog.fs,
         )
     else:
-        write_table(vwap_state(daily), state_path)
+        write_table(vwap_state(daily), state_path, fs=catalog.fs)
     closes_path = catalog.gold("closes_by_ticker")
     # the extract mirrors SILVER (split-adjusted) closes, so the delta
     # comes from the just-maintained silver rows, not the raw batch
     ext_delta = aff_daily.filter(F.col("date") >= F.lit(since)).select(
         "ticker", "date", "close"
     )
-    if not table_exists(closes_path):
-        write_closes_extract(daily, closes_path)
+    if not table_exists(closes_path, fs=catalog.fs):
+        write_closes_extract(daily, closes_path, fs=catalog.fs)
     else:
         # O(delta) maintenance (ADVICE r7 low): a keyed upsert on the
         # tb-partitioned extract rewrites every touched hash bucket's
@@ -326,10 +332,10 @@ def gold_maintenance_batch(
         # watermark probe and the replace path must see every bucket's
         # real history, not a table with one bucket parked in a
         # Spark-invisible '_old_*' dir (r9 review finding)
-        repair_partition_swaps(closes_path)
-        ext_max = parquet_stats_max(closes_path, "date")
+        repair_partition_swaps(closes_path, fs=catalog.fs)
+        ext_max = parquet_stats_max(closes_path, "date", fs=catalog.fs)
         if ext_max is not None and since > ext_max:
-            append_closes_extract(spark, ext_delta, closes_path)
+            append_closes_extract(spark, ext_delta, closes_path, fs=catalog.fs)
         else:
             keyed = with_ticker_bucket(ext_delta)
             replace_keys(
@@ -340,6 +346,7 @@ def gold_maintenance_batch(
                 keys=["tb", "ticker", "date"],
                 partition_by="tb",
                 with_count=False,
+                fs=catalog.fs,
             )
 
     ind_slice = read_table(spark, catalog.silver("daily_indicators")).filter(
@@ -355,6 +362,7 @@ def gold_maintenance_batch(
         schemas.conform(ev, schemas.HVC_EVENTS),
         keys=["date"],
         partition_by="date",
+        fs=catalog.fs,
     )
 
     for period, ind_table, agg_table, out in (
@@ -376,6 +384,7 @@ def gold_maintenance_batch(
             schemas.conform(p_ev, schemas.HVC_EVENTS),
             keys=["date"],
             partition_by="date",
+            fs=catalog.fs,
         )
 
     all_events = read_table(spark, catalog.gold("hvc_daily"))
@@ -383,7 +392,7 @@ def gold_maintenance_batch(
     aff_list = sorted(r[0] for r in tickers.collect())
     if len(aff_list) <= 2_000:
         # extract read: bucket partition pruning + parquet In/bloom skipping
-        aff_closes = read_closes_for(spark, closes_path, aff_list)
+        aff_closes = read_closes_for(spark, closes_path, aff_list, fs=catalog.fs)
     else:
         aff_closes = daily.select("ticker", "date", "close").join(
             tickers, "ticker", "left_semi"
@@ -408,6 +417,7 @@ def gold_maintenance_batch(
                 tickers,
                 schemas.conform(pats, schemas.STAIRSTEP_PATTERNS),
                 keys=["ticker"],
+                fs=catalog.fs,
             )
     finally:
         aff_seq.unpersist()
@@ -417,7 +427,9 @@ def gold_maintenance_batch(
     ):
         best = best_patterns(read_table(spark, catalog.gold(src)))
         write_table(
-            schemas.conform(best, schemas.STAIRSTEP_PATTERNS), catalog.gold(out)
+            schemas.conform(best, schemas.STAIRSTEP_PATTERNS),
+            catalog.gold(out),
+            fs=catalog.fs,
         )
     # a pure-streaming lake carries the published 12-name view DDL too.
     # Unconditional call: the writer itself is content-keyed (a relocated
@@ -473,7 +485,9 @@ def stream_bronze_to_silver(
     stream = reader.parquet(catalog.bronze("stocks"))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if checkpoints is not None and table_exists(catalog.bronze("splits")):
+        if checkpoints is not None and table_exists(
+            catalog.bronze("splits"), fs=catalog.fs
+        ):
             from tickerlake_spark.pipeline import (
                 _splits_fingerprint,
                 run_silver,

@@ -25,6 +25,7 @@ from tickerlake_spark.operators.incremental_agg import (
     merge_distinct_sketches,
     sketch_distinct_delta,
 )
+from tickerlake_spark.storage.fs import FS, LOCAL_FS
 from tickerlake_spark.storage.io import table_exists
 from tickerlake_spark.storage.upsert import upsert_table
 
@@ -47,36 +48,34 @@ __all__ = [
 _PARAMS_FILE = "_sketch_params.json"
 
 
-def _record_params(path: str, **params) -> None:
+def _record_params(path: str, fs: FS = LOCAL_FS, **params) -> None:
     """Persist the sketch's structural parameters as a sidecar inside the
     table dir (underscore-prefixed: Spark readers ignore it). First writer
-    wins; later batches validate instead of overwriting."""
+    wins; later batches validate instead of overwriting. Goes through the
+    storage FS protocol (VERDICT r10 item 2: this sidecar was one of the
+    two remaining POSIX writers on lake paths)."""
     import json
-    import os
 
-    f = os.path.join(path, _PARAMS_FILE)
-    if os.path.isdir(path) and not os.path.exists(f):
-        with open(f, "w") as fh:
-            json.dump(params, fh)
+    f = f"{path.rstrip('/')}/{_PARAMS_FILE}"
+    if fs.isdir(path) and not fs.isfile(f):
+        fs.write_file_atomic(f, json.dumps(params).encode())
 
 
-def read_sketch_params(path: str) -> dict | None:
+def read_sketch_params(path: str, fs: FS = LOCAL_FS) -> dict | None:
     import json
-    import os
 
-    f = os.path.join(path, _PARAMS_FILE)
-    if not os.path.exists(f):
+    f = f"{path.rstrip('/')}/{_PARAMS_FILE}"
+    if not fs.isfile(f):
         return None
-    with open(f) as fh:
-        return json.load(fh)
+    return json.loads(fs.read_bytes(f).decode())
 
 
-def _check_params(path: str, **expected) -> None:
+def _check_params(path: str, fs: FS = LOCAL_FS, **expected) -> None:
     """Raise when the caller's parameters disagree with the recorded ones —
     a mismatched probe returns silently wrong estimates otherwise (an
     IndexError only triggers when the caller's size exceeds the stored
     one). Legacy tables without a sidecar pass (nothing to check)."""
-    stored = read_sketch_params(path)
+    stored = read_sketch_params(path, fs=fs)
     if stored is None:
         return
     bad = {k: (stored.get(k), v) for k, v in expected.items() if stored.get(k) != v}
@@ -93,6 +92,7 @@ def sketch_rollup_batch(
     keys: list[str],
     col: str,
     lgk: int = 12,
+    fs: FS = LOCAL_FS,
 ) -> None:
     """Fold one micro-batch into the persisted per-``keys`` sketch rollup.
 
@@ -106,13 +106,13 @@ def sketch_rollup_batch(
     if batch.isEmpty():
         return
     delta = sketch_distinct_delta(batch, keys, col, lgk=lgk)
-    if table_exists(path):
+    if table_exists(path, fs=fs):
         touched = (
             spark.read.parquet(path)
             .join(delta.select(*keys), keys, "left_semi")
         )
         delta = merge_distinct_sketches(touched, delta, keys)
-    upsert_table(spark, path, delta, keys=keys, validate_unique=False)
+    upsert_table(spark, path, delta, keys=keys, validate_unique=False, fs=fs)
 
 
 def kmv_rollup_batch(
@@ -122,6 +122,7 @@ def kmv_rollup_batch(
     keys: list[str],
     col: str,
     k: int = 2048,
+    fs: FS = LOCAL_FS,
 ) -> None:
     """Fold one micro-batch into a persisted per-``keys`` KMV sketch — the
     CROSS-ENGINE-VERIFIABLE sibling of :func:`sketch_rollup_batch` (see
@@ -135,13 +136,13 @@ def kmv_rollup_batch(
     if batch.isEmpty():
         return
     delta = kmv_delta(batch, keys, col, k=k)
-    if table_exists(path):
+    if table_exists(path, fs=fs):
         touched = spark.read.parquet(path).join(
             delta.select(*keys).distinct(), keys, "left_semi"
         )
         delta = kmv_merge(touched, delta, keys, k=k)
-    upsert_table(spark, path, delta, keys=keys, validate_unique=False)
-    _record_params(path, kind="kmv", k=k)
+    upsert_table(spark, path, delta, keys=keys, validate_unique=False, fs=fs)
+    _record_params(path, fs=fs, kind="kmv", k=k)
 
 
 def stream_kmv_rollup(
@@ -153,12 +154,15 @@ def stream_kmv_rollup(
     col: str,
     k: int = 2048,
     available_now: bool = True,
+    fs: FS = LOCAL_FS,
 ):
     """foreachBatch wrapper over ``kmv_rollup_batch``; serve estimates
     with ``operators.incremental_agg.kmv_estimates`` over ``path``."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        kmv_rollup_batch(batch_df.sparkSession, path, batch_df, keys, col, k)
+        kmv_rollup_batch(
+            batch_df.sparkSession, path, batch_df, keys, col, k, fs=fs
+        )
 
     writer = stream_df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
@@ -177,12 +181,15 @@ def stream_distinct_rollup(
     col: str,
     lgk: int = 12,
     available_now: bool = True,
+    fs: FS = LOCAL_FS,
 ):
     """foreachBatch wrapper over ``sketch_rollup_batch``; serve estimates
     with ``operators.incremental_agg.sketch_estimates`` over ``path``."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        sketch_rollup_batch(batch_df.sparkSession, path, batch_df, keys, col, lgk)
+        sketch_rollup_batch(
+            batch_df.sparkSession, path, batch_df, keys, col, lgk, fs=fs
+        )
 
     writer = stream_df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
@@ -217,6 +224,7 @@ def cms_rollup_batch(
     batch_id: int,
     depth: int = 4,
     width: int = 1024,
+    fs: FS = LOCAL_FS,
 ) -> None:
     """Fold one micro-batch's CMS cell delta into the persisted rollup."""
     from pyspark.sql import functions as F
@@ -225,7 +233,7 @@ def cms_rollup_batch(
 
     if batch.isEmpty():
         return
-    _check_params(path, depth=depth, width=width)
+    _check_params(path, fs=fs, depth=depth, width=width)
     delta = cms_delta(batch, keys, col, depth=depth, width=width).withColumn(
         "batch_id", F.lit(int(batch_id)).cast("long")
     )
@@ -236,8 +244,9 @@ def cms_rollup_batch(
         keys=["batch_id", *keys, "r", "c"],
         partition_by="batch_id",
         validate_unique=False,
+        fs=fs,
     )
-    _record_params(path, kind="cms", depth=depth, width=width)
+    _record_params(path, fs=fs, kind="cms", depth=depth, width=width)
 
 
 def cms_rollup_serve(
@@ -254,7 +263,8 @@ def cms_rollup_serve(
 
 
 def cms_compact_rollup(
-    spark: SparkSession, path: str, keys: list[str], keep_last: int = 2
+    spark: SparkSession, path: str, keys: list[str], keep_last: int = 2,
+    fs: FS = LOCAL_FS,
 ) -> None:
     """Fold old batch partitions into the batch_id=-1 baseline partition
     via write-tmp + journaled swap (``storage.maintenance.replace_table``:
@@ -272,8 +282,6 @@ def cms_compact_rollup(
     baseline), and Structured Streaming only ever replays the trailing
     uncommitted epoch(s) — so compacting everything older is replay-safe
     while the recent tail keeps its rewrite-own-partition idempotence."""
-    import os
-    import shutil
     import uuid
 
     from pyspark.sql import functions as F
@@ -285,7 +293,7 @@ def cms_compact_rollup(
 
     # finish any interrupted previous swap first — scoped to THIS table's
     # markers (a parent-wide repair races sibling tables' in-flight swaps)
-    repair_table_swaps(*split_layer(path))
+    repair_table_swaps(*split_layer(path), fs=fs)
     stored = spark.read.parquet(path)
     ids = sorted(
         r[0] for r in stored.select("batch_id").distinct().collect() if r[0] >= 0
@@ -308,13 +316,14 @@ def cms_compact_rollup(
     tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
     merged.write.partitionBy("batch_id").parquet(tmp)
     # the params sidecar lives inside the table dir — copy it into the
-    # staged dir BEFORE the swap so every crash state carries it
-    sidecar = os.path.join(path, _PARAMS_FILE)
-    if os.path.exists(sidecar):
-        shutil.copy(sidecar, os.path.join(tmp, _PARAMS_FILE))
+    # staged dir BEFORE the swap so every crash state carries it (via the
+    # FS protocol: file-granular copy works on POSIX and object stores)
+    sidecar = f"{path.rstrip('/')}/{_PARAMS_FILE}"
+    if fs.isfile(sidecar):
+        fs.copy_tree(sidecar, f"{tmp}/{_PARAMS_FILE}")
     from tickerlake_spark.storage.maintenance import replace_table
 
-    replace_table(path, tmp)
+    replace_table(path, tmp, fs=fs)
 
 
 def stream_cms_rollup(
@@ -327,6 +336,7 @@ def stream_cms_rollup(
     depth: int = 4,
     width: int = 1024,
     available_now: bool = True,
+    fs: FS = LOCAL_FS,
 ):
     """foreachBatch wrapper over ``cms_rollup_batch``; serve point
     estimates by feeding ``cms_rollup_serve`` to
@@ -342,6 +352,7 @@ def stream_cms_rollup(
             batch_id,
             depth=depth,
             width=width,
+            fs=fs,
         )
 
     writer = stream_df.writeStream.foreachBatch(sink).option(
@@ -369,6 +380,7 @@ def bloom_rollup_batch(
     key_col: str,
     m_bits: int = 1 << 16,
     k: int = 4,
+    fs: FS = LOCAL_FS,
 ) -> None:
     """OR one micro-batch's keys into the persisted bloom word table."""
     from pyspark.sql import functions as F
@@ -377,23 +389,25 @@ def bloom_rollup_batch(
 
     if batch.isEmpty():
         return
-    _check_params(path, m_bits=m_bits, k=k)
+    _check_params(path, fs=fs, m_bits=m_bits, k=k)
     delta = bloom_words(batch, key_col, m_bits, k)
-    if table_exists(path):
+    if table_exists(path, fs=fs):
         stored = spark.read.parquet(path)
         delta = (
             stored.unionByName(delta)
             .groupBy("wi")
             .agg(F.bit_or("word").alias("word"))
         )
-    upsert_table(spark, path, delta, keys=["wi"], validate_unique=False)
-    _record_params(path, kind="bloom", m_bits=m_bits, k=k)
+    upsert_table(spark, path, delta, keys=["wi"], validate_unique=False, fs=fs)
+    _record_params(path, fs=fs, kind="bloom", m_bits=m_bits, k=k)
 
 
-def bloom_rollup_literal(spark: SparkSession, path: str, m_bits: int = 1 << 16) -> list[int]:
+def bloom_rollup_literal(
+    spark: SparkSession, path: str, m_bits: int = 1 << 16, fs: FS = LOCAL_FS
+) -> list[int]:
     """Dense word list from the persisted rollup (bloomjoin.bloom_literal's
     contract) — feed to ``bloom_might_contain`` for map-side fact pruning."""
-    _check_params(path, m_bits=m_bits)
+    _check_params(path, fs=fs, m_bits=m_bits)
     dense = [0] * (m_bits // 32)
     for row in spark.read.parquet(path).collect():
         dense[row["wi"]] = int(row["word"])
@@ -409,11 +423,14 @@ def stream_bloom_rollup(
     m_bits: int = 1 << 16,
     k: int = 4,
     available_now: bool = True,
+    fs: FS = LOCAL_FS,
 ):
     """foreachBatch wrapper over ``bloom_rollup_batch``."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        bloom_rollup_batch(batch_df.sparkSession, path, batch_df, key_col, m_bits, k)
+        bloom_rollup_batch(
+            batch_df.sparkSession, path, batch_df, key_col, m_bits, k, fs=fs
+        )
 
     writer = stream_df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
