@@ -568,3 +568,86 @@ def test_sink_second_stream_rejected(spark, tmp_path):
     snap_write(spark, _df(spark, R1), path, mode="append")
     with pytest.raises(ValueError, match="single-stream"):
         snapshot_sink(path, stream_id="ckpt-B")
+
+
+def test_commit_footer_probes_read_o_footer_bytes(spark, tmp_path):
+    """VERDICT r10 item 3: a snapshot commit's per-file probes must read
+    O(footer) bytes via ranged tail reads — never stream whole data files
+    through the driver (on s3a that would be the table itself). The
+    byte-counting double fails the test if any probe falls back to a
+    whole-object read, and bounds tail traffic per file."""
+
+    class CountingFS(LocalFS):
+        def __init__(self):
+            self.tail_bytes = {}
+            self.full_reads = []
+
+        def read_tail(self, path, n):
+            out = super().read_tail(path, n)
+            self.tail_bytes[path] = self.tail_bytes.get(path, 0) + len(out)
+            return out
+
+        def read_bytes(self, path):
+            if path.endswith(".parquet"):
+                self.full_reads.append(("read_bytes", path))
+            return super().read_bytes(path)
+
+        def open_read(self, path):
+            if path.endswith(".parquet"):
+                self.full_reads.append(("open_read", path))
+            return super().open_read(path)
+
+    fs = CountingFS()
+    path = str(tmp_path / "t")
+    df = spark.range(200_000).selectExpr(
+        "id AS k", "cast(id % 997 AS double) AS v",
+        "repeat('x', 64) AS pad",  # fat rows: data pages >> footer
+    )
+    r = snap_write(spark, df.repartition(4), path, stats_cols=("k",), fs=fs)
+    assert r["files"] >= 4
+    assert fs.full_reads == []  # no whole-object read of any data file
+    import os
+
+    for p, read in fs.tail_bytes.items():
+        size = os.path.getsize(p)
+        assert read <= 130 * 1024, f"{p}: {read} tail bytes"
+        assert read < size / 2, f"{p}: tail read not O(footer) vs {size}"
+    # the manifest carries real stats and rows from those footer-only reads
+    got = snap_read(spark, path, prune=("k", 0, 10), fs=fs)
+    assert got.filter("k <= 10").count() == 11
+
+
+def test_parquet_footer_metadata_matches_full_parse(spark, tmp_path):
+    """The fabricated PAR1+footer buffer must yield byte-identical
+    metadata (rows, row groups, stats) to a full-file parse, including
+    when the footer exceeds the first tail guess."""
+    import pyarrow.parquet as pq
+
+    from tickerlake_spark.storage.io import parquet_footer_metadata
+
+    df = spark.range(10_000).selectExpr(
+        "id", "cast(id AS double) AS v", "concat('s', id) AS s"
+    )
+    out = str(tmp_path / "one")
+    df.coalesce(1).write.parquet(out)
+    f = next(
+        str(p) for p in (tmp_path / "one").iterdir()
+        if p.name.endswith(".parquet")
+    )
+    fs = LocalFS()
+    md = parquet_footer_metadata(f, fs=fs)
+    full = pq.ParquetFile(f).metadata
+    assert md.num_rows == full.num_rows
+    assert md.num_row_groups == full.num_row_groups
+    st = md.row_group(0).column(0).statistics
+    st_full = full.row_group(0).column(0).statistics
+    assert (st.min, st.max) == (st_full.min, st_full.max)
+    # tiny guess: forces the exact-size second tail read
+    md2 = parquet_footer_metadata(f, fs=fs, guess=16)
+    assert md2.num_rows == full.num_rows
+    # non-parquet content fails loudly, not as a bogus manifest entry
+    bad = str(tmp_path / "bad.parquet")
+    with open(bad, "wb") as fh:
+        fh.write(b"definitely not parquet")
+    with pytest.raises(ValueError, match="magic"):
+        parquet_footer_metadata(bad, fs=fs)

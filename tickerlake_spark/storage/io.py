@@ -25,6 +25,7 @@ from tickerlake_spark.storage.fs import FS, LOCAL_FS
 
 __all__ = [
     "read_table",
+    "parquet_footer_metadata",
     "write_table",
     "init_table",
     "table_exists",
@@ -178,6 +179,35 @@ def assert_unique_keys(df: DataFrame, keys: list[str]) -> None:
 EXACT_STAT_PHYSICAL = {"INT32", "INT64", "INT96", "FLOAT", "DOUBLE", "BOOLEAN"}
 
 
+def parquet_footer_metadata(path: str, fs: FS = LOCAL_FS, guess: int = 64 * 1024):
+    """Parquet ``FileMetaData`` from O(footer) bytes — ranged tail reads
+    only, never the data pages (VERDICT r10 item 3: the previous
+    ``pq.ParquetFile(fs.open_read(f))`` streamed the WHOLE object through
+    the driver on the Hadoop adapter, so a snapshot commit's footer probes
+    cost the table itself at scale).
+
+    One ``read_tail`` of ``guess`` bytes covers the common case (Spark's
+    zstd footers are a few KB); a footer larger than the guess costs
+    exactly one more tail read of the exact size. The fabricated
+    ``PAR1 + footer`` buffer works because ``pq.read_metadata`` only ever
+    seeks from the END (footer length + magic), never into the data pages
+    the buffer omits."""
+    import pyarrow.parquet as pq
+
+    size = fs.getsize(path)
+    tail = fs.read_tail(path, min(size, guess))
+    if len(tail) < 8 or tail[-4:] != b"PAR1":
+        raise ValueError(f"not a parquet file (bad magic): {path!r}")
+    need = int.from_bytes(tail[-8:-4], "little") + 8
+    if need + 4 > size:
+        raise ValueError(f"corrupt parquet footer length in {path!r}")
+    if need > len(tail):
+        tail = fs.read_tail(path, need)
+    import io as _io
+
+    return pq.read_metadata(_io.BytesIO(b"PAR1" + tail[-need:]))
+
+
 def stats_minmax_exact(st) -> bool:
     """True iff this row-group statistics object's min AND max are safe to
     treat as exact values (see ``EXACT_STAT_PHYSICAL``)."""
@@ -235,14 +265,12 @@ def parquet_stats_max(path: str, column: str, fs: FS = LOCAL_FS):
     walk and the footer reads go through the ``fs`` protocol, so an
     object-store adapter serves the probe from ranged GETs unchanged.
     """
-    import pyarrow.parquet as pq
-
     if not table_exists(path, fs=fs):
         return None
     files = _data_files(path, fs=fs)
     mx = None
     for f in files:
-        md = pq.ParquetFile(fs.open_read(f)).metadata
+        md = parquet_footer_metadata(f, fs=fs)
         try:
             idx = md.schema.names.index(column)
         except ValueError:
@@ -271,12 +299,10 @@ def parquet_stats_all_non_null(path: str, columns: list[str], fs: FS = LOCAL_FS)
     indicator fast path on the silver full rewrite, VERDICT r8 item 3).
     Skips '_'/'.'-prefixed paths like ``parquet_stats_max``.
     """
-    import pyarrow.parquet as pq
-
     if not table_exists(path, fs=fs):
         return None
     for f in _data_files(path, fs=fs):
-        md = pq.ParquetFile(fs.open_read(f)).metadata
+        md = parquet_footer_metadata(f, fs=fs)
         idxs = []
         for c in columns:
             try:

@@ -140,12 +140,19 @@ def _file_entry(f: str, base: str, stats_cols, fs: FS) -> dict:
     """Manifest entry for one data file: relative path, byte size, row
     count, and exact min/max for the requested columns. The footer read
     doubles as a commit-time completeness check — a torn or corrupt file
-    fails HERE, before the manifest that would publish it exists."""
-    import pyarrow.parquet as pq
+    fails HERE, before the manifest that would publish it exists.
 
-    from tickerlake_spark.storage.io import stats_minmax_exact
+    O(footer) IO: ``parquet_footer_metadata`` reads the file's TAIL via
+    ranged reads (one GET on object stores), never the data pages — a
+    commit's metadata cost is footers, not the table (VERDICT r10 item 3:
+    the previous whole-object ``open_read`` streamed every committed file
+    through the driver on the Hadoop adapter)."""
+    from tickerlake_spark.storage.io import (
+        parquet_footer_metadata,
+        stats_minmax_exact,
+    )
 
-    md = pq.ParquetFile(fs.open_read(f)).metadata
+    md = parquet_footer_metadata(f, fs=fs)
     entry = {
         "path": f[len(base.rstrip("/")) + 1:],
         "bytes": fs.getsize(f),
@@ -183,22 +190,32 @@ def _write_commit_files(
 ) -> list[dict]:
     """Write ``df`` as a fresh immutable commit dir and return its
     manifest file entries. The write goes through Spark (any Hadoop FS);
-    the footer probes go through ``fs``."""
+    the footer probes go through ``fs`` — in a thread pool, because they
+    are pure IO waits (ranged GETs) and a many-file commit probed
+    serially would turn driver latency x file-count into commit time."""
+    from concurrent.futures import ThreadPoolExecutor
+
     base = path.rstrip("/")
     cdir = f"{base}/{_DATA}/c{uuid.uuid4().hex[:12]}"
     df.write.parquet(cdir)
-    files = []
+    paths = []
     for r, dirs, names in fs.walk(cdir):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        for n in sorted(names):
-            if n.endswith(".parquet") and not n.startswith(("_", ".")):
-                e = _file_entry(f"{r.rstrip('/')}/{n}", base, stats_cols, fs)
-                # empty part-files (Spark writes one per rowless task)
-                # carry no stats, so they'd survive every prune and be
-                # rewritten by every upsert — drop them at the source
-                if e["rows"] > 0:
-                    files.append(e)
-    return files
+        paths.extend(
+            f"{r.rstrip('/')}/{n}"
+            for n in sorted(names)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+    if not paths:
+        return []
+    with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
+        entries = list(
+            pool.map(lambda f: _file_entry(f, base, stats_cols, fs), paths)
+        )
+    # empty part-files (Spark writes one per rowless task) carry no stats,
+    # so they'd survive every prune and be rewritten by every upsert —
+    # drop them at the source. Order is preserved by pool.map.
+    return [e for e in entries if e["rows"] > 0]
 
 
 def _try_commit(path: str, manifest: dict, version: int, fs: FS) -> bool:
