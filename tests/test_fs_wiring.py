@@ -51,6 +51,16 @@ FS_TAKING = {
     "swap_partition_dir",
     "table_file_stats",
     "drop_table",
+    # snapshot-aware read dispatch + the snapshot primitives themselves
+    "read_table",
+    "is_snapshot_table",
+    "snap_read",
+    "snap_write",
+    "snap_upsert",
+    "snap_vacuum",
+    "snap_compact",
+    "snap_stats_max",
+    "snap_current_version",
 }
 
 # orchestration modules that carry a catalog (and so have NO excuse to let

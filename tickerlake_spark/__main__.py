@@ -139,15 +139,32 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"cmd": "clean", "dropped": dropped}))
             return 0
         if args.cmd == "maintain":
-            from tickerlake_spark.storage.maintenance import compact_table
-
-            stats = compact_table(
-                spark,
-                args.table,
-                target_file_bytes=args.target_file_mb * 1024 * 1024,
-                zorder_by=args.zorder.split(",") if args.zorder else None,
-                fs=lake_fs,
+            from tickerlake_spark.storage.snapshots import (
+                is_snapshot_table,
+                snap_compact,
+                snap_vacuum,
             )
+
+            if is_snapshot_table(args.table, fs=lake_fs):
+                # snapshot tables: OPTIMIZE is a commit, reclamation is
+                # version retention — never a directory swap
+                stats = snap_compact(
+                    spark,
+                    args.table,
+                    target_file_bytes=args.target_file_mb * 1024 * 1024,
+                    fs=lake_fs,
+                )
+                stats.update(snap_vacuum(args.table, keep_last=3, fs=lake_fs))
+            else:
+                from tickerlake_spark.storage.maintenance import compact_table
+
+                stats = compact_table(
+                    spark,
+                    args.table,
+                    target_file_bytes=args.target_file_mb * 1024 * 1024,
+                    zorder_by=args.zorder.split(",") if args.zorder else None,
+                    fs=lake_fs,
+                )
             print(json.dumps({"cmd": "maintain", "table": args.table, **stats}))
             return 0
         if args.cmd == "curate":

@@ -144,7 +144,7 @@ def run_bronze(
     if had_table:
         have = {
             r.date
-            for r in read_table(spark, stocks_path).select("date").distinct().collect()
+            for r in read_table(spark, stocks_path, fs=catalog.fs).select("date").distinct().collect()
         }
         required -= have
     fetched, limit_reached = fetch_dates_parallel(
@@ -181,7 +181,7 @@ def _splits_fingerprint(spark: SparkSession, catalog: Catalog) -> str | None:
     path = catalog.bronze("splits")
     if not table_exists(path, fs=catalog.fs):
         return None
-    df = read_table(spark, path)
+    df = read_table(spark, path, fs=catalog.fs)
     # per-row hashes bounded to 2^31 before the sum: SUM(xxhash64) over a few
     # hundred full-range longs overflows under ANSI mode; pmod keeps the
     # order-insensitive multiset property without the overflow
@@ -207,7 +207,7 @@ def _universe_fingerprint(spark: SparkSession, catalog: Catalog) -> str | None:
     path = catalog.silver("ticker_metadata")
     if not table_exists(path, fs=catalog.fs):
         return None
-    df = read_table(spark, path).select("ticker")
+    df = read_table(spark, path, fs=catalog.fs).select("ticker")
     # Full-width multiset hash (VERDICT r9 item 4): sum of the SIGNED
     # 64-bit xxhash64 accumulated in decimal(38,0) — no mod, no overflow —
     # paired with a bit_xor companion. The previous sum(pmod(h, 2^31-1))
@@ -273,7 +273,7 @@ def should_full_rewrite(
         if recorded is not None:
             return _splits_fingerprint(spark, catalog) != recorded
     n_new = (
-        read_table(spark, catalog.bronze("splits"))
+        read_table(spark, catalog.bronze("splits"), fs=catalog.fs)
         .filter(F.col("execution_date") > F.lit(max_silver).cast("date"))
         .count()
     )
@@ -302,9 +302,9 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
     COVERAGE.md; pinned by test_pipeline.py::test_mixed_universe_semantics.
     """
     timer = _StageTimer()
-    stocks = read_table(spark, catalog.bronze("stocks"))
+    stocks = read_table(spark, catalog.bronze("stocks"), fs=catalog.fs)
     splits = (
-        read_table(spark, catalog.bronze("splits"))
+        read_table(spark, catalog.bronze("splits"), fs=catalog.fs)
         if table_exists(catalog.bronze("splits"), fs=catalog.fs)
         else spark.createDataFrame([], schemas.SPLITS)
     )
@@ -312,7 +312,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
     # ticker_metadata: CS/ETF only (reference: silver/incremental.py:205-236)
     if table_exists(catalog.bronze("tickers"), fs=catalog.fs):
         meta = (
-            read_table(spark, catalog.bronze("tickers"))
+            read_table(spark, catalog.bronze("tickers"), fs=catalog.fs)
             .filter(F.col("type").isin("CS", "ETF"))
             .select("ticker", "name", "type", "primary_exchange", "active", "cik")
         )
@@ -320,7 +320,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
     timer.mark("ticker_metadata")
 
     if table_exists(catalog.silver("ticker_metadata"), fs=catalog.fs):
-        universe = read_table(spark, catalog.silver("ticker_metadata")).select(
+        universe = read_table(spark, catalog.silver("ticker_metadata"), fs=catalog.fs).select(
             "ticker"
         )
         stocks = stocks.join(F.broadcast(universe), "ticker", "left_semi")
@@ -355,7 +355,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
             partition_by="date", fs=catalog.fs,
         )
         timer.mark("daily_aggregates")
-        full_daily = read_table(spark, catalog.silver("daily_aggregates"))
+        full_daily = read_table(spark, catalog.silver("daily_aggregates"), fs=catalog.fs)
     if full:
         # full rewrite: every downstream table recomputes from all history.
         # resample/indicators emerge ticker-clustered from their window
@@ -398,7 +398,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
             )
             masks[out_table] = "ordinal" if non_null else "count"
             ind = compute_indicators(
-                read_table(spark, catalog.silver(src_table)),
+                read_table(spark, catalog.silver(src_table), fs=catalog.fs),
                 assume_non_null=bool(non_null),
             )
             with timer.span(out_table):
@@ -511,9 +511,9 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
         the indicator recompute and the advanced tail that installs the
         O(state) path for every later run."""
         if tails_valid:
-            return read_table(spark, tail_paths[grain])
+            return read_table(spark, tail_paths[grain], fs=catalog.fs)
         built = build_tail(
-            read_table(spark, agg_path).filter(F.col("date") < F.lit(cutoff)),
+            read_table(spark, agg_path, fs=catalog.fs).filter(F.col("date") < F.lit(cutoff)),
             horizon_days=horizon,
             as_of=cutoff,
         ).persist()
@@ -559,7 +559,7 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
         ctx = context_tail(period, catalog.silver(agg_table), bucket_since, horizon)
         # the recomputed rows exactly as stored, via a partition-pruned
         # read-back of the touched bucket partitions (no lineage rerun)
-        delta_stored = read_table(spark, catalog.silver(agg_table)).filter(
+        delta_stored = read_table(spark, catalog.silver(agg_table), fs=catalog.fs).filter(
             F.col("date") >= F.lit(bucket_since)
         )
         ind_delta = indicators_from_tail(ctx, delta_stored, bucket_since)
@@ -676,7 +676,7 @@ def run_gold(
     from tickerlake_spark.operators.vwap import vwap_full, vwap_incremental
 
     timer = _StageTimer()
-    daily = read_table(spark, catalog.silver("daily_aggregates"))
+    daily = read_table(spark, catalog.silver("daily_aggregates"), fs=catalog.fs)
     gold_exists = all(
         table_exists(catalog.gold(t), fs=catalog.fs)
         for t in (
@@ -696,6 +696,8 @@ def run_gold(
         if gold_exists
         else None
     )
+    from tickerlake_spark.storage.snapshots import is_snapshot_table
+
     incremental = (
         checkpoints is not None
         and checkpoints.get("silver_last_mode") == "append"
@@ -707,6 +709,11 @@ def run_gold(
         # forever. The generation counter makes the staleness visible.
         and int(checkpoints.get("gold_silver_generation") or 0)
         == int(checkpoints.get("silver_generation") or 0)
+        # signals are snapshot-committed since r11: a legacy Hive layout
+        # (pre-migration lake) must take one full rebuild — an append
+        # commit onto it would publish a v1 holding only the delta while
+        # the legacy files sit invisible next to it
+        and is_snapshot_table(catalog.gold("vwap_signals"), fs=catalog.fs)
     )
     if incremental:
         # the state checkpoint must be exactly as far along as the signals
@@ -716,7 +723,7 @@ def run_gold(
         # table is small and flat); the aggregate is the stats-less fallback.
         from tickerlake_spark.storage import parquet_stats_max
 
-        state = read_table(spark, catalog.gold("vwap_state"))
+        state = read_table(spark, catalog.gold("vwap_state"), fs=catalog.fs)
         stat = parquet_stats_max(
             catalog.gold("vwap_state"), "last_date", fs=catalog.fs
         )
@@ -765,7 +772,7 @@ def run_gold(
         # persisted: feeds the keyed upsert AND the affected-ticker collect
         # below — one indicator-slice scan instead of two
         new_events = hvc_events(
-            read_table(spark, catalog.silver("daily_indicators")).filter(
+            read_table(spark, catalog.silver("daily_indicators"), fs=catalog.fs).filter(
                 F.col("date") > F.lit(wm)
             ),
             delta,
@@ -803,10 +810,10 @@ def run_gold(
             # range, do not append (an event present yesterday may not
             # exist today)
             bs = _bucket_start(period, wm)
-            ind_slice = read_table(spark, catalog.silver(ind_table)).filter(
+            ind_slice = read_table(spark, catalog.silver(ind_table), fs=catalog.fs).filter(
                 F.col("date") >= F.lit(bs)
             )
-            agg_slice = read_table(spark, catalog.silver(agg_table)).filter(
+            agg_slice = read_table(spark, catalog.silver(agg_table), fs=catalog.fs).filter(
                 F.col("date") >= F.lit(bs)
             )
             ev = hvc_events(ind_slice, agg_slice, threshold=hvc_threshold)
@@ -869,7 +876,7 @@ def run_gold(
             affected = spark.createDataFrame(
                 [(t,) for t in aff_list], "ticker string"
             )
-            all_events = read_table(spark, catalog.gold("hvc_daily"))
+            all_events = read_table(spark, catalog.gold("hvc_daily"), fs=catalog.fs)
             aff_events = all_events.join(F.broadcast(affected), "ticker", "left_semi")
             if len(aff_list) <= 2_000:
                 # hash-bucket partition pruning + parquet In/bloom row-group
@@ -970,13 +977,35 @@ def run_gold(
                 try:
 
                     def _sig_write() -> None:
+                        # vwap_signals is a SNAPSHOT table (r11, VERDICT
+                        # r10 item 4): each full rebuild is one atomic
+                        # manifest commit — readers mid-rebuild keep the
+                        # prior version (the swap journal's mixed-read
+                        # caveat gone), history is time-travelable for the
+                        # audit stamp, and date-clustered files give
+                        # manifest-stat pruning the date layout used to
+                        # give via directories. A legacy Hive-partitioned
+                        # layout migrates by one drop+rewrite (the rebuild
+                        # recomputes everything anyway).
+                        from tickerlake_spark.storage import drop_table
+                        from tickerlake_spark.storage.snapshots import (
+                            is_snapshot_table,
+                            snap_write,
+                        )
+
+                        sig_path = catalog.gold("vwap_signals")
                         with timer.span("vwap_signals"):
-                            write_table(
-                                schemas.conform(
-                                    signals, schemas.VWAP_SIGNALS
-                                ).repartition("date"),
-                                catalog.gold("vwap_signals"),
-                                partition_by="date",
+                            if table_exists(
+                                sig_path, fs=catalog.fs
+                            ) and not is_snapshot_table(sig_path, fs=catalog.fs):
+                                drop_table(sig_path, fs=catalog.fs)
+                            snap_write(
+                                spark,
+                                schemas.conform(signals, schemas.VWAP_SIGNALS),
+                                sig_path,
+                                mode="overwrite",
+                                cluster_by=("date",),
+                                stats_cols=("date",),
                                 fs=catalog.fs,
                             )
 
@@ -1004,7 +1033,7 @@ def run_gold(
                     )
 
             def _hvc_chain() -> None:
-                ind = read_table(spark, catalog.silver("daily_indicators"))
+                ind = read_table(spark, catalog.silver("daily_indicators"), fs=catalog.fs)
                 # the events frame feeds three actions (hvc write + two
                 # stair-step directions); persist it so the indicator scan
                 # and the volume join run once — it is ~2% of ticker-days
@@ -1056,7 +1085,7 @@ def run_gold(
                         ("stairstep_up", "best_patterns"),
                         ("stairstep_down", "best_patterns_down"),
                     ):
-                        best = best_patterns(read_table(spark, catalog.gold(src)))
+                        best = best_patterns(read_table(spark, catalog.gold(src), fs=catalog.fs))
                         write_table(
                             schemas.conform(best, schemas.STAIRSTEP_PATTERNS),
                             catalog.gold(out),
@@ -1073,8 +1102,8 @@ def run_gold(
                     ("monthly_indicators", "monthly_aggregates", "hvc_monthly"),
                 ):
                     ev = hvc_events(
-                        read_table(spark, catalog.silver(ind_table)),
-                        read_table(spark, catalog.silver(agg_table)),
+                        read_table(spark, catalog.silver(ind_table), fs=catalog.fs),
+                        read_table(spark, catalog.silver(agg_table), fs=catalog.fs),
                         threshold=hvc_threshold,
                     )
                     with timer.span(out):
@@ -1115,7 +1144,7 @@ def run_gold(
         from concurrent.futures import ThreadPoolExecutor
 
         def _one_best(src: str, out: str) -> None:
-            best = best_patterns(read_table(spark, catalog.gold(src)))
+            best = best_patterns(read_table(spark, catalog.gold(src), fs=catalog.fs))
             write_table(
                 schemas.conform(best, schemas.STAIRSTEP_PATTERNS),
                 catalog.gold(out),
@@ -1139,11 +1168,20 @@ def run_gold(
         new_signals, new_state = vwap_incremental(
             delta, state, calculated_at=calculated_at
         )
-        write_table(
-            schemas.conform(new_signals, schemas.VWAP_SIGNALS).repartition("date"),
+        # the commit point is now literally a COMMIT: one atomic manifest
+        # append of the delta's date-clustered files (a crash before the
+        # manifest PUT leaves the table exactly at the prior version, so
+        # the watermark that defines the next run's delta never moves on a
+        # partial write)
+        from tickerlake_spark.storage.snapshots import snap_write
+
+        snap_write(
+            spark,
+            schemas.conform(new_signals, schemas.VWAP_SIGNALS),
             catalog.gold("vwap_signals"),
             mode="append",
-            partition_by="date",
+            cluster_by=("date",),
+            stats_cols=("date",),
             fs=catalog.fs,
         )
         timer.mark("vwap_signals")
@@ -1177,13 +1215,25 @@ def run_gold(
     from tickerlake_spark.sql import write_reference_gold_view_ddl
 
     write_reference_gold_view_ddl(catalog)
+    # retention for the snapshot-committed signals table: keep a short
+    # time-travel window (current + two prior versions for the audit
+    # stamp / repeatable reads during maintenance) and reclaim the rest —
+    # without this a daily incremental lake accretes one version per run
+    # forever. Single-writer pipeline: the default (non-orphan) vacuum is
+    # safe here by construction.
+    from tickerlake_spark.storage.snapshots import snap_vacuum
+
+    sig_path = catalog.gold("vwap_signals")
+    if is_snapshot_table(sig_path, fs=catalog.fs):
+        snap_vacuum(sig_path, keep_last=3, fs=catalog.fs)
+    timer.mark("vacuum")
     summary = {
         "mode": "incremental" if incremental else "full",
         "timings": timer.timings,
     }
     if with_counts:
-        summary["vwap_rows"] = read_table(spark, catalog.gold("vwap_signals")).count()
-        summary["hvc_rows"] = read_table(spark, catalog.gold("hvc_daily")).count()
+        summary["vwap_rows"] = read_table(spark, catalog.gold("vwap_signals"), fs=catalog.fs).count()
+        summary["hvc_rows"] = read_table(spark, catalog.gold("hvc_daily"), fs=catalog.fs).count()
     return summary
 
 
@@ -1222,9 +1272,9 @@ def run_validate(
         and table_exists(daily_path, fs=catalog.fs)
     ):
         report = validate_split_adjustment(
-            schemas.conform(read_table(spark, stocks_path), schemas.AGGREGATES),
-            read_table(spark, splits_path),
-            read_table(spark, daily_path),
+            schemas.conform(read_table(spark, stocks_path, fs=catalog.fs), schemas.AGGREGATES),
+            read_table(spark, splits_path, fs=catalog.fs),
+            read_table(spark, daily_path, fs=catalog.fs),
             tolerance=tolerance,
             sample_splits=sample_splits,
         )
@@ -1238,7 +1288,7 @@ def run_validate(
     if table_exists(stocks_path, fs=catalog.fs):
         anomalies = (
             classify_date_counts(
-                read_table(spark, stocks_path), min_records=min_records
+                read_table(spark, stocks_path, fs=catalog.fs), min_records=min_records
             )
             .filter(F.col("status") != "ok")
             .count()
@@ -1249,7 +1299,7 @@ def run_validate(
         ind_path, fs=catalog.fs
     ):
         report = validate_incremental_indicators(
-            read_table(spark, daily_path), read_table(spark, ind_path)
+            read_table(spark, daily_path, fs=catalog.fs), read_table(spark, ind_path, fs=catalog.fs)
         )
         checked = report.count()
         drifted = report.filter(~F.col("ok")).count()

@@ -29,7 +29,7 @@ import os
 from pyspark.sql import SparkSession
 
 from tickerlake_spark.plans.catalog import TABLES, load_table
-from tickerlake_spark.storage import Catalog, table_exists
+from tickerlake_spark.storage import Catalog, read_table, table_exists
 
 __all__ = [
     "register_testdata_views",
@@ -87,7 +87,9 @@ def register_catalog_views(
         for name in names:
             path = catalog.path(layer, name)
             if table_exists(path, fs=catalog.fs):
-                spark.read.parquet(path).createOrReplaceTempView(f"{layer}_{name}")
+                read_table(spark, path, fs=catalog.fs).createOrReplaceTempView(
+                    f"{layer}_{name}"
+                )
                 registered.append(f"{layer}_{name}")
     return registered
 
@@ -118,13 +120,13 @@ def register_reference_gold_views(spark: SparkSession, catalog: Catalog) -> list
     meta_path = catalog.silver("ticker_metadata")
     if not table_exists(meta_path, fs=catalog.fs):
         return []
-    meta = spark.read.parquet(meta_path)
+    meta = read_table(spark, meta_path, fs=catalog.fs)
     registered = []
     for ref_name, table in _REFERENCE_GOLD_VIEWS.items():
         path = catalog.gold(table)
         if not table_exists(path, fs=catalog.fs):
             continue
-        df = spark.read.parquet(path)
+        df = read_table(spark, path, fs=catalog.fs)
         for suffix, ticker_type in _TYPE_SUFFIX.items():
             tickers = meta.filter(meta["type"] == ticker_type).select("ticker")
             view = f"{ref_name}_{suffix}"

@@ -38,12 +38,21 @@ __all__ = [
 _VALID_MODES = ("overwrite", "append")
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Scan a Parquet table (plain or Hive-partitioned directory).
+def read_table(spark: SparkSession, path: str, fs: FS = LOCAL_FS) -> DataFrame:
+    """Scan a table: plain parquet, Hive-partitioned directory, or a
+    manifest-committed SNAPSHOT table (storage/snapshots.py — detected
+    from the ``_snap`` layout and read through its pinned current-version
+    file list, since a bare ``spark.read.parquet`` skips the
+    '_'-prefixed data dir entirely).
 
-    Partition-column recovery and partition pruning are native; filters on
-    partition columns never touch non-matching files.
+    Partition-column recovery and partition pruning are native on the
+    Hive layout; snapshot reads prune via manifest stats at the caller
+    (``snap_read(prune=...)`` for range scans).
     """
+    from tickerlake_spark.storage.snapshots import is_snapshot_table, snap_read
+
+    if is_snapshot_table(path, fs=fs):
+        return snap_read(spark, path, fs=fs)
     return spark.read.parquet(path)
 
 
@@ -353,6 +362,24 @@ def get_max_date(
     """
     if not table_exists(path, fs=fs):
         return None
+    from tickerlake_spark.storage.snapshots import (
+        is_snapshot_table,
+        snap_read,
+        snap_stats_max,
+    )
+
+    if is_snapshot_table(path, fs=fs):
+        # manifest stats: one metadata read, no listing, no Spark job —
+        # the snapshot twin of the partition-directory fast path below
+        mx = snap_stats_max(path, column, fs=fs)
+        if mx is not None:
+            return str(mx)
+        row = (
+            snap_read(spark, path, fs=fs)
+            .agg(F.max(F.col(column).cast("string")).alias("mx"))
+            .first()
+        )
+        return row["mx"] if row and row["mx"] is not None else None
     if fs.isdir(path):
         import re
 

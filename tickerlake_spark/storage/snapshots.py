@@ -67,6 +67,8 @@ from tickerlake_spark.storage.fs import FS, LOCAL_FS
 
 __all__ = [
     "SnapshotConflict",
+    "is_snapshot_table",
+    "snap_stats_max",
     "snap_view",
     "snap_changes",
     "snap_file_diff",
@@ -111,6 +113,37 @@ def _list_versions(path: str, fs: FS) -> list[int]:
 
 def _load(path: str, version: int, fs: FS) -> dict:
     return json.loads(fs.read_bytes(_mpath(path, version)).decode())
+
+
+def is_snapshot_table(path: str, fs: FS = LOCAL_FS) -> bool:
+    """Layout probe: does ``path`` hold a manifest-committed snapshot
+    table? (One directory check — the dispatch key ``storage.io`` uses to
+    route reads/watermarks to the manifest instead of the directory
+    tree.)"""
+    return fs.isdir(f"{path.rstrip('/')}/{_SNAP}")
+
+
+def snap_stats_max(
+    path: str, column: str, version: int | None = None, fs: FS = LOCAL_FS
+):
+    """Max of ``column`` across a snapshot version from the MANIFEST's
+    committed per-file stats — pure metadata (one manifest read), the
+    snapshot twin of ``io.parquet_stats_max``. Returns None when the
+    table is empty or any file lacks usable stats for the column (caller
+    falls back to an aggregate over ``snap_read``)."""
+    v = version if version is not None else snap_current_version(path, fs)
+    if v == 0:
+        return None
+    entries = _load(path, v, fs)["files"]
+    if not entries:
+        return None
+    mx = None
+    for e in entries:
+        st = e.get("stats", {}).get(column)
+        if st is None:
+            return None
+        mx = st["max"] if mx is None or st["max"] > mx else mx
+    return mx
 
 
 def snap_current_version(path: str, fs: FS = LOCAL_FS) -> int:

@@ -66,7 +66,7 @@ def silver_maintenance_batch(
     # streaming hot path buying nothing.
     meta_path = catalog.silver("ticker_metadata")
     if table_exists(meta_path, fs=catalog.fs):
-        universe = read_table(spark, meta_path).select("ticker")
+        universe = read_table(spark, meta_path, fs=catalog.fs).select("ticker")
         batch = batch.join(F.broadcast(universe), "ticker", "left_semi")
     if batch.isEmpty():
         return
@@ -93,7 +93,7 @@ def silver_maintenance_batch(
     )
 
     splits = (
-        read_table(spark, catalog.bronze("splits"))
+        read_table(spark, catalog.bronze("splits"), fs=catalog.fs)
         if table_exists(catalog.bronze("splits"), fs=catalog.fs)
         else spark.createDataFrame([], schemas.SPLITS)
     )
@@ -112,12 +112,12 @@ def silver_maintenance_batch(
     )
 
     new_tails: dict = {}
-    full_daily = read_table(spark, daily_path)
+    full_daily = read_table(spark, daily_path, fs=catalog.fs)
     if tails_valid:
         # post-upsert pruned read-back: with a strictly-forward batch these
         # are exactly the batch's adjusted rows as stored
         delta_stored = full_daily.filter(F.col("date") >= F.lit(since))
-        ctx = read_table(spark, tail_paths["daily"])
+        ctx = read_table(spark, tail_paths["daily"], fs=catalog.fs)
         ind = indicators_from_tail(ctx, delta_stored, since)
         new_tails["daily"] = advance_tail(ctx, delta_stored)
     else:
@@ -153,15 +153,15 @@ def silver_maintenance_batch(
         )
         bucket_since = _bucket_start(period, since)
         if tails_valid:
-            delta_stored = read_table(spark, catalog.silver(agg_table)).filter(
+            delta_stored = read_table(spark, catalog.silver(agg_table), fs=catalog.fs).filter(
                 F.col("date") >= F.lit(bucket_since)
             )
-            ctx = read_table(spark, tail_paths[period])
+            ctx = read_table(spark, tail_paths[period], fs=catalog.fs)
             ind_delta = indicators_from_tail(ctx, delta_stored, bucket_since)
             new_tails[period] = advance_tail(ctx, delta_stored)
         else:
             ind_delta = incremental_indicators(
-                read_table(spark, catalog.silver(agg_table)),
+                read_table(spark, catalog.silver(agg_table), fs=catalog.fs),
                 bucket_since,
                 horizon_days=horizon,
             )
@@ -190,12 +190,63 @@ def silver_maintenance_batch(
                 import datetime as _dt
 
                 nt = build_tail(
-                    read_table(spark, catalog.silver(agg_table)),
+                    read_table(spark, catalog.silver(agg_table), fs=catalog.fs),
                     horizon_days=horizon,
                     as_of=_dt.date.fromisoformat(new_wm),
                 )
             replace_tail(spark, nt, tail_paths[grain], fs=catalog.fs)
         checkpoints.set("silver_tail_as_of", new_wm)
+
+
+def _signals_snapshot_upsert(spark, catalog, sig_conformed: DataFrame) -> None:
+    """MERGE one micro-batch's recomputed signal slice into the
+    snapshot-committed ``gold.vwap_signals`` (r11: the table's writer is
+    ``snap_write``/``snap_upsert`` everywhere — see pipeline.run_gold).
+
+    Replay-idempotent like the old keyed upsert: the slice is a
+    deterministic recompute, and ``snap_upsert`` keyed on (date, ticker)
+    converges a replayed batch to the identical visible table (the
+    superseded version is just one more vacuumable commit). Date leads the
+    key so the file-level prune rewrites only the recent date-range files
+    of the date-clustered layout.
+
+    A legacy Hive-partitioned table (pre-r11 lake resuming under the
+    streaming maintainer) migrates in ONE commit: the legacy rows merge
+    with the batch slice into the initial snapshot version — the manifest
+    PUT atomically flips reads to the snapshot layout — then the dead
+    legacy files are swept (a crash mid-sweep leaves only invisible
+    files; the sweep re-runs next batch)."""
+    from tickerlake_spark.storage.snapshots import (
+        is_snapshot_table,
+        snap_upsert,
+        snap_write,
+    )
+
+    path = catalog.gold("vwap_signals")
+    fs = catalog.fs
+    if is_snapshot_table(path, fs=fs):
+        snap_upsert(
+            spark, path, sig_conformed, keys=["date", "ticker"],
+            stats_cols=("date",), fs=fs, validate_unique=False,
+        )
+        return
+    if table_exists(path, fs=fs):
+        legacy = spark.read.parquet(path).select(*sig_conformed.columns)
+        merged = legacy.join(
+            sig_conformed.select("ticker", "date"), ["ticker", "date"],
+            "left_anti",
+        ).unionByName(sig_conformed)
+    else:
+        merged = sig_conformed
+    snap_write(
+        spark, merged, path, mode="overwrite", cluster_by=("date",),
+        stats_cols=("date",), fs=fs,
+    )
+    # sweep legacy layout leftovers (now invisible to every reader)
+    base = path.rstrip("/")
+    for name in fs.listdir(base):
+        if not name.startswith(("_", ".")):
+            fs.rmtree(f"{base}/{name}")
 
 
 def gold_maintenance_batch(
@@ -259,7 +310,7 @@ def gold_maintenance_batch(
         return
     since = batch.agg(F.min("date")).first()[0]
     tickers = batch.select("ticker").distinct()
-    daily = read_table(spark, catalog.silver("daily_aggregates"))
+    daily = read_table(spark, catalog.silver("daily_aggregates"), fs=catalog.fs)
 
     year_start = _dt.date(since.year, 1, 1)
     aff_daily = daily.join(tickers, "ticker", "left_semi")
@@ -267,14 +318,8 @@ def gold_maintenance_batch(
         aff_daily.filter(F.col("date") >= F.lit(year_start)),
         calculated_at=calculated_at,
     ).filter(F.col("date") >= F.lit(since))
-    upsert_table(
-        spark,
-        catalog.gold("vwap_signals"),
-        schemas.conform(sig, schemas.VWAP_SIGNALS),
-        keys=["ticker", "date"],
-        partition_by="date",
-        validate_unique=False,
-        fs=catalog.fs,
+    _signals_snapshot_upsert(
+        spark, catalog, schemas.conform(sig, schemas.VWAP_SIGNALS)
     )
     # keep the batch pipeline's O(delta) companions in lockstep, so a lake
     # alternating streaming and batch maintenance never forces run_gold back
@@ -349,7 +394,7 @@ def gold_maintenance_batch(
                 fs=catalog.fs,
             )
 
-    ind_slice = read_table(spark, catalog.silver("daily_indicators")).filter(
+    ind_slice = read_table(spark, catalog.silver("daily_indicators"), fs=catalog.fs).filter(
         F.col("date") >= F.lit(since)
     )
     ev = hvc_events(
@@ -370,10 +415,10 @@ def gold_maintenance_batch(
         ("month", "monthly_indicators", "monthly_aggregates", "hvc_monthly"),
     ):
         bs = _bucket_start(period, since)
-        p_ind = read_table(spark, catalog.silver(ind_table)).filter(
+        p_ind = read_table(spark, catalog.silver(ind_table), fs=catalog.fs).filter(
             F.col("date") >= F.lit(bs)
         )
-        p_agg = read_table(spark, catalog.silver(agg_table)).filter(
+        p_agg = read_table(spark, catalog.silver(agg_table), fs=catalog.fs).filter(
             F.col("date") >= F.lit(bs)
         )
         p_ev = hvc_events(p_ind, p_agg, threshold=hvc_threshold)
@@ -387,7 +432,7 @@ def gold_maintenance_batch(
             fs=catalog.fs,
         )
 
-    all_events = read_table(spark, catalog.gold("hvc_daily"))
+    all_events = read_table(spark, catalog.gold("hvc_daily"), fs=catalog.fs)
     aff_events = all_events.join(tickers, "ticker", "left_semi")
     aff_list = sorted(r[0] for r in tickers.collect())
     if len(aff_list) <= 2_000:
@@ -425,7 +470,7 @@ def gold_maintenance_batch(
         ("stairstep_up", "best_patterns"),
         ("stairstep_down", "best_patterns_down"),
     ):
-        best = best_patterns(read_table(spark, catalog.gold(src)))
+        best = best_patterns(read_table(spark, catalog.gold(src), fs=catalog.fs))
         write_table(
             schemas.conform(best, schemas.STAIRSTEP_PATTERNS),
             catalog.gold(out),
