@@ -651,3 +651,174 @@ def test_parquet_footer_metadata_matches_full_parse(spark, tmp_path):
         fh.write(b"definitely not parquet")
     with pytest.raises(ValueError, match="magic"):
         parquet_footer_metadata(bad, fs=fs)
+
+
+# --- split manifests (r11: manifest-list indirection) -------------------------
+
+
+class _MeteredFS(LocalFS):
+    """Counts chunk-object and version-manifest reads."""
+
+    def __init__(self):
+        self.chunk_reads = 0
+        self.manifest_reads = 0
+
+    def read_bytes(self, path):
+        name = path.rsplit("/", 1)[-1]
+        if name.startswith("c-") and name.endswith(".json"):
+            self.chunk_reads += 1
+        if name.startswith("v") and name.endswith(".json"):
+            self.manifest_reads += 1
+        return super().read_bytes(path)
+
+
+@pytest.fixture
+def tiny_chunks(monkeypatch):
+    """Shrink the split knobs so a 10-file table exercises the chunk
+    path: inline at most 2 entries, 2 entries per chunk object."""
+    from tickerlake_spark.storage import snapshots as S
+
+    monkeypatch.setattr(S, "_INLINE_LIMIT", 2)
+    monkeypatch.setattr(S, "_CHUNK_TARGET", 2)
+
+
+def _kv(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .selectExpr("id AS k", "cast(id AS double) AS v")
+        .repartitionByRange(max(1, (hi - lo) // 2), "k")
+        .sortWithinPartitions("k")
+    )
+
+
+def test_split_manifest_roundtrip_and_append_reuse(spark, tmp_path, tiny_chunks):
+    import json as _json
+    import os
+
+    path = str(tmp_path / "t")
+    fs = _MeteredFS()
+    r = snap_write(spark, _kv(spark, 0, 12), path, stats_cols=("k",), fs=fs)
+    assert r["files"] >= 6  # several part files
+    snap_dir = os.path.join(path, "_snap")
+    chunks_v1 = sorted(n for n in os.listdir(snap_dir) if n.startswith("c-"))
+    assert chunks_v1, "entries spilled into chunk objects"
+    m1 = _json.loads(open(os.path.join(snap_dir, "v0000000001.json")).read())
+    assert m1["files"] == [] and len(m1["chunks"]) >= 3
+    # the version manifest stays O(1): a few hundred bytes of refs
+    assert os.path.getsize(os.path.join(snap_dir, "v0000000001.json")) < 4096
+    # full read resolves chunks and returns every row
+    assert snap_read(spark, path, fs=fs).count() == 12
+
+    # APPEND: parent chunk refs carried verbatim, no chunk read at all
+    fs.chunk_reads = 0
+    r2 = snap_write(spark, _kv(spark, 12, 16), path, mode="append",
+                    stats_cols=("k",), fs=fs)
+    assert fs.chunk_reads == 0, "append loaded parent chunks"
+    assert r2["files"] > r["files"]  # reported total spans carried + new
+    m2 = _json.loads(open(os.path.join(snap_dir, "v0000000002.json")).read())
+    parent_refs = {c["path"] for c in m1["chunks"]}
+    child_refs = {c["path"] for c in m2["chunks"]}
+    assert parent_refs <= child_refs, "parent refs reused verbatim"
+    assert snap_read(spark, path, fs=fs).count() == 16
+    # time travel still exact
+    assert snap_read(spark, path, version=1, fs=fs).count() == 12
+
+
+def test_split_manifest_pruned_read_skips_chunks(spark, tmp_path, tiny_chunks):
+    path = str(tmp_path / "t")
+    fs = _MeteredFS()
+    snap_write(spark, _kv(spark, 0, 100), path, stats_cols=("k",), fs=fs)
+    fs.chunk_reads = 0
+    got = snap_read(spark, path, prune=("k", 0, 3), fs=fs)
+    assert got.filter("k <= 3").count() == 4
+    # disjoint k-ranges per chunk: the prune loads only the low chunk(s)
+    assert 0 < fs.chunk_reads <= 2, fs.chunk_reads
+    # stats_max comes from chunk-ref aggregates: zero chunk loads
+    from tickerlake_spark.storage.snapshots import snap_stats_max
+
+    fs.chunk_reads = 0
+    assert snap_stats_max(path, "k", fs=fs) == 99
+    assert fs.chunk_reads == 0
+
+
+def test_split_manifest_upsert_carries_nonoverlapping_chunks(
+    spark, tmp_path, tiny_chunks
+):
+    import json as _json
+    import os
+
+    path = str(tmp_path / "t")
+    fs = _MeteredFS()
+    snap_write(spark, _kv(spark, 0, 100), path, stats_cols=("k",), fs=fs)
+    ups = spark.createDataFrame([(1, 999.0)], "k long, v double")
+    fs.chunk_reads = 0
+    r = snap_upsert(spark, path, ups, keys=["k"], stats_cols=("k",), fs=fs)
+    # only the low-range chunk(s) were loaded and only their files rewritten
+    assert fs.chunk_reads <= 2 and r["rewrote_files"] <= 2
+    m = _json.loads(
+        open(os.path.join(path, "_snap", f"v{r['version']:010d}.json")).read()
+    )
+    assert m.get("chunks"), "non-overlapping chunks carried by reference"
+    cur = snap_read(spark, path, fs=fs)
+    assert cur.count() == 100
+    assert cur.filter("k = 1").first()["v"] == 999.0
+
+
+def test_split_manifest_history_and_changes(spark, tmp_path, tiny_chunks):
+    from tickerlake_spark.storage.snapshots import snap_changes
+
+    path = str(tmp_path / "t")
+    fs = _MeteredFS()
+    snap_write(spark, _kv(spark, 0, 50), path, stats_cols=("k",), fs=fs)
+    snap_write(spark, _kv(spark, 50, 60), path, mode="append",
+               stats_cols=("k",), fs=fs)
+    fs.chunk_reads = 0
+    h = snap_history(path, fs=fs)
+    assert [x["rows"] for x in h] == [50, 60]
+    assert fs.chunk_reads == 0, "history loaded chunks"
+    # incremental consumption: shared parent chunks are skipped unloaded
+    fs.chunk_reads = 0
+    delta = snap_changes(spark, path, since_version=1, fs=fs)
+    assert {r.k for r in delta.collect()} == set(range(50, 60))
+    assert fs.chunk_reads <= 5  # only v2's new chunks, never v1's 25
+
+
+def test_split_manifest_vacuum_reclaims_chunks(spark, tmp_path, tiny_chunks):
+    import os
+
+    path = str(tmp_path / "t")
+    fs = _MeteredFS()
+    snap_write(spark, _kv(spark, 0, 30), path, stats_cols=("k",), fs=fs)
+    snap_write(spark, _kv(spark, 100, 130), path, stats_cols=("k",), fs=fs)
+    snap_dir = os.path.join(path, "_snap")
+    n_before = len([n for n in os.listdir(snap_dir) if n.startswith("c-")])
+    out = snap_vacuum(path, keep_last=1, fs=fs)
+    assert out["dropped_versions"] == 1 and out["deleted_files"] > 0
+    n_after = len([n for n in os.listdir(snap_dir) if n.startswith("c-")])
+    assert n_after < n_before, "dropped version's chunk objects reclaimed"
+    assert snap_read(spark, path, fs=fs).count() == 30
+    # orphaned chunk (simulated lost race) goes with clean_orphans
+    fs.write_file_atomic(os.path.join(snap_dir, "c-deadbeef.json"),
+                         b'{"files": []}')
+    snap_vacuum(path, keep_last=1, clean_orphans=True, fs=fs)
+    assert not os.path.exists(os.path.join(snap_dir, "c-deadbeef.json"))
+    assert snap_read(spark, path, fs=fs).count() == 30
+
+
+def test_split_manifest_compact_folds_indirection(spark, tmp_path, tiny_chunks):
+    import json as _json
+    import os
+
+    from tickerlake_spark.storage.snapshots import snap_compact
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _kv(spark, 0, 40), path, stats_cols=("k",))
+    r = snap_compact(spark, path, small_file_bytes=1 << 20,
+                     target_file_bytes=64 << 20, stats_cols=("k",))
+    assert r["compacted_files"] >= 2
+    m = _json.loads(
+        open(os.path.join(path, "_snap", f"v{r['version']:010d}.json")).read()
+    )
+    # the fold re-materialized entries: few files now, inline again
+    assert not m.get("chunks") and len(m["files"]) == r["files"]
+    assert snap_read(spark, path).count() == 40

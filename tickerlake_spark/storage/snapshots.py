@@ -42,15 +42,25 @@ Tables are read through ``snap_read`` ONLY: the data dir is
 fails fast ("unable to infer schema") instead of silently reading every
 live and dead file.
 
-Manifest scale bound (stated, not hidden): one JSON object holding every
-file entry (~200 B each). At the 128 MB target file size a 100 TB table
-is ~800k files ≈ 160 MB of manifest — workable but at the edge; past
-that, the table wants the open formats' split manifests (a manifest list
-pointing at per-partition manifest files, same commit protocol one level
-up). The single-object design is the right complexity for the state and
-gold tables this engine versions; a table expected to hold millions of
-files should use the Hive-partitioned mutable layer (storage/upsert.py)
-whose metadata IS the directory tree.
+Manifest scale: SPLIT MANIFESTS (r11, the open formats' manifest-list
+indirection). A version manifest inlines its file entries (~200 B each)
+up to ``_INLINE_LIMIT``; past that the entries spill into immutable CHUNK
+objects (``_snap/c-<hex>.json``, ``_CHUNK_TARGET`` entries ≈ 2 MB each)
+written durably BEFORE the version manifest's single CAS PUT — the commit
+protocol is unchanged, one level up. What the indirection buys at the
+100 TB ≈ 800k-file scale the single-object design capped out at:
+
+- APPEND commits carry the parent's chunk refs verbatim — O(new files)
+  metadata written and read per commit, not O(table) (the version
+  manifest stays a few KB while the chunks hold the 160 MB of entries).
+- Chunk refs carry aggregated per-column min/max, so reads prune WHOLE
+  chunks without loading them, and keyed upserts carry non-overlapping
+  chunks by reference (load + rewrite only the overlapping ones).
+- ``snap_file_diff``/``snap_changes`` skip chunks shared by both versions
+  (immutable objects, same ref ⇒ identical entries) — incremental
+  consumption stays O(delta) in metadata too.
+- Vacuum reclaims chunk objects referenced only by dropped versions;
+  ``clean_orphans`` sweeps unreferenced chunks (lost-race leftovers).
 """
 
 from __future__ import annotations
@@ -84,6 +94,13 @@ __all__ = [
 
 _SNAP = "_snap"
 _DATA = "_data"
+
+# split-manifest knobs: a version manifest inlines up to _INLINE_LIMIT file
+# entries; past that they spill into immutable chunk objects of
+# _CHUNK_TARGET entries (~2 MB of JSON each at ~200 B/entry). Tests shrink
+# these to exercise the split path on tiny tables.
+_INLINE_LIMIT = 10_000
+_CHUNK_TARGET = 10_000
 
 
 class SnapshotConflict(RuntimeError):
@@ -134,12 +151,15 @@ def snap_stats_max(
     v = version if version is not None else snap_current_version(path, fs)
     if v == 0:
         return None
-    entries = _load(path, v, fs)["files"]
-    if not entries:
+    m = _load(path, v, fs)
+    if not m.get("files") and not m.get("chunks"):
         return None
     mx = None
-    for e in entries:
-        st = e.get("stats", {}).get(column)
+    # inline entries + chunk-ref aggregates — no chunk object is loaded
+    # (a ref lacking the column means some member lacked usable stats)
+    for st in [
+        e.get("stats", {}).get(column) for e in m.get("files", [])
+    ] + [r.get("stats", {}).get(column) for r in m.get("chunks", ())]:
         if st is None:
             return None
         mx = st["max"] if mx is None or st["max"] > mx else mx
@@ -252,6 +272,10 @@ def _write_commit_files(
 
 
 def _try_commit(path: str, manifest: dict, version: int, fs: FS) -> bool:
+    # spill oversize inline entry lists into chunk objects FIRST: the
+    # chunks are durable before the version manifest's CAS references
+    # them (a lost race leaves them as vacuumable orphans)
+    manifest = _spill_chunks(path, manifest, fs)
     manifest = {**manifest, "version": version, "ts": time.time()}
     return fs.put_if_absent(
         _mpath(path, version), json.dumps(manifest, sort_keys=True).encode()
@@ -318,6 +342,7 @@ def snap_write(
         # TB table dwarfs one metadata GET
         cur = _load(path, cur_v, fs) if cur_v else None
         files = list(new_files)
+        chunks: list = []
         schema_json = df.schema.json()
         if mode == "append" and cur is not None:
             # compare (name, type) — a name-set check alone would let a
@@ -325,7 +350,10 @@ def snap_write(
             # pinned over every OLD file in the version (silently wrong
             # or failing reads on files the batch never touched)
             _check_append_schema(path, cur, df)
-            files = cur["files"] + files
+            # parent CHUNK refs carry verbatim (immutable objects): the
+            # append's metadata cost is O(new files), never O(table)
+            files = cur.get("files", []) + files
+            chunks = list(cur.get("chunks", []))
             # the TABLE's schema stays authoritative across appends
             schema_json = cur["schema_json"]
         manifest = {
@@ -334,11 +362,13 @@ def snap_write(
             "parent": cur_v,
             "schema_json": schema_json,
             "files": files,
+            **({"chunks": chunks} if chunks else {}),
             **_carry_stream_marker(cur),
             **(extra or {}),
         }
+        total = len(files) + sum(r["count"] for r in chunks)
         if _try_commit(path, manifest, cur_v + 1, fs):
-            return {"version": cur_v + 1, "files": len(files), "op": mode}
+            return {"version": cur_v + 1, "files": total, "op": mode}
     raise SnapshotConflict(
         f"lost the commit race {max_retries} times on {path!r}"
     )
@@ -378,44 +408,132 @@ def _carry_stream_marker(cur: dict | None) -> dict:
     return out
 
 
+def _lt(a, b):
+    """a < b when the pair is safely comparable, else None (keep the
+    file). int/float cross-compare exactly in Python, so a float-bounded
+    prune over int-statted files stays selective (r10 nit: the old
+    same-type-only rule silently kept everything there); bools are
+    excluded (True == 1 would alias), strings compare only with strings.
+    Shared by entry-level and chunk-level pruning."""
+    num = (int, float)
+    if isinstance(a, num) and isinstance(b, num) and not (
+        isinstance(a, bool) or isinstance(b, bool)
+    ):
+        return a < b
+    if type(a) is type(b):
+        return a < b
+    return None
+
+
+def _stats_miss(st: dict | None, prune) -> bool:
+    """True iff the recorded [min, max] PROVABLY misses ``prune`` — the
+    single pruning predicate for file entries and chunk refs alike.
+    Missing/partial stats -> False (keep): pruning is only ever an
+    optimization, never a filter."""
+    if prune is None or st is None:
+        return False
+    _col, lo, hi = prune
+    lo_e, hi_e = _enc(lo), _enc(hi)
+    if lo_e is not None and _lt(st["max"], lo_e):
+        return True
+    if hi_e is not None and _lt(hi_e, st["min"]):
+        return True
+    return False
+
+
 def _prune_entries(entries: list[dict], prune) -> list[dict]:
     """Drop entries whose recorded [min, max] provably misses
-    ``prune=(col, lo, hi)`` (either bound may be None). Entries without
-    usable stats for the column are KEPT — pruning is only ever an
-    optimization, never a filter."""
+    ``prune=(col, lo, hi)`` (either bound may be None)."""
     if prune is None:
         return entries
-    col, lo, hi = prune
+    col = prune[0]
+    return [
+        e for e in entries if not _stats_miss(e.get("stats", {}).get(col), prune)
+    ]
 
-    def _lt(a, b):
-        """a < b when the pair is safely comparable, else None (keep the
-        file). int/float cross-compare exactly in Python, so a
-        float-bounded prune over int-statted files stays selective (r10
-        nit: the old same-type-only rule silently kept everything there);
-        bools are excluded (True == 1 would alias), strings compare only
-        with strings."""
-        num = (int, float)
-        if isinstance(a, num) and isinstance(b, num) and not (
-            isinstance(a, bool) or isinstance(b, bool)
-        ):
-            return a < b
-        if type(a) is type(b):
-            return a < b
-        return None
 
-    lo_e, hi_e = _enc(lo), _enc(hi)
-    kept = []
+# --- split manifests: chunk objects ------------------------------------------
+
+
+def _cpath(path: str, name: str) -> str:
+    return f"{path.rstrip('/')}/{_SNAP}/{name}"
+
+
+def _agg_chunk_stats(entries: list[dict]) -> dict:
+    """Chunk-level stats: column -> {min, max} aggregated over member
+    entries, recorded only for columns EVERY member has stats for (a
+    partial aggregate would wrongly prune the statless members)."""
+    cols = None
     for e in entries:
-        st = e.get("stats", {}).get(col)
-        if st is None:
-            kept.append(e)
+        st = e.get("stats")
+        if not st:
+            return {}
+        cols = set(st) if cols is None else cols & set(st)
+    out = {}
+    for c in sorted(cols or ()):
+        out[c] = {
+            "min": min(e["stats"][c]["min"] for e in entries),
+            "max": max(e["stats"][c]["max"] for e in entries),
+        }
+    return out
+
+
+def _spill_chunks(path: str, manifest: dict, fs: FS) -> dict:
+    """Manifest-list indirection: when the inline entry list exceeds
+    ``_INLINE_LIMIT``, spill it into immutable chunk objects (durable
+    BEFORE the version manifest's CAS references them) and keep only the
+    chunk refs — count/rows/bytes/stats per ref, so listings, watermarks,
+    and chunk-level pruning never load a chunk. Chunks a lost commit race
+    orphans are swept by ``snap_vacuum(clean_orphans=True)``."""
+    files = manifest.get("files", [])
+    if len(files) <= _INLINE_LIMIT:
+        return manifest
+    chunks = list(manifest.get("chunks", []))
+    for i in range(0, len(files), _CHUNK_TARGET):
+        part = files[i:i + _CHUNK_TARGET]
+        name = f"c-{uuid.uuid4().hex}.json"
+        fs.write_file_atomic(
+            _cpath(path, name),
+            json.dumps({"files": part}, sort_keys=True).encode(),
+        )
+        chunks.append(
+            {
+                "path": name,
+                "count": len(part),
+                "rows": sum(e.get("rows") or 0 for e in part),
+                "bytes": sum(e.get("bytes") or 0 for e in part),
+                "stats": _agg_chunk_stats(part),
+            }
+        )
+    out = dict(manifest)
+    out["files"] = []
+    out["chunks"] = chunks
+    return out
+
+
+def _load_chunk(path: str, name: str, fs: FS) -> list[dict]:
+    return json.loads(fs.read_bytes(_cpath(path, name)).decode())["files"]
+
+
+def _entries(path: str, m: dict, fs: FS, prune=None) -> list[dict]:
+    """All file entries of a version, chunk refs resolved. With ``prune``,
+    whole chunks whose aggregated [min, max] provably miss are SKIPPED
+    without loading; surviving entries are pruned entry-level."""
+    out = list(m.get("files", []))
+    col = prune[0] if prune is not None else None
+    for ref in m.get("chunks", ()):
+        if prune is not None and _stats_miss(
+            ref.get("stats", {}).get(col), prune
+        ):
             continue
-        if lo_e is not None and _lt(st["max"], lo_e):
-            continue
-        if hi_e is not None and _lt(hi_e, st["min"]):
-            continue
-        kept.append(e)
-    return kept
+        out.extend(_load_chunk(path, ref["path"], fs))
+    return _prune_entries(out, prune)
+
+
+def _count_files(m: dict) -> int:
+    return len(m.get("files", [])) + sum(
+        r["count"] for r in m.get("chunks", ())
+    )
 
 
 def snap_read(
@@ -439,7 +557,7 @@ def snap_read(
         raise FileNotFoundError(f"no snapshot versions at {path!r}")
     m = _load(path, v, fs)
     schema = StructType.fromJson(json.loads(m["schema_json"]))
-    entries = _prune_entries(m["files"], prune)
+    entries = _entries(path, m, fs, prune)
     if not entries:
         return spark.createDataFrame([], schema)
     base = path.rstrip("/")
@@ -497,20 +615,34 @@ def snap_upsert(
     base = path.rstrip("/")
 
     # file-level pruning on the first key column with committed stats:
-    # files whose [min, max] cannot contain any update key survive as-is
+    # files whose [min, max] cannot contain any update key survive as-is.
+    # Chunk refs prune FIRST: a chunk whose aggregated range misses the
+    # batch is carried into the new version BY REFERENCE — its entries are
+    # never even loaded (the split-manifest win for keyed merges).
     pk = keys[0]
     bounds = updates.agg(
         F.min(pk).alias("lo"), F.max(pk).alias("hi")
     ).collect()[0]
-    entries = m["files"]
+    prune = (pk, bounds["lo"], bounds["hi"])
+    carried_refs, load_refs = [], []
+    for ref in m.get("chunks", ()):
+        if bounds["lo"] is not None and _stats_miss(
+            ref.get("stats", {}).get(pk), prune
+        ):
+            carried_refs.append(ref)
+        else:
+            load_refs.append(ref)
+    loaded = list(m.get("files", []))
+    for ref in load_refs:
+        loaded.extend(_load_chunk(path, ref["path"], fs))
     if bounds["lo"] is not None and all(
-        pk in e.get("stats", {}) for e in entries
+        pk in e.get("stats", {}) for e in loaded
     ):
-        overlap = _prune_entries(entries, (pk, bounds["lo"], bounds["hi"]))
+        overlap = _prune_entries(loaded, prune)
     else:
-        overlap = list(entries)
+        overlap = list(loaded)
     overlap_paths = {e["path"] for e in overlap}
-    carried = [e for e in entries if e["path"] not in overlap_paths]
+    carried = [e for e in loaded if e["path"] not in overlap_paths]
 
     schema = StructType.fromJson(json.loads(m["schema_json"]))
     if overlap:
@@ -529,6 +661,7 @@ def snap_upsert(
         "parent": cur_v,
         "schema_json": m["schema_json"],
         "files": carried + new_files,
+        **({"chunks": carried_refs} if carried_refs else {}),
         **_carry_stream_marker(m),
     }
     if not _try_commit(path, manifest, cur_v + 1, fs):
@@ -538,7 +671,8 @@ def snap_upsert(
         )
     return {
         "version": cur_v + 1,
-        "files": len(carried) + len(new_files),
+        "files": len(carried) + len(new_files)
+        + sum(r["count"] for r in carried_refs),
         "op": "upsert",
         "rewrote_files": len(overlap),
     }
@@ -552,14 +686,28 @@ def snap_file_diff(
 ) -> dict:
     """Manifest-level diff between two versions: file entries present
     only in the newer ({'added'}) and only in the older ({'removed'}).
-    Pure metadata — two manifest reads, no data IO."""
+    Pure metadata — manifest reads, no data IO. Chunk objects referenced
+    by BOTH versions are skipped unloaded (immutable: same ref ⇒
+    identical entries), so the diff of an append against its ancestor
+    reads O(delta) metadata even on a split-manifest table."""
     v = version if version is not None else snap_current_version(path, fs)
-    new = {e["path"]: e for e in _load(path, v, fs)["files"]} if v else {}
-    old = (
-        {e["path"]: e for e in _load(path, since_version, fs)["files"]}
-        if since_version
-        else {}
-    )
+
+    def _side(vv):
+        if not vv:
+            return {}, {}
+        m = _load(path, vv, fs)
+        return (
+            {e["path"]: e for e in m.get("files", [])},
+            {r["path"]: r for r in m.get("chunks", ())},
+        )
+
+    new, new_refs = _side(v)
+    old, old_refs = _side(since_version)
+    shared = new_refs.keys() & old_refs.keys()
+    for name in new_refs.keys() - shared:
+        new.update({e["path"]: e for e in _load_chunk(path, name, fs)})
+    for name in old_refs.keys() - shared:
+        old.update({e["path"]: e for e in _load_chunk(path, name, fs)})
     return {
         "added": [new[p] for p in sorted(new.keys() - old.keys())],
         "removed": [old[p] for p in sorted(old.keys() - new.keys())],
@@ -624,14 +772,18 @@ def snap_history(path: str, fs: FS = LOCAL_FS) -> list[dict]:
     out = []
     for v in _list_versions(path, fs):
         m = _load(path, v, fs)
-        rows = sum(e.get("rows") or 0 for e in m["files"])
+        # chunk refs carry aggregated rows/counts: the history never
+        # loads a chunk object
+        rows = sum(e.get("rows") or 0 for e in m.get("files", [])) + sum(
+            r.get("rows") or 0 for r in m.get("chunks", ())
+        )
         out.append(
             {
                 "version": v,
                 "op": m.get("op"),
                 "parent": m.get("parent"),
                 "ts": m.get("ts"),
-                "files": len(m["files"]),
+                "files": _count_files(m),
                 "rows": rows,
             }
         )
@@ -661,10 +813,14 @@ def snap_compact(
     if cur_v == 0:
         return {"version": 0, "compacted_files": 0}
     m = _load(path, cur_v, fs)
-    small = [e for e in m["files"] if e["bytes"] < small_file_bytes]
+    # loads every chunk (maintenance-path cost, like the data fold itself)
+    # and re-materializes the survivors — compaction is also the metadata
+    # OPTIMIZE that folds accreted chunk indirection back down
+    entries = _entries(path, m, fs)
+    small = [e for e in entries if e["bytes"] < small_file_bytes]
     if len(small) < 2:
         return {"version": cur_v, "compacted_files": 0}
-    carried = [e for e in m["files"] if e["bytes"] >= small_file_bytes]
+    carried = [e for e in entries if e["bytes"] >= small_file_bytes]
     base = path.rstrip("/")
     schema = StructType.fromJson(json.loads(m["schema_json"]))
     df = spark.read.schema(schema).parquet(
@@ -794,25 +950,38 @@ def snap_vacuum(
         return {"dropped_versions": 0, "deleted_files": 0}
     retained = versions[-keep_last:]
     dropped = [v for v in versions if v not in retained]
-    keep_files = set()
+    keep_files: set = set()
+    keep_chunks: set = set()
     for v in retained:
-        keep_files.update(e["path"] for e in _load(path, v, fs)["files"])
+        m = _load(path, v, fs)
+        keep_files.update(e["path"] for e in _entries(path, m, fs))
+        keep_chunks.update(r["path"] for r in m.get("chunks", ()))
     deleted = 0
-    drop_files = set()
+    drop_files: set = set()
+    drop_chunks: set = set()
     for v in dropped:
-        drop_files.update(e["path"] for e in _load(path, v, fs)["files"])
-    # manifests FIRST, then their exclusive files: a crash in between
-    # leaves only unreferenced orphans (clean_orphans territory), never a
-    # listed manifest whose time-travel read dies mid-scan on missing
-    # files
+        m = _load(path, v, fs)
+        drop_files.update(e["path"] for e in _entries(path, m, fs))
+        drop_chunks.update(r["path"] for r in m.get("chunks", ()))
+    # manifests FIRST, then chunk objects, then their exclusive files: a
+    # crash anywhere in between leaves only unreferenced orphans
+    # (clean_orphans territory), never a listed manifest whose time-travel
+    # read dies mid-scan on missing chunks or files
     for v in dropped:
         fs.remove(_mpath(path, v))
+    for name in sorted(drop_chunks - keep_chunks):
+        fs.remove(_cpath(path, name))
     for rel in sorted(drop_files - keep_files):
         fs.remove(f"{base}/{rel}")
         deleted += 1
     if clean_orphans:
         # the dropped manifests are gone: anything under the data root not
-        # referenced by a retained version is dead weight
+        # referenced by a retained version is dead weight — and so is any
+        # chunk object no retained manifest lists (lost commit races)
+        snap_dir = f"{base}/{_SNAP}"
+        for n in fs.listdir(snap_dir):
+            if n.startswith("c-") and n.endswith(".json") and n not in keep_chunks:
+                fs.remove(f"{snap_dir}/{n}")
         data_root = f"{base}/{_DATA}"
         if fs.isdir(data_root):
             for r, _dirs, names in fs.walk(data_root):
