@@ -35,9 +35,59 @@ from tickerlake_spark.storage import Catalog, read_table, table_exists, upsert_t
 
 __all__ = [
     "silver_maintenance_batch",
+    "silver_consume_snapshot",
     "gold_maintenance_batch",
     "stream_bronze_to_silver",
 ]
+
+
+def silver_consume_snapshot(
+    spark: SparkSession,
+    catalog: Catalog,
+    checkpoints,
+    bronze_path: str | None = None,
+) -> dict:
+    """Version-based incremental silver (VERDICT r10 item 6): consume a
+    bronze SNAPSHOT table's deltas by checkpointed version instead of
+    watermark filters.
+
+    Where the watermark path prunes bronze on ``date > watermark`` (and is
+    therefore blind to corrections of already-consumed dates), this
+    consumer checkpoints the last bronze VERSION it processed and reads
+    exactly the files added since (``snap_changes`` — a manifest diff, no
+    listing, no date filter):
+
+    - append/stream commits deliver exactly their new rows;
+    - an UPSERT commit (a corrected historical bar) re-delivers the
+      rewritten files' rows — at-least-once on rewritten keys, which is
+      safe here BY CONSTRUCTION: ``silver_maintenance_batch`` recomputes
+      deterministic slices and merges them through (ticker, date)-keyed
+      upserts, so re-delivered unchanged rows converge to the identical
+      silver tables while the corrected rows propagate through every
+      indicator/resample window that straddles them (the batch fails the
+      strictly-forward tail gate and takes the horizon recompute).
+
+    Returns {"mode": "noop"} when bronze hasn't advanced. The consumed
+    version is committed AFTER the batch applies; a crash in between
+    re-delivers the delta on retry — the same idempotent-converge
+    contract as a replayed micro-batch.
+    """
+    from tickerlake_spark.storage.snapshots import (
+        snap_changes,
+        snap_current_version,
+    )
+
+    path = bronze_path or catalog.bronze("stocks")
+    cur = snap_current_version(path, fs=catalog.fs)
+    consumed = int(checkpoints.get("silver_bronze_version") or 0)
+    if cur == consumed:
+        return {"mode": "noop", "version": cur}
+    delta = snap_changes(
+        spark, path, since_version=consumed, version=cur, fs=catalog.fs
+    )
+    silver_maintenance_batch(spark, catalog, delta, checkpoints=checkpoints)
+    checkpoints.set("silver_bronze_version", cur)
+    return {"mode": "incremental", "from_version": consumed, "version": cur}
 
 
 def silver_maintenance_batch(
