@@ -310,6 +310,8 @@ _COST_RANK = [
     "q145_fuzzy_join_edits",
     "q136_pagerank",
     "q153_snapshot_merge",  # three snapshot commits (2 writes + upsert)
+    "q154_snapshot_split_manifest",  # chunked manifests + pruned read
+    "q155_snapshot_changes",  # version-bounded incremental delta
 ]
 
 
