@@ -201,12 +201,18 @@ def run(
         t0 = time.perf_counter()
         silver_summary = run_silver(spark, catalog, checkpoints)
         t_silver = time.perf_counter() - t0
+        # mid-run disk probes (VERDICT r9/r10 item 8): a launch probe alone
+        # can miss a throttle that sets in mid-run (and vice versa) — stamp
+        # the sustained condition right after the write-heavy stages, outside
+        # the timed sections.
+        mid_silver = host_conditions(os.path.dirname(root) or ".", probe_mb=probe_mb)
 
         t0 = time.perf_counter()
         gold_summary = run_gold(
             spark, catalog, checkpoints=checkpoints, with_counts=False
         )
         t_gold = time.perf_counter() - t0
+        mid_gold = host_conditions(os.path.dirname(root) or ".", probe_mb=probe_mb)
 
         # incremental path, TWO single-day appends: the first one after a
         # full rewrite is the MIGRATION append (it still scans the horizon
@@ -279,6 +285,8 @@ def run(
             # context a cross-run comparison needs (see host_conditions)
             "host": {
                 **host_before,
+                "disk_write_mb_s_after_silver": mid_silver["disk_write_mb_s"],
+                "disk_write_mb_s_after_gold": mid_gold["disk_write_mb_s"],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             },
             "silver_daily_rows": daily_rows,
