@@ -679,7 +679,7 @@ def test_gold_incremental_crash_retry_converges(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from tickerlake_spark.operators.closes import append_closes_extract
-    from tickerlake_spark.storage import get_max_date, upsert_table
+    from tickerlake_spark.storage import get_max_date
     from tickerlake_spark import schemas as _schemas
     from tickerlake_spark.operators.hvc import hvc_events
 
@@ -748,12 +748,17 @@ def test_gold_incremental_crash_retry_converges(spark, tmp_path):
         ),
         delta,
     )
-    upsert_table(
+    # the same MERGE commit run_gold's pre-commit phase issues (r11:
+    # hvc_daily is a snapshot table — the retry's re-merge of the same
+    # delta must converge instead of doubling)
+    from tickerlake_spark.storage.snapshots import snap_upsert
+
+    snap_upsert(
         spark,
         cat_a.gold("hvc_daily"),
         _schemas.conform(new_events, _schemas.HVC_EVENTS),
-        keys=["ticker", "date"],
-        partition_by="date",
+        keys=["date", "ticker"],
+        stats_cols=("date",),
         validate_unique=False,
     )
 
@@ -1136,3 +1141,74 @@ def test_full_rebuilds_leak_no_caches(spark, tmp_path):
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     added = after - before
     assert not added, f"full rebuild leaked {len(added)} cached RDDs"
+
+
+def test_gold_fact_tables_snapshot_committed_and_versioned(spark, tmp_path):
+    """r11 (extends VERDICT r10 item 4): the signal AND HVC fact tables are
+    manifest-committed — the full build is version 1 of each, an
+    incremental run advances them atomically, and the pre-append version
+    stays readable (time travel) inside the vacuum retention window."""
+    from tickerlake_spark.pipeline import _SNAP_GOLD_TABLES
+    from tickerlake_spark.storage.snapshots import (
+        is_snapshot_table,
+        snap_current_version,
+        snap_read,
+    )
+
+    cat = Catalog(root=str(tmp_path / "data"))
+    cp = Checkpoints(str(tmp_path / "cp.json"))
+    days = trading_days(D(2024, 1, 2), D(2024, 2, 2))
+    src = _source(days)
+    run_bronze(spark, src, cat, cp, days[0], days[-2])
+    run_silver(spark, cat, cp)
+    g1 = run_gold(spark, cat, hvc_threshold=0.5, min_steps=2, checkpoints=cp)
+    assert g1["mode"] == "full"
+    for t in _SNAP_GOLD_TABLES:
+        assert is_snapshot_table(cat.gold(t)), t
+        assert snap_current_version(cat.gold(t)) == 1, t
+    hvc_v1_rows = snap_read(spark, cat.gold("hvc_daily"), version=1).count()
+    assert hvc_v1_rows > 0  # threshold 0.5 on flat volume -> every MA day
+
+    run_bronze(spark, src, cat, cp, days[0], days[-1])
+    assert run_silver(spark, cat, cp)["mode"] == "append"
+    g2 = run_gold(spark, cat, hvc_threshold=0.5, min_steps=2, checkpoints=cp)
+    assert g2["mode"] == "incremental"
+    # every fact table advanced exactly one version: signals via the
+    # append commit, hvc_daily via the keyed merge, the faces via the
+    # open-bucket range replace
+    for t in _SNAP_GOLD_TABLES:
+        assert snap_current_version(cat.gold(t)) == 2, t
+    # time travel: the pre-append hvc_daily is still exactly itself
+    assert snap_read(spark, cat.gold("hvc_daily"), version=1).count() == hvc_v1_rows
+    assert snap_read(spark, cat.gold("hvc_daily")).count() > hvc_v1_rows
+
+
+def test_gold_relation_sql_layout_dispatch(spark, tmp_path):
+    """The published-view DDL's relation for a gold table: plain path on
+    the Hive layout; on a SNAPSHOT table a pinned-file-list UNION ALL that
+    executes; on an EMPTY snapshot version a typed zero-row relation."""
+    import datetime as dtm
+
+    from tickerlake_spark.sql import _gold_relation_sql
+    from tickerlake_spark.storage import write_table
+    from tickerlake_spark.storage.snapshots import snap_write
+
+    cat = Catalog(root=str(tmp_path / "lake"))
+    ev = spark.createDataFrame(
+        [("AAPL", dtm.date(2024, 1, 8), 5.0)],
+        "ticker string, date date, volume_ratio double",
+    )
+    # Hive layout
+    write_table(ev, cat.gold("hvc_daily"), partition_by="date")
+    assert _gold_relation_sql(cat, "hvc_daily") == f"parquet.`{cat.gold('hvc_daily')}`"
+    # snapshot layout: relation executes and returns the committed rows
+    snap_write(spark, ev, cat.gold("hvc_weekly"), stats_cols=("date",))
+    rel = _gold_relation_sql(cat, "hvc_weekly")
+    assert "UNION ALL" in rel or rel.count("parquet.`") == 1
+    assert spark.sql(f"SELECT COUNT(*) AS n FROM {rel}").first()["n"] == 1
+    # empty snapshot version: typed zero-row relation still executes
+    snap_write(spark, ev.limit(0), cat.gold("hvc_monthly"))
+    rel0 = _gold_relation_sql(cat, "hvc_monthly")
+    out = spark.sql(f"SELECT * FROM {rel0}")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["ticker", "date", "volume_ratio"]

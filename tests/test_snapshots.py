@@ -822,3 +822,172 @@ def test_split_manifest_compact_folds_indirection(spark, tmp_path, tiny_chunks):
     # the fold re-materialized entries: few files now, inline again
     assert not m.get("chunks") and len(m["files"]) == r["files"]
     assert snap_read(spark, path).count() == 40
+
+
+# --- snap_replace_where (r11): range-scoped replace as one commit -------------
+
+
+def test_replace_where_basic_range_and_carry(spark, tmp_path):
+    """Replace the February slice: rows may DISAPPEAR (the keyed-upsert
+    can't express that); the January file is carried by reference."""
+    from tickerlake_spark.storage.snapshots import _load, snap_replace_where
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1).coalesce(1), path, stats_cols=("d",))
+    snap_write(spark, _df(spark, R2).coalesce(1), path, mode="append",
+               stats_cols=("d",))
+    # two Feb rows become ONE different row
+    rep = _df(spark, [("Z", dt.date(2024, 2, 15), 9.0)])
+    r = snap_replace_where(
+        spark, path, rep, "d", dt.date(2024, 2, 1), dt.date(2024, 2, 28)
+    )
+    assert r["op"] == "replace_where" and r["rewrote_files"] == 1
+    assert _rows(snap_read(spark, path)) == set(R1) | {
+        ("Z", dt.date(2024, 2, 15), 9.0)
+    }
+    # time travel: the pre-replace version still reads exactly
+    assert _rows(snap_read(spark, path, version=2)) == set(R1) | set(R2)
+    # the January file is the SAME path in both manifests (never rewritten)
+    f2 = {e["path"] for e in _load(path, 2, LocalFS())["files"]}
+    f3 = {e["path"] for e in _load(path, 3, LocalFS())["files"]}
+    assert len(f2 & f3) == 1
+
+
+def test_replace_where_open_upper_bound_and_empty_replacement(spark, tmp_path):
+    """lo-only range = "everything from here on"; an empty replacement is
+    a pure range DELETE."""
+    from tickerlake_spark.storage.snapshots import snap_replace_where
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1 + R2), path, stats_cols=("d",))
+    rep = _df(spark, []).limit(0)
+    r = snap_replace_where(spark, path, rep, "d", lo=dt.date(2024, 2, 1))
+    assert r["version"] == 2
+    assert _rows(snap_read(spark, path)) == set(R1)
+
+
+def test_replace_where_validates_replacement_in_range(spark, tmp_path):
+    from tickerlake_spark.storage.snapshots import snap_replace_where
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path, stats_cols=("d",))
+    out_of_range = _df(spark, [("X", dt.date(2024, 3, 1), 1.0)])
+    with pytest.raises(ValueError, match="outside"):
+        snap_replace_where(
+            spark, path, out_of_range, "d",
+            dt.date(2024, 1, 1), dt.date(2024, 1, 31),
+        )
+    null_key = spark.createDataFrame(
+        [("X", None, 1.0)], "k string, d date, v double"
+    )
+    with pytest.raises(ValueError, match="outside"):
+        snap_replace_where(
+            spark, path, null_key, "d",
+            dt.date(2024, 1, 1), dt.date(2024, 1, 31),
+        )
+    # nothing published by either refusal
+    assert snap_current_version(path) == 1
+
+
+def test_replace_where_never_deletes_null_col_rows(spark, tmp_path):
+    """Parquet min/max stats ignore NULLs, so a file whose stats sit fully
+    inside the range can still hold NULL-col rows — they must survive the
+    replace (they don't satisfy the predicate)."""
+    from tickerlake_spark.storage.snapshots import snap_replace_where
+
+    path = str(tmp_path / "t")
+    mixed = spark.createDataFrame(
+        [("A", dt.date(2024, 2, 1), 1.0), ("N", None, 7.0)],
+        "k string, d date, v double",
+    )
+    snap_write(spark, mixed.coalesce(1), path, stats_cols=("d",))
+    rep = _df(spark, [("Z", dt.date(2024, 2, 15), 9.0)])
+    snap_replace_where(
+        spark, path, rep, "d", dt.date(2024, 2, 1), dt.date(2024, 2, 28)
+    )
+    assert _rows(snap_read(spark, path)) == {
+        ("N", None, 7.0), ("Z", dt.date(2024, 2, 15), 9.0)
+    }
+
+
+def test_replace_where_initial_commit(spark, tmp_path):
+    from tickerlake_spark.storage.snapshots import snap_replace_where
+
+    path = str(tmp_path / "t")
+    r = snap_replace_where(
+        spark, path, _df(spark, R1), "d",
+        dt.date(2024, 1, 1), dt.date(2024, 1, 31),
+    )
+    assert r["version"] == 1 and r["rewrote_files"] == 0
+    assert _rows(snap_read(spark, path)) == set(R1)
+
+
+def test_replace_where_conflict_refuses_to_publish(spark, tmp_path):
+    from tickerlake_spark.storage.snapshots import snap_replace_where
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1 + R2), path, stats_cols=("d",))
+
+    class RacingFS(LocalFS):
+        def __init__(self):
+            self.raced = False
+
+        def put_if_absent(self, p, data):
+            if not self.raced and "_snap/v" in p:
+                self.raced = True
+                mine = json.loads(data.decode())
+                parent = json.loads(
+                    self.read_bytes(
+                        p[: p.rindex("v")] + f"v{mine['parent']:010d}.json"
+                    ).decode()
+                )
+                parent.update(version=mine["version"], writer="other",
+                              parent=mine["parent"], op="other")
+                assert super().put_if_absent(p, json.dumps(parent).encode())
+                return False
+            return super().put_if_absent(p, data)
+
+    with pytest.raises(SnapshotConflict):
+        snap_replace_where(
+            spark, path, _df(spark, [("Z", dt.date(2024, 2, 15), 9.0)]),
+            "d", dt.date(2024, 2, 1), dt.date(2024, 2, 28), fs=RacingFS(),
+        )
+    # the stale replace is invisible; the interloper's v2 is current
+    assert _rows(snap_read(spark, path, version=2)) == set(R1) | set(R2)
+
+
+def test_replace_where_split_manifest_carries_chunks(
+    spark, tmp_path, tiny_chunks
+):
+    """On a split-manifest table, chunks provably outside the range are
+    carried by reference without even being LOADED."""
+    from tickerlake_spark.storage.snapshots import snap_replace_where
+
+    path = str(tmp_path / "t")
+    fs = _MeteredFS()
+    snap_write(spark, _kv(spark, 0, 20), path, stats_cols=("k",), fs=fs)
+    fs.chunk_reads = 0
+    rep = (
+        spark.range(2, 4)
+        .selectExpr("id AS k", "cast(id * 100 AS double) AS v")
+    )
+    r = snap_replace_where(spark, path, rep, "k", 2, 3, fs=fs)
+    # disjoint chunks were never read: only the overlapping one(s) loaded
+    assert fs.chunk_reads <= 2
+    got = {(row.k, row.v) for row in snap_read(spark, path, fs=fs).collect()}
+    want = {(k, float(k)) for k in range(20) if k not in (2, 3)}
+    want |= {(2, 200.0), (3, 300.0)}
+    assert got == want
+    assert r["files"] >= 8  # non-overlapping entries carried
+
+
+def test_upsert_empty_batch_is_noop_not_full_rewrite(spark, tmp_path):
+    """An empty MERGE batch must not commit — and especially must not let
+    its null key bounds disable pruning and rewrite the whole table."""
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1 + R2), path, stats_cols=("d",))
+    empty = _df(spark, [])
+    r = snap_upsert(spark, path, empty, keys=["d"], stats_cols=("d",))
+    assert r["rewrote_files"] == 0 and r["version"] == 1
+    assert snap_current_version(path) == 1
+    assert _rows(snap_read(spark, path)) == set(R1) | set(R2)

@@ -56,7 +56,15 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--end", type=dt.date.fromisoformat, required=True)
     b.add_argument("--demo", action="store_true", help="use the deterministic offline source")
     b.add_argument("--max-workers", type=int, default=4)
-    sub.add_parser("silver", parents=[common], help="split-adjust, resample, indicators")
+    s = sub.add_parser("silver", parents=[common], help="split-adjust, resample, indicators")
+    s.add_argument(
+        "--consume-snapshot",
+        action="store_true",
+        help="consume bronze.stocks as a SNAPSHOT table by checkpointed "
+        "version (manifest diff) instead of the date watermark: historical "
+        "corrections upserted into bronze propagate incrementally; requires "
+        "bronze.stocks to be snapshot-committed",
+    )
     sub.add_parser("gold", parents=[common], help="VWAP signals, HVC events, stair-step patterns")
     v = sub.add_parser("validate", parents=[common], help="offline split-adjustment + count-anomaly checks")
     v.add_argument("--min-records", type=int, default=5000,
@@ -195,7 +203,25 @@ def main(argv: list[str] | None = None) -> int:
                 max_workers=args.max_workers,
             )
         elif args.cmd == "silver":
-            result = pipeline.run_silver(spark, catalog, checkpoints)
+            if args.consume_snapshot:
+                from tickerlake_spark.storage.snapshots import is_snapshot_table
+                from tickerlake_spark.streaming.medallion import (
+                    silver_consume_snapshot,
+                )
+
+                bronze_path = catalog.bronze("stocks")
+                if not is_snapshot_table(bronze_path, fs=lake_fs):
+                    print(
+                        f"--consume-snapshot requires {bronze_path} to be a "
+                        "snapshot table (write bronze via snap_write/"
+                        "snapshot_sink); this lake's bronze is the "
+                        "date-partitioned layout — run plain `silver`",
+                        file=sys.stderr,
+                    )
+                    return 2
+                result = silver_consume_snapshot(spark, catalog, checkpoints)
+            else:
+                result = pipeline.run_silver(spark, catalog, checkpoints)
         elif args.cmd == "gold":
             result = pipeline.run_gold(spark, catalog, checkpoints=checkpoints)
         else:

@@ -54,6 +54,43 @@ from tickerlake_spark.storage import (
 )
 
 
+# gold fact tables committed as SNAPSHOT tables (storage/snapshots.py):
+# vwap_signals since r11 (VERDICT r10 item 4), the HVC event tables since
+# the same round's extension. Full rebuilds are ONE atomic date-clustered
+# overwrite commit each; incremental maintenance is a keyed snap_upsert
+# (hvc_daily: strictly-new dates) or a range-scoped snap_replace_where
+# (hvc_weekly/monthly: the open bucket's events can DISAPPEAR as the
+# bucket fills). The stair-step/summary tables stay on the swap layer:
+# they are replaced by ticker SETS, not ranges, and are tiny.
+_SNAP_GOLD_TABLES = ("vwap_signals", "hvc_daily", "hvc_weekly", "hvc_monthly")
+
+
+def _gold_snap_overwrite(spark, catalog: Catalog, df, table: str) -> None:
+    """Full rebuild of one snapshot-committed gold fact table: one atomic
+    manifest commit of date-clustered files — readers mid-rebuild keep the
+    prior version, history stays time-travelable, and the per-file date
+    ranges give manifest pruning what the old date directories gave via
+    listing. A legacy Hive-partitioned layout (pre-adoption lake) migrates
+    by one drop+rebuild — the full arm recomputes everything anyway."""
+    from tickerlake_spark.storage import drop_table
+    from tickerlake_spark.storage.snapshots import is_snapshot_table, snap_write
+
+    path = catalog.gold(table)
+    if table_exists(path, fs=catalog.fs) and not is_snapshot_table(
+        path, fs=catalog.fs
+    ):
+        drop_table(path, fs=catalog.fs)
+    snap_write(
+        spark,
+        df,
+        path,
+        mode="overwrite",
+        cluster_by=("date",),
+        stats_cols=("date",),
+        fs=catalog.fs,
+    )
+
+
 def _bucket_start(period: str, d: dt.date) -> dt.date:
     """Start date of the week (Monday-anchored) or calendar month holding ``d``."""
     if period == "week":
@@ -709,11 +746,15 @@ def run_gold(
         # forever. The generation counter makes the staleness visible.
         and int(checkpoints.get("gold_silver_generation") or 0)
         == int(checkpoints.get("silver_generation") or 0)
-        # signals are snapshot-committed since r11: a legacy Hive layout
-        # (pre-migration lake) must take one full rebuild — an append
-        # commit onto it would publish a v1 holding only the delta while
-        # the legacy files sit invisible next to it
-        and is_snapshot_table(catalog.gold("vwap_signals"), fs=catalog.fs)
+        # the signal/HVC fact tables are snapshot-committed since r11: a
+        # legacy Hive layout (pre-migration lake) must take one full
+        # rebuild — an append/merge commit onto it would publish a v1
+        # holding only the delta while the legacy files sit invisible
+        # next to it
+        and all(
+            is_snapshot_table(catalog.gold(t), fs=catalog.fs)
+            for t in _SNAP_GOLD_TABLES
+        )
     )
     if incremental:
         # the state checkpoint must be exactly as far along as the signals
@@ -778,6 +819,17 @@ def run_gold(
             delta,
             threshold=hvc_threshold,
         ).persist()
+        # one bounded collect drives BOTH the hvc_daily skip and the
+        # stair-step scope below: tickers with a new event (~2% of
+        # ticker-days -> a small set per appended day)
+        aff_list = sorted(
+            r[0] for r in new_events.select("ticker").distinct().collect()
+        )
+
+        from tickerlake_spark.storage.snapshots import (
+            snap_replace_where,
+            snap_upsert,
+        )
 
         def _extract_task() -> None:
             append_closes_extract(
@@ -787,18 +839,21 @@ def run_gold(
             )
 
         def _hvc_daily_task() -> None:
-            # keyed upsert, not a blind append: new events are strictly-new
-            # dates (append-equivalent) but the upsert also migrates a table
-            # the full build left FLAT because it had zero events (tiny lakes)
-            upsert_table(
+            # keyed MERGE commit, not a blind append: new events are
+            # strictly-new dates, so on the first run nothing overlaps and
+            # the commit is append-shaped — but a retry after a crash
+            # between this write and the signals commit point re-derives
+            # the SAME delta, and the merge converges it instead of
+            # doubling it. Zero events -> no commit at all (snap_upsert's
+            # empty-batch no-op; the table provably has nothing to gain).
+            snap_upsert(
                 spark,
                 catalog.gold("hvc_daily"),
                 schemas.conform(new_events, schemas.HVC_EVENTS),
-                keys=["ticker", "date"],
-                partition_by="date",
-                validate_unique=False,
-                stage_updates=False,  # lineage reads silver only
-                with_count=False,
+                keys=["date", "ticker"],  # date leads: prunes the
+                # date-clustered files so only the delta range rewrites
+                stats_cols=("date",),
+                validate_unique=False,  # unique per construction
                 fs=catalog.fs,
             )
 
@@ -806,9 +861,14 @@ def run_gold(
                            out: str) -> None:
             # weekly/monthly HVC: silver upserted every bucket from the
             # watermark's bucket onward, and a bucket's ratio can drop BELOW
-            # the threshold as the open bucket fills — replace that date
-            # range, do not append (an event present yesterday may not
-            # exist today)
+            # the threshold as the open bucket fills — REPLACE that date
+            # range, do not merge (an event present yesterday may not exist
+            # today). As a snapshot commit the range replace is atomic:
+            # files whose committed date range is provably older carry by
+            # reference, the open range's files rewrite minus their
+            # replaced rows, one manifest CAS publishes both — no reader
+            # ever sees the bucket half-swapped, and a retry of the same
+            # delta converges (idempotent re-derivation).
             bs = _bucket_start(period, wm)
             ind_slice = read_table(spark, catalog.silver(ind_table), fs=catalog.fs).filter(
                 F.col("date") >= F.lit(bs)
@@ -817,28 +877,12 @@ def run_gold(
                 F.col("date") >= F.lit(bs)
             )
             ev = hvc_events(ind_slice, agg_slice, threshold=hvc_threshold)
-            # replaced-key set: every bucket-start date in [bs, silver_wm]
-            # built DRIVER-SIDE from the calendar — a superset of the dates
-            # actually stored (replace_keys tolerates empties), which saves
-            # the extra indicator scan a `ind_slice.distinct()` key set
-            # would trigger just to learn dates we already know
-            bucket_dates, b = [], bs
-            end = dt.date.fromisoformat(silver_wm)
-            while b <= end:
-                bucket_dates.append(b)
-                b = (
-                    b + dt.timedelta(days=7)
-                    if period == "week"
-                    else (b.replace(day=1) + dt.timedelta(days=32)).replace(day=1)
-                )
-            replace_keys(
+            snap_replace_where(
                 spark,
                 catalog.gold(out),
-                spark.createDataFrame([(d,) for d in bucket_dates], "date date"),
                 schemas.conform(ev, schemas.HVC_EVENTS),
-                keys=["date"],
-                partition_by="date",
-                with_count=False,
+                "date",
+                lo=bs,
                 fs=catalog.fs,
             )
 
@@ -866,11 +910,6 @@ def run_gold(
             for f in futs:
                 f.result()
         timer.mark("extract+hvc_parallel")
-        # one bounded collect drives the stair-step scope: tickers with a
-        # new event (~2% of ticker-days -> a small set per appended day)
-        aff_list = sorted(
-            r[0] for r in new_events.select("ticker").distinct().collect()
-        )
         new_events.unpersist()
         if aff_list:
             affected = spark.createDataFrame(
@@ -984,29 +1023,13 @@ def run_gold(
                         # caveat gone), history is time-travelable for the
                         # audit stamp, and date-clustered files give
                         # manifest-stat pruning the date layout used to
-                        # give via directories. A legacy Hive-partitioned
-                        # layout migrates by one drop+rewrite (the rebuild
-                        # recomputes everything anyway).
-                        from tickerlake_spark.storage import drop_table
-                        from tickerlake_spark.storage.snapshots import (
-                            is_snapshot_table,
-                            snap_write,
-                        )
-
-                        sig_path = catalog.gold("vwap_signals")
+                        # give via directories.
                         with timer.span("vwap_signals"):
-                            if table_exists(
-                                sig_path, fs=catalog.fs
-                            ) and not is_snapshot_table(sig_path, fs=catalog.fs):
-                                drop_table(sig_path, fs=catalog.fs)
-                            snap_write(
+                            _gold_snap_overwrite(
                                 spark,
+                                catalog,
                                 schemas.conform(signals, schemas.VWAP_SIGNALS),
-                                sig_path,
-                                mode="overwrite",
-                                cluster_by=("date",),
-                                stats_cols=("date",),
-                                fs=catalog.fs,
+                                "vwap_signals",
                             )
 
                     def _state_write() -> None:
@@ -1040,13 +1063,13 @@ def run_gold(
                 events = hvc_events(ind, narrow, threshold=hvc_threshold).persist()
                 try:
                     with timer.span("hvc_daily"):
-                        write_table(
-                            schemas.conform(
-                                events, schemas.HVC_EVENTS
-                            ).repartition("date"),
-                            catalog.gold("hvc_daily"),
-                            partition_by="date",
-                            fs=catalog.fs,
+                        # snapshot commit like the signals table (r11):
+                        # atomic full rebuild, date-clustered files
+                        _gold_snap_overwrite(
+                            spark,
+                            catalog,
+                            schemas.conform(events, schemas.HVC_EVENTS),
+                            "hvc_daily",
                         )
                     closes = narrow.select("ticker", "date", "close")
                     # one events x closes join (the closes side is the full
@@ -1107,13 +1130,11 @@ def run_gold(
                         threshold=hvc_threshold,
                     )
                     with timer.span(out):
-                        write_table(
-                            schemas.conform(
-                                ev, schemas.HVC_EVENTS
-                            ).repartition("date"),
-                            catalog.gold(out),
-                            partition_by="date",
-                            fs=catalog.fs,
+                        _gold_snap_overwrite(
+                            spark,
+                            catalog,
+                            schemas.conform(ev, schemas.HVC_EVENTS),
+                            out,
                         )
 
             from concurrent.futures import ThreadPoolExecutor
@@ -1215,7 +1236,7 @@ def run_gold(
     from tickerlake_spark.sql import write_reference_gold_view_ddl
 
     write_reference_gold_view_ddl(catalog)
-    # retention for the snapshot-committed signals table: keep a short
+    # retention for the snapshot-committed gold fact tables: keep a short
     # time-travel window (current + two prior versions for the audit
     # stamp / repeatable reads during maintenance) and reclaim the rest —
     # without this a daily incremental lake accretes one version per run
@@ -1223,9 +1244,10 @@ def run_gold(
     # safe here by construction.
     from tickerlake_spark.storage.snapshots import snap_vacuum
 
-    sig_path = catalog.gold("vwap_signals")
-    if is_snapshot_table(sig_path, fs=catalog.fs):
-        snap_vacuum(sig_path, keep_last=3, fs=catalog.fs)
+    for t in _SNAP_GOLD_TABLES:
+        t_path = catalog.gold(t)
+        if is_snapshot_table(t_path, fs=catalog.fs):
+            snap_vacuum(t_path, keep_last=3, fs=catalog.fs)
     timer.mark("vacuum")
     summary = {
         "mode": "incremental" if incremental else "full",

@@ -312,6 +312,7 @@ _COST_RANK = [
     "q153_snapshot_merge",  # three snapshot commits (2 writes + upsert)
     "q154_snapshot_split_manifest",  # chunked manifests + pruned read
     "q155_snapshot_changes",  # version-bounded incremental delta
+    "q156_snapshot_replace_where",  # range-scoped replace commit
 ]
 
 

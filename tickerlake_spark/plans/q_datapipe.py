@@ -2759,3 +2759,66 @@ def q155_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(tmp_root, ignore_errors=True)
+
+@register(
+    "q156_snapshot_replace_where",
+    doc="Range-scoped REPLACE as one snapshot commit (storage/snapshots.py "
+    "snap_replace_where, r11 — the open formats' public replaceWhere idea): "
+    "overwrite-commit the even-doc_id documents slice date-clustered, then "
+    "atomically replace the doc_id range [100, 400] with a RE-DERIVED slice "
+    "in which rows not divisible by 3 DISAPPEAR (the delete-inside-a-range "
+    "semantics a keyed upsert can never express — an open resample bucket "
+    "whose event drops back below threshold). Files provably outside the "
+    "range are carried into the new version by reference. The oracle is the "
+    "plain-SQL equivalent (delete range + insert), so the replace semantics "
+    "are value-hash-checked against another engine. Builds in a throwaway "
+    "temp dir per invocation.",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+),
+rep AS (
+  SELECT doc_id, lang, n_chars + 500 AS n_chars FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id BETWEEN 100 AND 400 AND doc_id % 3 = 0
+)
+SELECT doc_id, lang, n_chars FROM base
+WHERE doc_id NOT BETWEEN 100 AND 400
+UNION ALL
+SELECT doc_id, lang, n_chars FROM rep
+""",
+)
+def q156_snapshot_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from tickerlake_spark.storage.snapshots import (
+        snap_read,
+        snap_replace_where,
+        snap_write,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tmp_root = tempfile.mkdtemp(prefix="q156_snap_")
+    path = tmp_root + "/t"
+    try:
+        snap_write(
+            spark, d.filter(F.col("doc_id") % 2 == 0), path,
+            cluster_by=("doc_id",), target_files=6,
+        )
+        rep = (
+            d.filter(
+                (F.col("doc_id") % 2 == 0)
+                & F.col("doc_id").between(100, 400)
+                & (F.col("doc_id") % 3 == 0)
+            ).withColumn("n_chars", F.col("n_chars") + F.lit(500))
+        )
+        r = snap_replace_where(spark, path, rep, "doc_id", 100, 400)
+        # the clustered layout makes the rewrite range-local: files outside
+        # [100, 400] were carried by reference, never read
+        assert r["rewrote_files"] < r["files"], r
+        out = snap_read(spark, path)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp_root, ignore_errors=True)

@@ -152,15 +152,58 @@ def reference_gold_view_ddl(catalog: Catalog) -> str:
     meta_path = catalog.silver("ticker_metadata")
     stmts = []
     for ref_name, table in _REFERENCE_GOLD_VIEWS.items():
-        gold_path = catalog.gold(table)
+        relation = _gold_relation_sql(catalog, table)
         for suffix, ticker_type in _TYPE_SUFFIX.items():
             stmts.append(
                 f"CREATE OR REPLACE VIEW {ref_name}_{suffix} AS\n"
-                f"SELECT * FROM parquet.`{gold_path}`\n"
+                f"SELECT * FROM {relation}\n"
                 f"WHERE ticker IN (SELECT ticker FROM parquet.`{meta_path}`\n"
                 f"                 WHERE type = '{ticker_type}')"
             )
     return ";\n\n".join(stmts) + ";\n"
+
+
+def _gold_relation_sql(catalog: Catalog, table: str) -> str:
+    """SQL relation for one gold table inside the published DDL.
+
+    Hive/flat layout: plain ``parquet.`path``` — stable across rewrites.
+
+    SNAPSHOT layout (the HVC fact tables since r11): there is no stable
+    directory a bare path scan could read, so the relation pins the
+    CURRENT version's manifest file list as a UNION ALL, each branch
+    projecting columns BY NAME (commits may drift physical column order;
+    positional union would mis-align). The pinning is exactly the snapshot
+    contract: DDL written at version N keeps reading version N — a
+    retained, consistent prior version, never a torn mix — until a
+    maintenance run rewrites the content-keyed DDL to the new current
+    (every batch/streaming gold entry point does). Vacuum ``keep_last``
+    bounds the staleness window. File lists here are small (date-clustered
+    gold commits, compaction-bound); tables with huge manifests should be
+    consumed through ``read_table``/``snap_view`` or a metastore, not
+    this textual surface. An EMPTY pinned version renders as a typed
+    zero-row relation so the DDL always executes."""
+    from tickerlake_spark.storage.snapshots import (
+        is_snapshot_table,
+        snap_files,
+        snap_schema,
+    )
+
+    path = catalog.gold(table)
+    if not is_snapshot_table(path, fs=catalog.fs):
+        return f"parquet.`{path}`"
+    schema = snap_schema(path, fs=catalog.fs)
+    cols = ", ".join(f"`{f.name}`" for f in schema.fields)
+    files = snap_files(path, fs=catalog.fs)
+    if not files:
+        typed_nulls = ", ".join(
+            f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+            for f in schema.fields
+        )
+        return f"(SELECT {typed_nulls} WHERE 1 = 0)"
+    branches = "\n  UNION ALL\n  ".join(
+        f"SELECT {cols} FROM parquet.`{f}`" for f in files
+    )
+    return f"(\n  {branches}\n)"
 
 
 def write_reference_gold_view_ddl(catalog: Catalog) -> str | None:

@@ -84,7 +84,10 @@ __all__ = [
     "snap_file_diff",
     "snap_write",
     "snap_upsert",
+    "snap_replace_where",
     "snap_read",
+    "snap_files",
+    "snap_schema",
     "snap_history",
     "snap_current_version",
     "snap_vacuum",
@@ -567,6 +570,36 @@ def snap_read(
     return spark.read.schema(schema).parquet(*files)
 
 
+def snap_files(
+    path: str,
+    version: int | None = None,
+    fs: FS = LOCAL_FS,
+) -> list[str]:
+    """Absolute data-file paths pinned by ``version`` (default current) —
+    the list through which a NON-Spark consumer (the published-view DDL
+    emitter, an external engine like DuckDB) reads exactly one committed
+    version: the files are immutable and survive later commits until
+    vacuum retention drops the version."""
+    v = version if version is not None else snap_current_version(path, fs)
+    if v == 0:
+        raise FileNotFoundError(f"no snapshot versions at {path!r}")
+    base = path.rstrip("/")
+    return [f"{base}/{e['path']}" for e in _entries(path, _load(path, v, fs), fs)]
+
+
+def snap_schema(
+    path: str,
+    version: int | None = None,
+    fs: FS = LOCAL_FS,
+) -> StructType:
+    """The pinned schema of ``version`` (default current) — authoritative
+    over the physical column order of any individual data file."""
+    v = version if version is not None else snap_current_version(path, fs)
+    if v == 0:
+        raise FileNotFoundError(f"no snapshot versions at {path!r}")
+    return StructType.fromJson(json.loads(_load(path, v, fs)["schema_json"]))
+
+
 def snap_upsert(
     spark: SparkSession,
     path: str,
@@ -621,8 +654,20 @@ def snap_upsert(
     # never even loaded (the split-manifest win for keyed merges).
     pk = keys[0]
     bounds = updates.agg(
-        F.min(pk).alias("lo"), F.max(pk).alias("hi")
+        F.min(pk).alias("lo"), F.max(pk).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()[0]
+    if bounds["n"] == 0:
+        # empty batch: a MERGE of nothing is a no-op, not a commit — and
+        # without this guard the null key bounds below would disable
+        # file-level pruning entirely, silently rewriting the whole table
+        # to change nothing (an O(table) write for an O(0) merge)
+        return {
+            "version": cur_v,
+            "files": _count_files(m),
+            "op": "upsert",
+            "rewrote_files": 0,
+        }
     prune = (pk, bounds["lo"], bounds["hi"])
     carried_refs, load_refs = [], []
     for ref in m.get("chunks", ()):
@@ -674,6 +719,122 @@ def snap_upsert(
         "files": len(carried) + len(new_files)
         + sum(r["count"] for r in carried_refs),
         "op": "upsert",
+        "rewrote_files": len(overlap),
+    }
+
+
+def snap_replace_where(
+    spark: SparkSession,
+    path: str,
+    replacement: DataFrame,
+    col: str,
+    lo=None,
+    hi=None,
+    stats_cols: tuple = (),
+    fs: FS = LOCAL_FS,
+    validate: bool = True,
+) -> dict:
+    """Range-scoped REPLACE as one snapshot commit: atomically delete every
+    row with ``lo <= col <= hi`` (closed bounds; either side ``None`` =
+    unbounded) and insert ``replacement`` — the snapshot twin of the
+    partitioned layer's ``replace_keys`` for contiguous ranges, and the
+    public ``replaceWhere`` idea of the open table formats. The use case is
+    re-derived range slices whose rows may DISAPPEAR (an open resample
+    bucket whose event drops back below threshold), which a keyed upsert
+    can never express.
+
+    Only files whose committed ``col`` range OVERLAPS [lo, hi] are read and
+    rewritten (minus their in-range rows); provably-disjoint files — and on
+    split-manifest tables whole provably-disjoint CHUNKS — are carried into
+    the new version by reference. On a date-clustered layout the rewrite
+    set is exactly the range's files. Overlapping files are always
+    rewritten rather than dropped even when their stats lie fully inside
+    the range: parquet min/max ignore NULLs, and rows with a NULL ``col``
+    are never deleted (they don't satisfy the predicate).
+
+    With ``validate=True`` the replacement batch must itself satisfy the
+    predicate (NULL ``col`` rows don't); otherwise a later replace of the
+    same range would not supersede these rows and the op would stop being
+    idempotent under retry.
+
+    Optimistic like ``snap_upsert``: a concurrent commit between the
+    manifest read and the CAS raises ``SnapshotConflict`` without
+    publishing (the rewrite is stale); the caller re-runs. The orphaned
+    commit dir is invisible and vacuumable.
+    """
+    in_range = F.col(col).isNotNull()
+    if lo is not None:
+        in_range = in_range & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        in_range = in_range & (F.col(col) <= F.lit(hi))
+    if validate:
+        bad = replacement.filter(~in_range).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"replacement rows fall outside {col} in [{lo}, {hi}] "
+                f"(first: {bad[0].asDict()}); widen the range or fix the "
+                f"batch — committing them would break retry idempotence"
+            )
+    stats_cols = tuple(dict.fromkeys((col,) + tuple(stats_cols)))
+    cur_v = snap_current_version(path, fs)
+    if cur_v == 0:
+        # initial commit: merge-or-conflict, never clobber a race winner
+        # (same contract as snap_upsert's initial-commit path)
+        try:
+            r = snap_write(
+                spark, replacement, path, "overwrite", stats_cols, fs,
+                max_retries=1,
+            )
+            return {**r, "op": "replace_where", "rewrote_files": 0}
+        except SnapshotConflict:
+            cur_v = snap_current_version(path, fs)
+    m = _load(path, cur_v, fs)
+    _check_append_schema(path, m, replacement)
+    base = path.rstrip("/")
+
+    prune = (col, _enc(lo), _enc(hi))
+    carried_refs, load_refs = [], []
+    for ref in m.get("chunks", ()):
+        if _stats_miss(ref.get("stats", {}).get(col), prune):
+            carried_refs.append(ref)
+        else:
+            load_refs.append(ref)
+    loaded = list(m.get("files", []))
+    for ref in load_refs:
+        loaded.extend(_load_chunk(path, ref["path"], fs))
+    overlap = _prune_entries(loaded, prune)
+    overlap_paths = {e["path"] for e in overlap}
+    carried = [e for e in loaded if e["path"] not in overlap_paths]
+
+    schema = StructType.fromJson(json.loads(m["schema_json"]))
+    cols = [f.name for f in schema.fields]
+    if overlap:
+        existing = spark.read.schema(schema).parquet(
+            *[f"{base}/{e['path']}" for e in overlap]
+        )
+        out = existing.filter(~in_range).unionByName(replacement.select(*cols))
+    else:
+        out = replacement.select(*cols)
+    new_files = _write_commit_files(out, path, stats_cols, fs)
+    manifest = {
+        "op": "replace_where",
+        "writer": uuid.uuid4().hex[:8],
+        "parent": cur_v,
+        "schema_json": m["schema_json"],
+        "files": carried + new_files,
+        **({"chunks": carried_refs} if carried_refs else {}),
+        **_carry_stream_marker(m),
+    }
+    if not _try_commit(path, manifest, cur_v + 1, fs):
+        raise SnapshotConflict(
+            f"version {cur_v + 1} committed by another writer during the "
+            f"replace at {path!r}; re-run the replace"
+        )
+    return {
+        "version": cur_v + 1,
+        "files": len(carried) + len(new_files)
+        + sum(r["count"] for r in carried_refs),
+        "op": "replace_where",
         "rewrote_files": len(overlap),
     }
 

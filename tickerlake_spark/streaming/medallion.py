@@ -299,6 +299,50 @@ def _signals_snapshot_upsert(spark, catalog, sig_conformed: DataFrame) -> None:
             fs.rmtree(f"{base}/{name}")
 
 
+def _hvc_snapshot_replace(spark, catalog, table: str, ev_conformed, lo) -> None:
+    """REPLACE the [lo, ∞) date range of a snapshot-committed HVC table
+    with this micro-batch's re-derived events (r11: the HVC fact tables
+    are snapshot tables everywhere — see pipeline.run_gold). Events in an
+    open bucket can DISAPPEAR as the bucket fills, so this must be a range
+    replace, never a merge; as one manifest commit it is atomic (no reader
+    sees the range half-swapped) and replay-idempotent (the slice is a
+    deterministic recompute — a replayed batch converges to the identical
+    visible table).
+
+    A legacy Hive-partitioned table (pre-r11 lake resuming under the
+    streaming maintainer) migrates in ONE commit — the untouched history
+    below ``lo`` unions with the batch slice into the initial snapshot
+    version, the manifest PUT atomically flips reads — then the dead
+    legacy files are swept (a crash mid-sweep leaves only invisible
+    files; the sweep re-runs next batch)."""
+    from tickerlake_spark.storage.snapshots import (
+        is_snapshot_table,
+        snap_replace_where,
+        snap_write,
+    )
+
+    path = catalog.gold(table)
+    fs = catalog.fs
+    if is_snapshot_table(path, fs=fs):
+        snap_replace_where(spark, path, ev_conformed, "date", lo=lo, fs=fs)
+        return
+    if table_exists(path, fs=fs):
+        legacy = spark.read.parquet(path).select(*ev_conformed.columns)
+        merged = legacy.filter(F.col("date") < F.lit(lo)).unionByName(
+            ev_conformed
+        )
+    else:
+        merged = ev_conformed
+    snap_write(
+        spark, merged, path, mode="overwrite", cluster_by=("date",),
+        stats_cols=("date",), fs=fs,
+    )
+    base = path.rstrip("/")
+    for name in fs.listdir(base):
+        if not name.startswith(("_", ".")):
+            fs.rmtree(f"{base}/{name}")
+
+
 def gold_maintenance_batch(
     spark: SparkSession,
     catalog: Catalog,
@@ -450,14 +494,9 @@ def gold_maintenance_batch(
     ev = hvc_events(
         ind_slice, daily.filter(F.col("date") >= F.lit(since)), threshold=hvc_threshold
     )
-    replace_keys(
-        spark,
-        catalog.gold("hvc_daily"),
-        ind_slice.select("date").distinct(),
-        schemas.conform(ev, schemas.HVC_EVENTS),
-        keys=["date"],
-        partition_by="date",
-        fs=catalog.fs,
+    _hvc_snapshot_replace(
+        spark, catalog, "hvc_daily",
+        schemas.conform(ev, schemas.HVC_EVENTS), since,
     )
 
     for period, ind_table, agg_table, out in (
@@ -472,14 +511,9 @@ def gold_maintenance_batch(
             F.col("date") >= F.lit(bs)
         )
         p_ev = hvc_events(p_ind, p_agg, threshold=hvc_threshold)
-        replace_keys(
-            spark,
-            catalog.gold(out),
-            p_ind.select("date").distinct(),
-            schemas.conform(p_ev, schemas.HVC_EVENTS),
-            keys=["date"],
-            partition_by="date",
-            fs=catalog.fs,
+        _hvc_snapshot_replace(
+            spark, catalog, out,
+            schemas.conform(p_ev, schemas.HVC_EVENTS), bs,
         )
 
     all_events = read_table(spark, catalog.gold("hvc_daily"), fs=catalog.fs)
