@@ -991,3 +991,82 @@ def test_upsert_empty_batch_is_noop_not_full_rewrite(spark, tmp_path):
     assert r["rewrote_files"] == 0 and r["version"] == 1
     assert snap_current_version(path) == 1
     assert _rows(snap_read(spark, path)) == set(R1) | set(R2)
+
+
+# --- schema evolution on append (r11): add nullable columns ------------------
+
+
+def test_append_evolve_schema_adds_nullable_column(spark, tmp_path):
+    """evolve_schema=True lets an append ADD columns: the table schema
+    gains them as nullable, old files read through the evolved schema as
+    NULL (parquet schema projection), and earlier versions keep their OWN
+    pinned schema (time travel is schema-travel too)."""
+    from tickerlake_spark.storage.snapshots import snap_schema
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path, stats_cols=("d",))
+    wider = spark.createDataFrame(
+        [("E", dt.date(2024, 3, 1), 5.0, "x")],
+        "k string, d date, v double, tag string",
+    )
+    # without the flag: refused (the r10 pinning contract is the default)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snap_write(spark, wider, path, mode="append")
+    r = snap_write(spark, wider, path, mode="append", evolve_schema=True)
+    assert r["version"] == 2
+    cur = snap_read(spark, path)
+    assert [f.name for f in cur.schema.fields] == ["k", "d", "v", "tag"]
+    got = {(x.k, x.tag) for x in cur.collect()}
+    assert got == {("A", None), ("B", None), ("E", "x")}
+    # the evolved column is nullable even if the batch declared it NOT NULL
+    assert [f for f in snap_schema(path).fields if f.name == "tag"][0].nullable
+    # version 1 still reads with its own (narrower) pinned schema
+    v1 = snap_read(spark, path, version=1)
+    assert [f.name for f in v1.schema.fields] == ["k", "d", "v"]
+
+
+def test_append_evolve_schema_still_refuses_drift(spark, tmp_path):
+    """Evolution is ADD-only: a type change on an existing column, or a
+    batch MISSING an existing column, still refuses — silent widening or
+    implicit column drops are exactly what the pinning exists to stop."""
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path)
+    retyped = spark.createDataFrame(
+        [("E", dt.date(2024, 3, 1), 5, "x")],
+        "k string, d date, v int, tag string",
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snap_write(spark, retyped, path, mode="append", evolve_schema=True)
+    narrower = spark.createDataFrame(
+        [("E", dt.date(2024, 3, 1))], "k string, d date"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snap_write(spark, narrower, path, mode="append", evolve_schema=True)
+    assert snap_current_version(path) == 1
+
+
+def test_evolved_table_upserts_and_compacts(spark, tmp_path):
+    """After evolution the normal lifecycle continues against the evolved
+    schema: a keyed upsert carrying the new column merges, and compaction
+    folds mixed-schema files into the evolved shape."""
+    from tickerlake_spark.storage.snapshots import snap_compact
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path, stats_cols=("d",))
+    wider = spark.createDataFrame(
+        [("E", dt.date(2024, 3, 1), 5.0, "x")],
+        "k string, d date, v double, tag string",
+    )
+    snap_write(spark, wider, path, mode="append", evolve_schema=True,
+               stats_cols=("d",))
+    up = spark.createDataFrame(
+        [("A", dt.date(2024, 1, 1), 9.0, "y")],
+        "k string, d date, v double, tag string",
+    )
+    snap_upsert(spark, path, up, keys=["k"], stats_cols=("d",))
+    got = {(x.k, x.v, x.tag) for x in snap_read(spark, path).collect()}
+    assert got == {("A", 9.0, "y"), ("B", 2.0, None), ("E", 5.0, "x")}
+    r = snap_compact(spark, path, small_file_bytes=1 << 20,
+                     target_file_bytes=64 << 20)
+    got2 = {(x.k, x.v, x.tag) for x in snap_read(spark, path).collect()}
+    assert got2 == got and r["version"] == snap_current_version(path)

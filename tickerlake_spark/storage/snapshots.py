@@ -296,8 +296,18 @@ def snap_write(
     extra: dict | None = None,
     cluster_by: tuple = (),
     target_files: int | None = None,
+    evolve_schema: bool = False,
 ) -> dict:
     """Commit ``df`` as a new snapshot version of the table at ``path``.
+
+    ``evolve_schema=True`` (append only) relaxes the pinned-schema gate to
+    ADD-only evolution: batch columns not yet in the table become new
+    NULLABLE table columns at the end of the schema; files committed
+    before the evolution read through the evolved schema as NULL (parquet
+    schema projection — no rewrite). Existing columns must still match
+    exactly — type changes and missing columns refuse as before, and
+    earlier versions keep their own pinned (narrower) schema, so time
+    travel is schema travel too.
 
     ``cluster_by`` range-partitions and sorts the commit on those columns
     before writing (``target_files`` output files, default: the incoming
@@ -352,13 +362,16 @@ def snap_write(
             # type-drifted batch commit and its schema would then be
             # pinned over every OLD file in the version (silently wrong
             # or failing reads on files the batch never touched)
-            _check_append_schema(path, cur, df)
+            if evolve_schema:
+                schema_json = _evolve_schema(path, cur, df)
+            else:
+                _check_append_schema(path, cur, df)
+                # the TABLE's schema stays authoritative across appends
+                schema_json = cur["schema_json"]
             # parent CHUNK refs carry verbatim (immutable objects): the
             # append's metadata cost is O(new files), never O(table)
             files = cur.get("files", []) + files
             chunks = list(cur.get("chunks", []))
-            # the TABLE's schema stays authoritative across appends
-            schema_json = cur["schema_json"]
         manifest = {
             "op": mode,
             "writer": writer,
@@ -395,6 +408,35 @@ def _check_append_schema(path: str, cur: dict, df: DataFrame) -> None:
             f"{ {k: have.get(k) for k in drift} }, batch "
             f"{ {k: got.get(k) for k in drift} }"
         )
+
+
+def _evolve_schema(path: str, cur: dict, df: DataFrame) -> str:
+    """ADD-only evolution: every existing table column must appear in the
+    batch with an identical type (a type change or a missing column still
+    refuses — silent widening and implicit drops are exactly what the
+    pinning exists to stop); batch-only columns are appended to the table
+    schema as NULLABLE (even if the batch declared them required: every
+    pre-evolution file reads them as NULL). Returns the evolved
+    ``schema_json`` — unchanged when the batch adds nothing."""
+    have = _schema_sig(cur["schema_json"])
+    got = _schema_sig(df.schema.json())
+    drift = sorted(k for k in have if have[k] != got.get(k))
+    if drift:
+        raise ValueError(
+            f"append schema mismatch at {path!r} on {drift} (evolution is "
+            f"ADD-only): table { {k: have.get(k) for k in drift} }, batch "
+            f"{ {k: got.get(k) for k in drift} }"
+        )
+    added = [f.name for f in df.schema.fields if f.name not in have]
+    if not added:
+        return cur["schema_json"]
+    table = json.loads(cur["schema_json"])
+    batch_fields = {
+        f["name"]: f for f in json.loads(df.schema.json())["fields"]
+    }
+    for name in added:
+        table["fields"].append({**batch_fields[name], "nullable": True})
+    return json.dumps(table)
 
 
 def _carry_stream_marker(cur: dict | None) -> dict:
