@@ -2760,6 +2760,87 @@ def q155_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         shutil.rmtree(tmp_root, ignore_errors=True)
 
+
+@register(
+    "q157_snapshot_evolve",
+    doc="ADD-only schema evolution on a snapshot table (storage/snapshots.py "
+    "snap_write(evolve_schema=True), r11): overwrite-commit a 2-column "
+    "documents slice, append a 3-column slice that EVOLVES the pinned "
+    "schema (new column nullable; pre-evolution files read it as NULL via "
+    "parquet schema projection, no rewrite), then keyed-upsert a correction "
+    "that backfills the new column for half the pre-evolution rows — the "
+    "merge runs through the evolved pinned schema over mixed-width files. "
+    "The oracle is the plain-SQL equivalent with an explicit NULL column "
+    "on the narrow slice, so evolution's visible semantics are value-hash-"
+    "checked against another engine. Version 1 keeps its own narrower "
+    "pinned schema (asserted): time travel is schema travel. Builds in a "
+    "throwaway temp dir per invocation.",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 3 = 0
+),
+evo AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 1
+),
+ups AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 6 = 0
+)
+SELECT doc_id, lang, n_chars FROM base
+WHERE doc_id NOT IN (SELECT doc_id FROM ups)
+UNION ALL
+SELECT doc_id, lang, n_chars FROM evo
+UNION ALL
+SELECT doc_id, lang, n_chars FROM ups
+""",
+)
+def q157_snapshot_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from tickerlake_spark.storage.snapshots import (
+        snap_read,
+        snap_schema,
+        snap_upsert,
+        snap_write,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tmp_root = tempfile.mkdtemp(prefix="q157_snap_")
+    path = tmp_root + "/t"
+    try:
+        snap_write(
+            spark,
+            d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "lang"),
+            path,
+            stats_cols=("doc_id",),
+        )
+        snap_write(
+            spark,
+            d.filter(F.col("doc_id") % 3 == 1).select(
+                "doc_id", "lang", "n_chars"
+            ),
+            path,
+            mode="append",
+            evolve_schema=True,
+            stats_cols=("doc_id",),
+        )
+        ups = d.filter(F.col("doc_id") % 6 == 0).select(
+            "doc_id", "lang", "n_chars"
+        )
+        snap_upsert(spark, path, ups, keys=["doc_id"], stats_cols=("doc_id",))
+        # evolution really happened: version 1's pinned schema is narrower
+        assert [f.name for f in snap_schema(path, version=1).fields] == [
+            "doc_id", "lang",
+        ]
+        out = snap_read(spark, path)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+
 @register(
     "q156_snapshot_replace_where",
     doc="Range-scoped REPLACE as one snapshot commit (storage/snapshots.py "
