@@ -1070,3 +1070,87 @@ def test_evolved_table_upserts_and_compacts(spark, tmp_path):
                      target_file_bytes=64 << 20)
     got2 = {(x.k, x.v, x.tag) for x in snap_read(spark, path).collect()}
     assert got2 == got and r["version"] == snap_current_version(path)
+
+
+# --- z-order layout (r11): multi-dimension manifest pruning ------------------
+
+
+def _grid(spark, n=48):
+    rows = [(x, y, float(x * n + y)) for x in range(n) for y in range(n)]
+    return spark.createDataFrame(rows, "x int, y int, v double")
+
+
+def _kept(spark, path, prune):
+    return len(snap_read(spark, path, prune=prune).inputFiles())
+
+
+def test_snap_write_zorder_prunes_both_dimensions(spark, tmp_path):
+    """The property hierarchical cluster_by cannot give: a predicate on
+    the NON-leading column skips files. Every file of a z-ordered commit
+    covers a small (x, y) hyper-rectangle, so manifest min/max pruning is
+    selective on either dimension; the lexicographic layout is the
+    control — its files each span the full y domain."""
+    from pyspark.sql import functions as F
+
+    pz, ph = str(tmp_path / "z"), str(tmp_path / "h")
+    g = _grid(spark)
+    snap_write(spark, g, pz, zorder_by=("x", "y"), target_files=16)
+    snap_write(spark, g, ph, cluster_by=("x", "y"), target_files=16)
+    total_z, total_h = _kept(spark, pz, None), _kept(spark, ph, None)
+    assert total_z >= 8 and total_h >= 8
+    q = ("x", 0, 11)  # one quarter of the domain
+    assert _kept(spark, pz, q) <= total_z // 2  # leading col: both prune
+    assert _kept(spark, ph, q) <= total_h // 2
+    qy = ("y", 0, 11)
+    assert _kept(spark, pz, qy) <= total_z // 2  # z-order: y prunes too
+    assert _kept(spark, ph, qy) >= total_h - 1  # hierarchy: y never prunes
+    # pruning is an optimization, never a filter: values match a full scan
+    got = sorted(
+        (r.x, r.y, r.v)
+        for r in snap_read(spark, pz, prune=qy)
+        .filter(F.col("y").between(0, 11))
+        .collect()
+    )
+    want = sorted(
+        (r.x, r.y, r.v)
+        for r in g.filter(F.col("y").between(0, 11)).collect()
+    )
+    assert got == want
+
+
+def test_snap_write_zorder_cluster_by_exclusive(spark, tmp_path):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        snap_write(
+            spark, _grid(spark, 4), str(tmp_path / "t"),
+            cluster_by=("x",), zorder_by=("x", "y"),
+        )
+
+
+def test_snap_compact_zorder_relayouts_all_files(spark, tmp_path):
+    """OPTIMIZE ZORDER: compaction with zorder_by rewrites EVERY current
+    file (size selection would leave the big, unordered files in place),
+    after which the non-leading column prunes — and the visible rows are
+    byte-identical (the row-count re-proof ran before publish)."""
+    from tickerlake_spark.storage.snapshots import snap_compact
+
+    import os
+
+    from tickerlake_spark.storage.snapshots import snap_files
+
+    path = str(tmp_path / "t")
+    g = _grid(spark)
+    snap_write(spark, g, path, cluster_by=("x",), target_files=8)
+    n_before = _kept(spark, path, None)
+    assert _kept(spark, path, ("y", 0, 11)) == n_before  # x-layout: no y prune
+    total_bytes = sum(os.path.getsize(f) for f in snap_files(path))
+    r = snap_compact(
+        spark, path, small_file_bytes=1,
+        target_file_bytes=max(1, total_bytes // 12),
+        zorder_by=("x", "y"),
+    )
+    assert r["compacted_files"] == n_before  # ALL files rewritten
+    n_after = _kept(spark, path, None)
+    assert _kept(spark, path, ("y", 0, 11)) <= n_after // 2
+    assert sorted(
+        (r.x, r.y, r.v) for r in snap_read(spark, path).collect()
+    ) == sorted((r.x, r.y, r.v) for r in g.collect())

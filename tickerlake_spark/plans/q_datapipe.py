@@ -2842,6 +2842,48 @@ def q157_snapshot_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q158_snapshot_zorder",
+    doc="Z-ordered snapshot layout (storage/snapshots.py snap_write("
+    "zorder_by=...) over storage/clustering.zorder_key, r11): commit "
+    "documents laid out along the interleaved-bit Morton key of (doc_id, "
+    "n_chars), then read with a manifest prune on n_chars — the NON-"
+    "leading dimension, where lexicographic clustering skips nothing — "
+    "plus the residual row filter (pruning is an optimization, never a "
+    "filter). The oracle is the plain SQL over the same table, so the "
+    "Morton layout and multi-dimension file skipping are value-hash-"
+    "checked to change nothing. Builds in a throwaway temp dir per "
+    "invocation.",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE n_chars BETWEEN 200 AND 900
+""",
+)
+def q158_snapshot_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from tickerlake_spark.storage.snapshots import snap_read, snap_write
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tmp_root = tempfile.mkdtemp(prefix="q158_snap_")
+    path = tmp_root + "/t"
+    try:
+        snap_write(
+            spark, d, path, zorder_by=("doc_id", "n_chars"), target_files=16
+        )
+        out = snap_read(
+            spark, path, prune=("n_chars", 200, 900)
+        ).filter(F.col("n_chars").between(200, 900))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+@register(
     "q156_snapshot_replace_where",
     doc="Range-scoped REPLACE as one snapshot commit (storage/snapshots.py "
     "snap_replace_where, r11 — the open formats' public replaceWhere idea): "

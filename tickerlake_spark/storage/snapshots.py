@@ -297,6 +297,7 @@ def snap_write(
     cluster_by: tuple = (),
     target_files: int | None = None,
     evolve_schema: bool = False,
+    zorder_by: tuple = (),
 ) -> dict:
     """Commit ``df`` as a new snapshot version of the table at ``path``.
 
@@ -317,6 +318,16 @@ def snap_write(
     in ``cluster_by`` are implicitly added to ``stats_cols``: clustering
     without recording the ranges would buy nothing.
 
+    ``zorder_by`` (mutually exclusive with ``cluster_by``) lays the commit
+    out along the interleaved-bit Morton key of ≥2 NUMERIC columns
+    (``storage/clustering.zorder_key``): every file then covers a small
+    hyper-rectangle, so manifest pruning skips files on a predicate over
+    ANY of the z-ordered columns — the multi-dimension selectivity that
+    lexicographic ``cluster_by`` only gives its leading column. Z-ordered
+    columns are implicitly added to ``stats_cols``. An empty (or all-null)
+    batch falls back to an unclustered write: layout is an optimization,
+    never a gate.
+
     ``mode='overwrite'``: the new version references only this commit's
     files. ``mode='append'``: the new version references the current
     version's files plus this commit's. Either way no existing file is
@@ -332,6 +343,27 @@ def snap_write(
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
+    if zorder_by:
+        from tickerlake_spark.storage.clustering import zorder_key
+
+        stats_cols = tuple(dict.fromkeys(tuple(stats_cols) + tuple(zorder_by)))
+        n = target_files or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        try:
+            z, _ = zorder_key(df, list(zorder_by))
+            # drop AFTER the partition-local sort: projection preserves the
+            # within-partition order the parquet row groups inherit
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        except ValueError:
+            pass  # empty/all-null batch: commit unclustered
     if cluster_by:
         stats_cols = tuple(dict.fromkeys(tuple(stats_cols) + tuple(cluster_by)))
         # default file count: the session's shuffle parallelism — a plan-level
@@ -1000,6 +1032,7 @@ def snap_compact(
     target_file_bytes: int = 128 << 20,
     stats_cols: tuple = (),
     fs: FS = LOCAL_FS,
+    zorder_by: tuple = (),
 ) -> dict:
     """Fold the current version's small files into target-sized ones and
     commit the result as a new version — OPTIMIZE for snapshot tables.
@@ -1008,6 +1041,13 @@ def snap_compact(
     to publish. Readers pinned to prior versions are untouched (compaction
     is just another commit); the superseded small files are reclaimed by
     ``snap_vacuum`` once their versions expire.
+
+    ``zorder_by`` turns the fold into OPTIMIZE ZORDER: EVERY current file
+    is rewritten along the Morton key of the named numeric columns (small
+    ones included), so subsequent manifest pruning skips files on range
+    predicates over ANY of those columns. A full re-layout by design —
+    size-based selection would leave the large files unordered, which is
+    most of the table. Z-ordered columns join ``stats_cols`` implicitly.
 
     Optimistic like ``snap_upsert``: a commit landing mid-compaction means
     the folded file set is stale — raises ``SnapshotConflict`` without
@@ -1020,17 +1060,38 @@ def snap_compact(
     # and re-materializes the survivors — compaction is also the metadata
     # OPTIMIZE that folds accreted chunk indirection back down
     entries = _entries(path, m, fs)
-    small = [e for e in entries if e["bytes"] < small_file_bytes]
-    if len(small) < 2:
-        return {"version": cur_v, "compacted_files": 0}
-    carried = [e for e in entries if e["bytes"] >= small_file_bytes]
+    if zorder_by:
+        small, carried = list(entries), []
+        stats_cols = tuple(dict.fromkeys(tuple(stats_cols) + tuple(zorder_by)))
+        if not small:
+            return {"version": cur_v, "compacted_files": 0}
+    else:
+        small = [e for e in entries if e["bytes"] < small_file_bytes]
+        if len(small) < 2:
+            return {"version": cur_v, "compacted_files": 0}
+        carried = [e for e in entries if e["bytes"] >= small_file_bytes]
     base = path.rstrip("/")
     schema = StructType.fromJson(json.loads(m["schema_json"]))
     df = spark.read.schema(schema).parquet(
         *[f"{base}/{e['path']}" for e in small]
     )
     n_out = max(1, sum(e["bytes"] for e in small) // target_file_bytes + 1)
-    new_files = _write_commit_files(df.coalesce(n_out), path, stats_cols, fs)
+    if zorder_by:
+        from tickerlake_spark.storage.clustering import zorder_key
+
+        try:
+            z, _ = zorder_key(df, list(zorder_by))
+            out_df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        except ValueError:  # empty/all-null: layout is never a gate
+            out_df = df.coalesce(n_out)
+    else:
+        out_df = df.coalesce(n_out)
+    new_files = _write_commit_files(out_df, path, stats_cols, fs)
     want_rows = sum(e["rows"] for e in small)
     got_rows = sum(e["rows"] for e in new_files)
     if got_rows != want_rows:
