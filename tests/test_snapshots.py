@@ -1154,3 +1154,68 @@ def test_snap_compact_zorder_relayouts_all_files(spark, tmp_path):
     assert sorted(
         (r.x, r.y, r.v) for r in snap_read(spark, path).collect()
     ) == sorted((r.x, r.y, r.v) for r in g.collect())
+
+
+# --- restore (r11): roll back to a prior version as a new commit -------------
+
+
+@pytest.mark.parametrize("objstore", [False, True])
+def test_restore_flips_back_and_keeps_history(spark, tmp_path, objstore):
+    """RESTORE re-publishes an old version's file list under a new version
+    number: the bad commits stay time-travelable (nothing deleted), the
+    current read flips atomically, and the op is metadata-only."""
+    from tickerlake_spark.storage.snapshots import snap_history, snap_restore
+
+    fs = HadoopFS(spark, atomic_rename=False) if objstore else LocalFS()
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path, stats_cols=("d",), fs=fs)
+    snap_write(spark, _df(spark, R2), path, mode="append",
+               stats_cols=("d",), fs=fs)
+    r = snap_restore(path, 1, fs=fs)
+    assert r["version"] == 3 and r["restored_from"] == 1
+    assert _rows(snap_read(spark, path, fs=fs)) == set(R1)
+    # the rolled-back version is still there, time-travelable
+    assert _rows(snap_read(spark, path, version=2, fs=fs)) == set(R1) | set(R2)
+    assert [h["op"] for h in snap_history(path, fs=fs)] == [
+        "overwrite", "append", "restore",
+    ]
+    # restoring to the version we're already at is a no-op, not a commit
+    r2 = snap_restore(path, 3, fs=fs)
+    assert r2["version"] == 3 and snap_current_version(path, fs=fs) == 3
+
+
+def test_restore_survives_vacuum_and_carries_stream_marker(spark, tmp_path):
+    """Files of the restored version survive vacuum (the restore manifest
+    references them), and the exactly-once stream marker carries from the
+    CURRENT version — a replayed micro-batch after a restore still dedups
+    against the newest stream commit, even one being rolled back."""
+    from tickerlake_spark.storage.snapshots import _load, snap_restore
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path)
+    snap_write(spark, _df(spark, R2), path, mode="append",
+               extra={"stream_batch_id": 7, "stream_id": "s1"})
+    snap_restore(path, 1)
+    m = _load(path, 3, LocalFS())
+    assert m["stream_batch_id"] == 7 and m["stream_id"] == "s1"
+    snap_vacuum(path, keep_last=1)
+    assert _rows(snap_read(spark, path)) == set(R1)  # v1's files survived
+    with pytest.raises(FileNotFoundError):
+        snap_read(spark, path, version=2)  # expired version is gone
+    with pytest.raises(FileNotFoundError):
+        snap_restore(path, 2)  # restoring to an expired version refuses
+
+
+def test_restore_across_schema_evolution_narrows_back(spark, tmp_path):
+    from tickerlake_spark.storage.snapshots import snap_restore, snap_schema
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path)
+    wider = spark.createDataFrame(
+        [("E", dt.date(2024, 3, 1), 5.0, "x")],
+        "k string, d date, v double, tag string",
+    )
+    snap_write(spark, wider, path, mode="append", evolve_schema=True)
+    snap_restore(path, 1)
+    assert [f.name for f in snap_schema(path).fields] == ["k", "d", "v"]
+    assert _rows(snap_read(spark, path)) == set(R1)

@@ -2884,6 +2884,59 @@ def q158_snapshot_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q159_snapshot_restore",
+    doc="RESTORE as a metadata-only commit (storage/snapshots.py "
+    "snap_restore, r11): overwrite-commit a documents slice, append a "
+    "second slice, keyed-upsert a correction (three versions), then roll "
+    "the table BACK to version 1 — a fourth commit that re-publishes v1's "
+    "file list verbatim (no data file read, copied, or rewritten; the bad "
+    "commits stay time-travelable until vacuum expires them). The visible "
+    "table after restore must equal the ORIGINAL slice exactly, which is "
+    "the oracle — value-hash-checked so the rollback machinery provably "
+    "reproduces v1, not something close to it. Builds in a throwaway temp "
+    "dir per invocation.",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0
+""",
+)
+def q159_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from tickerlake_spark.storage.snapshots import (
+        snap_current_version,
+        snap_read,
+        snap_restore,
+        snap_upsert,
+        snap_write,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tmp_root = tempfile.mkdtemp(prefix="q159_snap_")
+    path = tmp_root + "/t"
+    try:
+        snap_write(
+            spark, d.filter(F.col("doc_id") % 3 == 0), path, stats_cols=("doc_id",)
+        )
+        snap_write(
+            spark, d.filter(F.col("doc_id") % 3 == 1), path,
+            mode="append", stats_cols=("doc_id",),
+        )
+        ups = d.filter(F.col("doc_id") % 6 == 0).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(1000)
+        )
+        snap_upsert(spark, path, ups, keys=["doc_id"], stats_cols=("doc_id",))
+        r = snap_restore(path, 1)
+        assert r["version"] == 4 and snap_current_version(path) == 4
+        out = snap_read(spark, path)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+@register(
     "q156_snapshot_replace_where",
     doc="Range-scoped REPLACE as one snapshot commit (storage/snapshots.py "
     "snap_replace_where, r11 — the open formats' public replaceWhere idea): "

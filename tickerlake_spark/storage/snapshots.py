@@ -1001,6 +1001,60 @@ def snap_view(
     return df
 
 
+def snap_restore(
+    path: str,
+    version: int,
+    fs: FS = LOCAL_FS,
+    max_retries: int = 5,
+) -> dict:
+    """Roll the table BACK to ``version`` as a NEW commit — the bad-batch
+    escape hatch: the restored version's file list (and pinned schema —
+    restoring across a schema evolution narrows the table back) is
+    re-published verbatim under a fresh version number, so history is
+    preserved (nothing is deleted; the bad commits remain time-travelable
+    until vacuum expires them) and concurrent readers see one atomic flip.
+
+    Metadata-only and O(manifest): no data file is read, copied, or
+    rewritten — chunk refs carry by reference like any append. The target
+    version must still be within vacuum retention (its manifest loads or
+    this raises); while a kept manifest references files, vacuum keeps
+    them, so a loadable target is a readable one. The exactly-once stream
+    marker is carried from the CURRENT version, not the target: a replayed
+    micro-batch after a restore must still dedup against the latest
+    stream commit, even one being rolled back."""
+    if version < 1:
+        raise ValueError(f"cannot restore {path!r} to version {version}")
+    target = _load(path, version, fs)  # raises if expired/never existed
+    writer = uuid.uuid4().hex[:8]
+    for _ in range(max_retries):
+        cur_v = snap_current_version(path, fs)
+        if cur_v == version:
+            return {"version": cur_v, "op": "restore", "restored_from": version}
+        cur = _load(path, cur_v, fs) if cur_v else None
+        manifest = {
+            "op": "restore",
+            "restored_from": version,
+            "writer": writer,
+            "parent": cur_v,
+            "schema_json": target["schema_json"],
+            "files": target.get("files", []),
+            **(
+                {"chunks": target["chunks"]} if target.get("chunks") else {}
+            ),
+            **_carry_stream_marker(cur),
+        }
+        if _try_commit(path, manifest, cur_v + 1, fs):
+            return {
+                "version": cur_v + 1,
+                "op": "restore",
+                "restored_from": version,
+                "files": _count_files(manifest),
+            }
+    raise SnapshotConflict(
+        f"lost the commit race {max_retries} times restoring {path!r}"
+    )
+
+
 def snap_history(path: str, fs: FS = LOCAL_FS) -> list[dict]:
     """Commit log, oldest first: version, op, parent, ts, file count,
     total rows — the audit surface time travel keys off."""
