@@ -1219,3 +1219,93 @@ def test_restore_across_schema_evolution_narrows_back(spark, tmp_path):
     snap_restore(path, 1)
     assert [f.name for f in snap_schema(path).fields] == ["k", "d", "v"]
     assert _rows(snap_read(spark, path)) == set(R1)
+
+
+# --- exact row-level CDC (r11): snap_row_changes -----------------------------
+
+
+def test_row_changes_upsert_yields_exact_pre_post_pairs(spark, tmp_path):
+    """The per-row complement to snap_changes' file-granular feed: an
+    upsert that rewrote a whole file to change ONE row yields exactly one
+    preimage/postimage pair — rewritten-but-unchanged rows cancel."""
+    from tickerlake_spark.storage.snapshots import snap_row_changes
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1).coalesce(1), path, stats_cols=("d",))
+    snap_write(spark, _df(spark, R2).coalesce(1), path, mode="append",
+               stats_cols=("d",))
+    up = _df(spark, [("C", dt.date(2024, 2, 1), 30.0),
+                     ("E", dt.date(2024, 3, 1), 5.0)])
+    snap_upsert(spark, path, up, keys=["k"], stats_cols=("d",))
+    got = {
+        (r.k, r.v, r._change_type)
+        for r in snap_row_changes(spark, path, 2, 3, keys=["k"]).collect()
+    }
+    assert got == {
+        ("C", 3.0, "update_preimage"),
+        ("C", 30.0, "update_postimage"),
+        ("E", 5.0, "insert"),
+    }  # D shared C's rewritten file but is NOT in the feed
+
+
+def test_row_changes_without_keys_and_deletes(spark, tmp_path):
+    """Without keys an update is a delete+insert pair; a replace_where
+    that drops rows yields real deletes."""
+    from tickerlake_spark.storage.snapshots import (
+        snap_replace_where,
+        snap_row_changes,
+    )
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1 + R2), path, cluster_by=("d",),
+               target_files=2)
+    rep = _df(spark, [("C", dt.date(2024, 2, 1), 99.0)])  # D disappears
+    snap_replace_where(spark, path, rep, "d",
+                       dt.date(2024, 2, 1), dt.date(2024, 12, 31))
+    got = {
+        (r.k, r.v, r._change_type)
+        for r in snap_row_changes(spark, path, 1, 2).collect()
+    }
+    assert got == {
+        ("C", 3.0, "delete"),
+        ("C", 99.0, "insert"),
+        ("D", 4.0, "delete"),
+    }
+    # keyed view of the same window: C pairs up, D stays a delete
+    keyed = {
+        (r.k, r.v, r._change_type)
+        for r in snap_row_changes(spark, path, 1, 2, keys=["k"]).collect()
+    }
+    assert keyed == {
+        ("C", 3.0, "update_preimage"),
+        ("C", 99.0, "update_postimage"),
+        ("D", 4.0, "delete"),
+    }
+
+
+def test_row_changes_spanning_schema_evolution(spark, tmp_path):
+    """A feed spanning an evolution reads BOTH sides through the newer
+    pinned schema: pre-evolution rows report NULL in the added column."""
+    from tickerlake_spark.storage.snapshots import snap_row_changes
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path)
+    wider = spark.createDataFrame(
+        [("E", dt.date(2024, 3, 1), 5.0, "x")],
+        "k string, d date, v double, tag string",
+    )
+    snap_write(spark, wider, path, mode="append", evolve_schema=True)
+    up = spark.createDataFrame(
+        [("A", dt.date(2024, 1, 1), 9.0, "y")],
+        "k string, d date, v double, tag string",
+    )
+    snap_upsert(spark, path, up, keys=["k"])
+    got = {
+        (r.k, r.v, r.tag, r._change_type)
+        for r in snap_row_changes(spark, path, 1, 3, keys=["k"]).collect()
+    }
+    assert got == {
+        ("A", 1.0, None, "update_preimage"),  # NULL through evolved schema
+        ("A", 9.0, "y", "update_postimage"),
+        ("E", 5.0, "x", "insert"),
+    }

@@ -2937,6 +2937,64 @@ def q159_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q160_snapshot_row_changes",
+    doc="EXACT row-level CDC between snapshot versions (storage/"
+    "snapshots.py snap_row_changes, r11 — the public Delta CDF "
+    "_change_type convention, computed post-hoc from manifests): commit a "
+    "documents slice, then one keyed upsert that UPDATES the doc_id%6==0 "
+    "rows and INSERTS the doc_id%6==2 rows; the feed between v1 and v2 "
+    "must contain exactly one update_preimage/update_postimage pair per "
+    "updated key and one insert per new key — rewritten-but-unchanged "
+    "rows sharing the same files cancel via exceptAll, so cost is "
+    "O(churn), never O(table). The oracle reconstructs the same feed in "
+    "plain SQL. Builds in a throwaway temp dir per invocation.",
+    oracle="""
+SELECT doc_id, lang, n_chars, 'update_preimage' AS _change_type
+FROM documents WHERE doc_id % 6 = 0
+UNION ALL
+SELECT doc_id, lang, n_chars + 1000 AS n_chars, 'update_postimage' AS _change_type
+FROM documents WHERE doc_id % 6 = 0
+UNION ALL
+SELECT doc_id, lang, n_chars, 'insert' AS _change_type
+FROM documents WHERE doc_id % 6 = 2
+""",
+)
+def q160_snapshot_row_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from tickerlake_spark.storage.snapshots import (
+        snap_row_changes,
+        snap_upsert,
+        snap_write,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tmp_root = tempfile.mkdtemp(prefix="q160_snap_")
+    path = tmp_root + "/t"
+    try:
+        snap_write(
+            spark,
+            d.filter(F.col("doc_id") % 3 < 2),
+            path,
+            cluster_by=("doc_id",),
+            target_files=6,
+        )
+        batch = (
+            d.filter(F.col("doc_id") % 6 == 0)
+            .withColumn("n_chars", F.col("n_chars") + F.lit(1000))
+            .unionByName(d.filter(F.col("doc_id") % 6 == 2))
+        )
+        snap_upsert(spark, path, batch, keys=["doc_id"], stats_cols=("doc_id",))
+        out = snap_row_changes(spark, path, 1, 2, keys=["doc_id"])
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+@register(
     "q156_snapshot_replace_where",
     doc="Range-scoped REPLACE as one snapshot commit (storage/snapshots.py "
     "snap_replace_where, r11 — the open formats' public replaceWhere idea): "

@@ -985,6 +985,74 @@ def snap_changes(
     )
 
 
+def snap_row_changes(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    version: int | None = None,
+    keys: list[str] | None = None,
+    fs: FS = LOCAL_FS,
+) -> DataFrame:
+    """EXACT row-level change feed between two committed versions — the
+    per-row complement to ``snap_changes``'s file-granular at-least-once
+    feed (the public Delta CDF ``_change_type`` convention, computed
+    after the fact from the manifests instead of persisted change files).
+
+    Cost is O(churn), never O(table): the manifest file diff scopes the
+    scan to files present in only one version (carried files are
+    byte-identical and contribute nothing), then ``exceptAll`` cancels
+    rewritten-but-unchanged rows — an upsert that rewrote a 1M-row file
+    to change 10 rows yields exactly 10 pre/post pairs. The multiset
+    semantics make duplicate rows count correctly.
+
+    Without ``keys``: rows only in the newer side are ``insert``, rows
+    only in the older side are ``delete`` (an updated row appears as a
+    delete+insert pair). With ``keys``: pairs sharing a key are
+    reclassified ``update_preimage``/``update_postimage``.
+
+    Both sides read through the NEWER version's pinned schema, so a feed
+    spanning a schema evolution reports pre-evolution rows with NULL in
+    the added columns — the same projection every current read uses."""
+    v = version if version is not None else snap_current_version(path, fs)
+    if v == 0:
+        raise FileNotFoundError(f"no snapshot versions at {path!r}")
+    diff = snap_file_diff(path, since_version, v, fs=fs)
+    schema = StructType.fromJson(json.loads(_load(path, v, fs)["schema_json"]))
+    base = path.rstrip("/")
+
+    def _read(entries):
+        if not entries:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[f"{base}/{e['path']}" for e in entries]
+        )
+
+    newer, older = _read(diff["added"]), _read(diff["removed"])
+    ins = newer.exceptAll(older).withColumn("_change_type", F.lit("insert"))
+    dels = older.exceptAll(newer).withColumn("_change_type", F.lit("delete"))
+    if keys:
+        # keys present on BOTH sides are updates, not insert/delete churn;
+        # the semi/anti joins below are over the (small, churn-sized) key
+        # set — AQE broadcasts them
+        both = ins.select(*keys).intersect(dels.select(*keys))
+        upd_post = ins.drop("_change_type").join(
+            both, keys, "left_semi"
+        ).withColumn("_change_type", F.lit("update_postimage"))
+        pure_ins = ins.drop("_change_type").join(
+            both, keys, "left_anti"
+        ).withColumn("_change_type", F.lit("insert"))
+        upd_pre = dels.drop("_change_type").join(
+            both, keys, "left_semi"
+        ).withColumn("_change_type", F.lit("update_preimage"))
+        pure_del = dels.drop("_change_type").join(
+            both, keys, "left_anti"
+        ).withColumn("_change_type", F.lit("delete"))
+        return pure_ins.unionByName(upd_post).unionByName(
+            upd_pre
+        ).unionByName(pure_del)
+    return ins.unionByName(dels)
+
+
 def snap_view(
     spark: SparkSession,
     path: str,
