@@ -91,6 +91,12 @@ def main(argv: list[str] | None = None) -> int:
         "--zorder", default=None,
         help="comma-separated numeric columns to Morton-cluster while compacting",
     )
+    m.add_argument(
+        "--restore-version", type=int, default=None,
+        help="snapshot tables only: roll the table back to this version as "
+        "a new metadata-only commit (skips compaction/vacuum — the bad "
+        "commits stay time-travelable until a later vacuum expires them)",
+    )
 
     args = ap.parse_args(argv)
 
@@ -150,16 +156,32 @@ def main(argv: list[str] | None = None) -> int:
             from tickerlake_spark.storage.snapshots import (
                 is_snapshot_table,
                 snap_compact,
+                snap_restore,
                 snap_vacuum,
             )
 
-            if is_snapshot_table(args.table, fs=lake_fs):
+            if args.restore_version is not None:
+                if not is_snapshot_table(args.table, fs=lake_fs):
+                    print(
+                        f"--restore-version requires {args.table} to be a "
+                        "snapshot table (only manifest commits are "
+                        "restorable)",
+                        file=sys.stderr,
+                    )
+                    return 2
+                stats = snap_restore(
+                    args.table, args.restore_version, fs=lake_fs
+                )
+            elif is_snapshot_table(args.table, fs=lake_fs):
                 # snapshot tables: OPTIMIZE is a commit, reclamation is
                 # version retention — never a directory swap
                 stats = snap_compact(
                     spark,
                     args.table,
                     target_file_bytes=args.target_file_mb * 1024 * 1024,
+                    zorder_by=tuple(args.zorder.split(","))
+                    if args.zorder
+                    else (),
                     fs=lake_fs,
                 )
                 stats.update(snap_vacuum(args.table, keep_last=3, fs=lake_fs))
