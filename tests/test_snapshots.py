@@ -1309,3 +1309,40 @@ def test_row_changes_spanning_schema_evolution(spark, tmp_path):
         ("A", 9.0, "y", "update_postimage"),
         ("E", 5.0, "x", "insert"),
     }
+
+
+def test_snap_write_zorder_on_date_column(spark, tmp_path):
+    """Dates z-order through the monotone days-since-epoch map, so a date
+    window prunes files even as the non-leading dimension; strings refuse
+    (no monotone map exists, so a string would silently break pruning)."""
+    path = str(tmp_path / "t")
+    rows = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=d), x, float(d * 40 + x))
+        for d in range(40)
+        for x in range(40)
+    ]
+    g = spark.createDataFrame(rows, "d date, x int, v double")
+    snap_write(spark, g, path, zorder_by=("x", "d"), target_files=16)
+    total = _kept(spark, path, None)
+    window = ("d", dt.date(2024, 1, 1), dt.date(2024, 1, 10))
+    assert _kept(spark, path, window) <= total // 2  # non-leading date prunes
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        (r.d, r.x, r.v)
+        for r in snap_read(spark, path, prune=window)
+        .filter(F.col("d") <= dt.date(2024, 1, 10))
+        .collect()
+    )
+    want = sorted(
+        (r.d, r.x, r.v)
+        for r in g.filter(F.col("d") <= dt.date(2024, 1, 10)).collect()
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="numeric, date, and"):
+        snap_write(
+            spark,
+            _df(spark, R1),
+            str(tmp_path / "s"),
+            zorder_by=("k", "v"),
+        )

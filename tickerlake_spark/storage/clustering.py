@@ -19,7 +19,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_clustered", "write_zordered", "zorder_key"]
+__all__ = [
+    "ZorderBoundsUnavailable",
+    "write_clustered",
+    "write_zordered",
+    "zorder_key",
+]
+
+
+class ZorderBoundsUnavailable(ValueError):
+    """Empty input or all-null z-order column: no bounds to scale by.
+    Distinct from type misuse so layout-optional callers (snapshot
+    commits) can fall back to an unclustered write on THIS case only."""
 
 
 def write_clustered(
@@ -49,7 +60,11 @@ def write_clustered(
 
 
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
-    """Interleaved-bit (Morton) key over numeric ``cols``.
+    """Interleaved-bit (Morton) key over numeric, date, or timestamp
+    ``cols`` (dates become days-since-epoch, timestamps epoch seconds —
+    the monotone maps that preserve range-pruning semantics; strings are
+    rejected: no hash is monotone, so no string map can both z-cluster
+    and keep min/max pruning honest).
 
     Each column is min/max-scaled to a ``bits``-wide unsigned int (one
     bounds aggregation over ``df``), then the bit planes are interleaved
@@ -63,14 +78,34 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
     bounds dict) so callers can persist the bounds for query-side pruning.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import DateType, NumericType, TimestampType
 
+    types = {f.name: f.dataType for f in df.schema.fields}
+    num_exprs = {}
+    for c in cols:
+        t = types.get(c)
+        if isinstance(t, DateType):
+            num_exprs[c] = F.datediff(F.col(c), F.lit("1970-01-01"))
+        elif isinstance(t, TimestampType):
+            num_exprs[c] = F.unix_timestamp(F.col(c))
+        elif isinstance(t, NumericType) or t is None:
+            num_exprs[c] = F.col(c)
+        else:
+            raise ValueError(
+                f"zorder_key: column {c!r} has non-orderable-numeric type "
+                f"{t.simpleString()}; z-order supports numeric, date, and "
+                "timestamp columns"
+            )
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        aggs += [
+            F.min(num_exprs[c]).alias(f"__mn_{c}"),
+            F.max(num_exprs[c]).alias(f"__mx_{c}"),
+        ]
     b = df.agg(*aggs).first()
     null_cols = [c for c in cols if b[f"__mn_{c}"] is None or b[f"__mx_{c}"] is None]
     if null_cols:
-        raise ValueError(
+        raise ZorderBoundsUnavailable(
             "zorder_key: cannot compute min/max bounds for "
             f"{null_cols} — input is empty or the column(s) are all null"
         )
@@ -81,7 +116,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
         mn, mx = float(b[f"__mn_{c}"]), float(b[f"__mx_{c}"])
         bounds[c] = (mn, mx)
         span = (mx - mn) or 1.0
-        s = F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * maxv)
+        s = F.floor((num_exprs[c].cast("double") - F.lit(mn)) / F.lit(span) * maxv)
         scaled.append(F.least(F.lit(maxv).cast("long"), F.greatest(F.lit(0).cast("long"), s.cast("long"))))
     z = F.lit(0).cast("long")
     for bit in range(bits):

@@ -85,6 +85,8 @@ __all__ = [
     "snap_write",
     "snap_upsert",
     "snap_replace_where",
+    "snap_restore",
+    "snap_row_changes",
     "snap_read",
     "snap_files",
     "snap_schema",
@@ -346,7 +348,10 @@ def snap_write(
     if cluster_by and zorder_by:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
     if zorder_by:
-        from tickerlake_spark.storage.clustering import zorder_key
+        from tickerlake_spark.storage.clustering import (
+            ZorderBoundsUnavailable,
+            zorder_key,
+        )
 
         stats_cols = tuple(dict.fromkeys(tuple(stats_cols) + tuple(zorder_by)))
         n = target_files or int(
@@ -362,8 +367,10 @@ def snap_write(
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
-        except ValueError:
+        except ZorderBoundsUnavailable:
             pass  # empty/all-null batch: commit unclustered
+        # (type misuse — a string z-order column — still raises: silently
+        # skipping the layout would break the pruning the caller asked for)
     if cluster_by:
         stats_cols = tuple(dict.fromkeys(tuple(stats_cols) + tuple(cluster_by)))
         # default file count: the session's shuffle parallelism — a plan-level
@@ -1199,7 +1206,10 @@ def snap_compact(
     )
     n_out = max(1, sum(e["bytes"] for e in small) // target_file_bytes + 1)
     if zorder_by:
-        from tickerlake_spark.storage.clustering import zorder_key
+        from tickerlake_spark.storage.clustering import (
+            ZorderBoundsUnavailable,
+            zorder_key,
+        )
 
         try:
             z, _ = zorder_key(df, list(zorder_by))
@@ -1209,7 +1219,7 @@ def snap_compact(
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
-        except ValueError:  # empty/all-null: layout is never a gate
+        except ZorderBoundsUnavailable:  # empty/all-null: never a gate
             out_df = df.coalesce(n_out)
     else:
         out_df = df.coalesce(n_out)
