@@ -1346,3 +1346,59 @@ def test_snap_write_zorder_on_date_column(spark, tmp_path):
             str(tmp_path / "s"),
             zorder_by=("k", "v"),
         )
+
+
+def test_concurrent_appends_and_upserts_real_threads(spark, tmp_path):
+    """Genuine interleaving, not a simulated race: six writers append
+    concurrently through the optimistic retry loop and every batch lands
+    exactly once; then four concurrent upserts (conflict -> re-run, the
+    documented contract) converge to last-write-wins per key with no row
+    lost or doubled."""
+    import threading
+
+    from tickerlake_spark.storage.snapshots import snap_history
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path)
+    errs = []
+
+    def _append(i):
+        try:
+            rows = [(f"T{i}", dt.date(2025, 1, 1 + i), float(i))]
+            snap_write(spark, _df(spark, rows), path, mode="append",
+                       max_retries=20)
+        except Exception as e:  # surface in the main thread
+            errs.append(e)
+
+    ts = [threading.Thread(target=_append, args=(i,)) for i in range(6)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    got = _rows(snap_read(spark, path))
+    assert got == set(R1) | {
+        (f"T{i}", dt.date(2025, 1, 1 + i), float(i)) for i in range(6)
+    }
+    assert snap_current_version(path) == 7  # one commit per append, no loss
+
+    def _upsert(i):
+        try:
+            up = _df(spark, [("A", dt.date(2024, 1, 1), 100.0 + i)])
+            for _ in range(30):  # caller re-runs on conflict (the contract)
+                try:
+                    snap_upsert(spark, path, up, keys=["k"])
+                    return
+                except SnapshotConflict:
+                    continue
+            raise RuntimeError("upsert never converged")
+        except Exception as e:
+            errs.append(e)
+
+    ts = [threading.Thread(target=_upsert, args=(i,)) for i in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    cur = snap_read(spark, path)
+    a_vals = [r.v for r in cur.collect() if r.k == "A"]
+    assert len(a_vals) == 1 and a_vals[0] in {100.0, 101.0, 102.0, 103.0}
+    assert cur.count() == 8  # 2 base + 6 appended, A rewritten in place
+    assert [h["op"] for h in snap_history(path)].count("upsert") == 4
