@@ -284,10 +284,16 @@ def test_compaction_crash_between_rename_and_delete_is_repaired(
             raise RuntimeError("simulated crash mid-swap")
         return real_rmtree(p, *a, **k)
 
-    monkeypatch.setattr(maintenance.shutil, "rmtree", exploding_rmtree)
+    # the deletes run through the FS protocol now (LocalFS.rmtree wraps
+    # shutil.rmtree), so the crash hook goes on the fs module — patching
+    # a vestigial maintenance.shutil stopped working when that unused
+    # import was removed (r10 nit)
+    from tickerlake_spark.storage import fs as fs_mod
+
+    monkeypatch.setattr(fs_mod.shutil, "rmtree", exploding_rmtree)
     with pytest.raises(RuntimeError):
         maintenance.compact_ingest_partitions(spark, post_root, horizon_batch=2)
-    monkeypatch.setattr(maintenance.shutil, "rmtree", real_rmtree)
+    monkeypatch.setattr(fs_mod.shutil, "rmtree", real_rmtree)
     assert fired["v"]
 
     maintenance.compact_ingest_partitions(spark, post_root, horizon_batch=2)

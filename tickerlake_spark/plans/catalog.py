@@ -313,6 +313,10 @@ _COST_RANK = [
     "q154_snapshot_split_manifest",  # chunked manifests + pruned read
     "q155_snapshot_changes",  # version-bounded incremental delta
     "q156_snapshot_replace_where",  # range-scoped replace commit
+    "q157_snapshot_evolve",  # evolving append + backfill upsert
+    "q158_snapshot_zorder",  # Morton-layout commit + non-leading prune
+    "q159_snapshot_restore",  # three commits + metadata-only rollback
+    "q160_snapshot_row_changes",  # upsert + exact row-level CDC feed
 ]
 
 
