@@ -83,7 +83,7 @@ def test_maintain_zorder_routes_to_snapshot_compact(spark, tmp_path, monkeypatch
     total = len(snap_read(spark, path).inputFiles())
     assert len(snap_read(spark, path, prune=("y", 0, 7)).inputFiles()) == total
     rc = _main(spark, monkeypatch, [
-        "maintain", "--table", path, "--zorder", "x,y",
+        "maintain", "--table", path, "--zorder", "x, y",  # stray space OK
         "--target-file-mb", "1", "--data-root", str(tmp_path),
     ])
     assert rc == 0

@@ -1402,3 +1402,51 @@ def test_concurrent_appends_and_upserts_real_threads(spark, tmp_path):
     assert len(a_vals) == 1 and a_vals[0] in {100.0, 101.0, 102.0, 103.0}
     assert cur.count() == 8  # 2 base + 6 appended, A rewritten in place
     assert [h["op"] for h in snap_history(path)].count("upsert") == 4
+
+
+def test_row_changes_null_key_pairs_as_update(spark, tmp_path):
+    """A NULL-keyed row that changes between versions is ONE update pair,
+    not an insert+delete split: window partitioning groups NULL keys
+    (join equality would drop them from both semi sides and double-apply
+    the row downstream)."""
+    from tickerlake_spark.storage.snapshots import snap_row_changes
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("A", dt.date(2024, 1, 1), 1.0), (None, dt.date(2024, 1, 2), 2.0)],
+        "k string, d date, v double",
+    )
+    snap_write(spark, base, path)
+    nxt = spark.createDataFrame(
+        [("A", dt.date(2024, 1, 1), 1.0), (None, dt.date(2024, 1, 2), 9.0)],
+        "k string, d date, v double",
+    )
+    snap_write(spark, nxt, path, mode="overwrite")
+    got = {
+        (r.k, r.v, r._change_type)
+        for r in snap_row_changes(spark, path, 1, 2, keys=["k"]).collect()
+    }
+    assert got == {
+        (None, 2.0, "update_preimage"),
+        (None, 9.0, "update_postimage"),
+    }
+
+
+def test_zorder_refuses_reserved_column_name(spark, tmp_path):
+    """A user column named __z would be silently destroyed by the layout
+    (replaced by the Morton key, then dropped) — refuse instead."""
+    df = spark.createDataFrame([(1, 2, 3.0)], "x int, y int, __z double")
+    with pytest.raises(ValueError, match="__z"):
+        snap_write(spark, df, str(tmp_path / "t"), zorder_by=("x", "y"))
+
+
+def test_restore_noop_return_shape_matches_commit(spark, tmp_path):
+    from tickerlake_spark.storage.snapshots import snap_restore
+
+    path = str(tmp_path / "t")
+    snap_write(spark, _df(spark, R1), path)
+    snap_write(spark, _df(spark, R2), path, mode="append")
+    committed = snap_restore(path, 1)
+    noop = snap_restore(path, 1)
+    assert set(committed) == set(noop)  # retried restore reads identically
+    assert noop["files"] == committed["files"]

@@ -33,6 +33,15 @@ import json
 import sys
 
 
+def _zorder_cols(raw: str | None) -> tuple:
+    """'x, y' / 'x,y,' -> ('x', 'y'): whitespace stripped, empty segments
+    dropped — a stray space would otherwise reach the z-order key builder
+    as a nonexistent column name and die in the bounds aggregation."""
+    if not raw:
+        return ()
+    return tuple(c.strip() for c in raw.split(",") if c.strip())
+
+
 def _demo_source(start: dt.date, end: dt.date):
     """Deterministic offline MarketSource (moved to sources/demo.py so the
     Python DataSource can rebuild it on executors)."""
@@ -179,9 +188,7 @@ def main(argv: list[str] | None = None) -> int:
                     spark,
                     args.table,
                     target_file_bytes=args.target_file_mb * 1024 * 1024,
-                    zorder_by=tuple(args.zorder.split(","))
-                    if args.zorder
-                    else (),
+                    zorder_by=_zorder_cols(args.zorder),
                     fs=lake_fs,
                 )
                 stats.update(snap_vacuum(args.table, keep_last=3, fs=lake_fs))
@@ -192,7 +199,7 @@ def main(argv: list[str] | None = None) -> int:
                     spark,
                     args.table,
                     target_file_bytes=args.target_file_mb * 1024 * 1024,
-                    zorder_by=args.zorder.split(",") if args.zorder else None,
+                    zorder_by=list(_zorder_cols(args.zorder)) or None,
                     fs=lake_fs,
                 )
             print(json.dumps({"cmd": "maintain", "table": args.table, **stats}))

@@ -24,6 +24,7 @@ __all__ = [
     "write_clustered",
     "write_zordered",
     "zorder_key",
+    "zorder_layout",
 ]
 
 
@@ -126,6 +127,39 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
     return z, bounds
 
 
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    num_files: int | None = None,
+    bits: int = 12,
+):
+    """Shared Morton-layout pipeline: range-partition ``df`` by the
+    interleaved key and sort within partitions, so every output partition
+    (→ file) covers a small hyper-rectangle. The key column is transient —
+    added, used for the exchange, dropped (projection preserves the
+    partition-local order the parquet row groups inherit). Refuses a
+    ``df`` that already carries the transient name: silently replacing a
+    user's ``__z`` column would destroy its data on the way to disk.
+    Returns ``(laid_out_df, bounds)``. The single implementation behind
+    ``write_zordered``, ``snap_write``/``snap_compact`` z-order, and the
+    directory compactor — one place for key/ordering semantics."""
+    from pyspark.sql import functions as F
+
+    if "__z" in df.columns:
+        raise ValueError(
+            "zorder_layout: input already has a '__z' column — rename it; "
+            "the layout uses that name transiently and would drop it"
+        )
+    z, bounds = zorder_key(df, list(cols), bits=bits)
+    keyed = df.withColumn("__z", z)
+    ranged = (
+        keyed.repartitionByRange(num_files, F.col("__z"))
+        if num_files
+        else keyed.repartitionByRange(F.col("__z"))
+    )
+    return ranged.sortWithinPartitions("__z").drop("__z"), bounds
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -138,16 +172,8 @@ def write_zordered(
     sorted by the Morton key, so every file covers a small hyper-rectangle
     and range predicates on ANY of the cluster columns skip files.
     Returns the per-column bounds used for scaling."""
-    from pyspark.sql import functions as F
-
     if len(cols) < 2:
         raise ValueError("z-order needs >= 2 columns; use write_clustered for 1")
-    z, bounds = zorder_key(df, cols, bits=bits)
-    keyed = df.withColumn("__z", z)
-    ranged = (
-        keyed.repartitionByRange(num_files, F.col("__z"))
-        if num_files
-        else keyed.repartitionByRange(F.col("__z"))
-    )
-    ranged.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+    out, bounds = zorder_layout(df, cols, num_files=num_files, bits=bits)
+    out.write.mode(mode).parquet(path)
     return bounds

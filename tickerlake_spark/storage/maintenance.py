@@ -384,17 +384,10 @@ def compact_table(
     df = spark.read.parquet(path)
     tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
     if zorder_by:
-        from tickerlake_spark.storage.clustering import zorder_key
+        from tickerlake_spark.storage.clustering import zorder_layout
 
-        z, _bounds = zorder_key(df, zorder_by)
-        keyed = df.withColumn("__zorder", z)
-        (
-            keyed.repartitionByRange(n_files, "__zorder")
-            .sortWithinPartitions("__zorder")
-            .drop("__zorder")
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
+        laid, _bounds = zorder_layout(df, zorder_by, num_files=n_files)
+        laid.write.mode("overwrite").parquet(tmp)
     else:
         df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
     replace_table(path, tmp, fs=fs)

@@ -350,7 +350,7 @@ def snap_write(
     if zorder_by:
         from tickerlake_spark.storage.clustering import (
             ZorderBoundsUnavailable,
-            zorder_key,
+            zorder_layout,
         )
 
         stats_cols = tuple(dict.fromkeys(tuple(stats_cols) + tuple(zorder_by)))
@@ -358,19 +358,12 @@ def snap_write(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
         try:
-            z, _ = zorder_key(df, list(zorder_by))
-            # drop AFTER the partition-local sort: projection preserves the
-            # within-partition order the parquet row groups inherit
-            df = (
-                df.withColumn("__z", z)
-                .repartitionByRange(n, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
+            df, _ = zorder_layout(df, zorder_by, num_files=n)
         except ZorderBoundsUnavailable:
             pass  # empty/all-null batch: commit unclustered
-        # (type misuse — a string z-order column — still raises: silently
-        # skipping the layout would break the pruning the caller asked for)
+        # (type misuse — a string z-order column — and a reserved-name
+        # collision still raise: silently skipping the layout, or silently
+        # dropping a user's __z column, is worse than failing)
     if cluster_by:
         stats_cols = tuple(dict.fromkeys(tuple(stats_cols) + tuple(cluster_by)))
         # default file count: the session's shuffle parallelism — a plan-level
@@ -1035,29 +1028,36 @@ def snap_row_changes(
         )
 
     newer, older = _read(diff["added"]), _read(diff["removed"])
-    ins = newer.exceptAll(older).withColumn("_change_type", F.lit("insert"))
-    dels = older.exceptAll(newer).withColumn("_change_type", F.lit("delete"))
+    ins = newer.exceptAll(older)
+    dels = older.exceptAll(newer)
     if keys:
-        # keys present on BOTH sides are updates, not insert/delete churn;
-        # the semi/anti joins below are over the (small, churn-sized) key
-        # set — AQE broadcasts them
-        both = ins.select(*keys).intersect(dels.select(*keys))
-        upd_post = ins.drop("_change_type").join(
-            both, keys, "left_semi"
-        ).withColumn("_change_type", F.lit("update_postimage"))
-        pure_ins = ins.drop("_change_type").join(
-            both, keys, "left_anti"
-        ).withColumn("_change_type", F.lit("insert"))
-        upd_pre = dels.drop("_change_type").join(
-            both, keys, "left_semi"
-        ).withColumn("_change_type", F.lit("update_preimage"))
-        pure_del = dels.drop("_change_type").join(
-            both, keys, "left_anti"
-        ).withColumn("_change_type", F.lit("delete"))
-        return pure_ins.unionByName(upd_post).unionByName(
-            upd_pre
-        ).unionByName(pure_del)
-    return ins.unionByName(dels)
+        from pyspark.sql import Window
+
+        # tag side, union, then ONE window pass per key classifies update
+        # pairs: each exceptAll subtree appears once in the plan (the
+        # earlier semi/anti-join formulation re-evaluated both subtrees
+        # per branch — ~5x the scan and shuffle work), and window
+        # partitioning groups NULL keys together, so a NULL-keyed update
+        # still pairs up (join equality would silently split it into an
+        # insert+delete, double-applying the row downstream)
+        w = Window.partitionBy(*keys)
+        tagged = ins.withColumn("_side", F.lit("new")).unionByName(
+            dels.withColumn("_side", F.lit("old"))
+        )
+        n_sides = F.size(F.collect_set("_side").over(w))
+        return tagged.withColumn(
+            "_change_type",
+            F.when(
+                (F.col("_side") == "new") & (n_sides == 2),
+                F.lit("update_postimage"),
+            )
+            .when(F.col("_side") == "new", F.lit("insert"))
+            .when(n_sides == 2, F.lit("update_preimage"))
+            .otherwise(F.lit("delete")),
+        ).drop("_side")
+    return ins.withColumn("_change_type", F.lit("insert")).unionByName(
+        dels.withColumn("_change_type", F.lit("delete"))
+    )
 
 
 def snap_view(
@@ -1104,7 +1104,14 @@ def snap_restore(
     for _ in range(max_retries):
         cur_v = snap_current_version(path, fs)
         if cur_v == version:
-            return {"version": cur_v, "op": "restore", "restored_from": version}
+            # same result shape as the committed path: a retried restore
+            # whose first attempt actually landed reads identically
+            return {
+                "version": cur_v,
+                "op": "restore",
+                "restored_from": version,
+                "files": _count_files(target),
+            }
         cur = _load(path, cur_v, fs) if cur_v else None
         manifest = {
             "op": "restore",
@@ -1208,17 +1215,11 @@ def snap_compact(
     if zorder_by:
         from tickerlake_spark.storage.clustering import (
             ZorderBoundsUnavailable,
-            zorder_key,
+            zorder_layout,
         )
 
         try:
-            z, _ = zorder_key(df, list(zorder_by))
-            out_df = (
-                df.withColumn("__z", z)
-                .repartitionByRange(n_out, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
+            out_df, _ = zorder_layout(df, zorder_by, num_files=n_out)
         except ZorderBoundsUnavailable:  # empty/all-null: never a gate
             out_df = df.coalesce(n_out)
     else:
