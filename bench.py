@@ -11,8 +11,20 @@ Everything bulky — the full e2e record, the ANN recall/latency curve, the
 embedded 10x scale proof — goes to BENCH_DETAIL.json next to this script
 instead of stdout.
 
-Each query is executed to completion (foreachPartition no-op sink — forces
-full materialization without driver collect); timing includes plan + execute.
+Each query is executed to completion with the built-in noop sink
+(``df.write.format("noop")`` — eagerly computes every column of every row
+inside the JVM and discards it); timing includes plan + execute.
+
+MEASUREMENT FIX (optimization r11, guide §1.4): rounds 1-10 timed
+``df.foreachPartition(lambda it: None)``, which converts the result to an RDD
+and pickles every row out to Python workers — cost the query itself does not
+have (and it hides the query from the SQL tab). The noop sink is the
+guide-sanctioned timed action. A/B on an idle box (tools/bench_action_ab.py,
+sf0.1, min of 3 after warmup): foreachPartition 6.53s total vs noop 4.77s —
+per query q01 0.364/0.190, q03 0.458/0.322, q05 0.618/0.467, q31 1.092/0.886,
+q34 1.966/1.652, q35 1.128/0.930, q41 0.622/0.209, q45 0.283/0.111. The old
+numbers stay in OPTIMIZATION_r11.md and BENCH_r10.json for comparison.
+
 Every query gets one untimed warmup pass (JVM + whole-stage-codegen
 compilation is per-plan, and the HOF-heavy hash pipelines pay multi-second
 first-run codegen costs), then the reported time is the best of 3 timed
@@ -59,18 +71,25 @@ def main() -> None:
 
     host = host_conditions(tempfile.gettempdir())
 
+    def _run(df) -> None:
+        # guide §1.4: noop sink — computes every column of every row in the
+        # JVM, no RDD conversion / row pickling (see MEASUREMENT FIX above)
+        df.write.format("noop").mode("overwrite").save()
+
     # Warmup: run every bench query once (per-plan codegen compilation).
     for spec in bench_queries.values():
-        spec.fn(spark, sf_dir).foreachPartition(lambda it: None)
+        _run(spec.fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, spec in bench_queries.items():
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).foreachPartition(lambda it: None)
+            _run(spec.fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 4)
+        spark.sparkContext.setJobDescription(None)
 
     total = round(sum(timings.values()), 4)
     out = {
