@@ -35,7 +35,9 @@ __all__ = [
 ]
 
 
-def stock_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stock_bars(
+    spark: SparkSession, sf_dir: str, *, long_ticker: bool = False
+) -> DataFrame:
     """Daily OHLCV bars derived from lineitem (see module docstring).
 
     The first/last tie-break order is (orderkey, linenumber, price, qty), but
@@ -45,12 +47,22 @@ def stock_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width primitive, so the groupBy plans as HashAggregate — a
     struct-typed ordering key would force SortAggregate, adding a full
     per-partition sort on both sides of the shuffle, pure waste at 100 TB.
+
+    ``long_ticker=True`` keeps the ticker as the raw bigint ``l_suppkey``
+    instead of its string form. The cast is injective, so every downstream
+    grouping / join / window partitioned on ticker produces identical groups
+    — but the shuffle writes 8-byte longs instead of variable-length UTF8
+    and every hash/sort comparison is a primitive compare (guide §2.3:
+    shuffle narrower types). Callers cast back to string in their FINAL
+    projection, after all shuffles and sorts, so declared query output is
+    byte-identical.
     """
     li = load_table(spark, sf_dir, "lineitem")
     order_key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+    ticker = F.col("l_suppkey") if long_ticker else F.col("l_suppkey").cast("string")
     return (
         li.select(
-            F.col("l_suppkey").cast("string").alias("ticker"),
+            ticker.alias("ticker"),
             F.col("l_shipdate").cast("date").alias("date"),
             F.col("l_extendedprice").alias("price"),
             F.col("l_quantity").alias("qty"),
@@ -75,17 +87,26 @@ def stock_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stock_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic splits table derived from supplier keys."""
+def stock_splits(
+    spark: SparkSession, sf_dir: str, *, long_ticker: bool = False
+) -> DataFrame:
+    """Deterministic splits table derived from supplier keys.
+
+    ``long_ticker`` must match the bars side so the broadcast join key has
+    one type (see ``stock_bars``)."""
     s = load_table(spark, sf_dir, "supplier")
+
+    def key() -> F.Column:
+        return F.col("s_suppkey") if long_ticker else F.col("s_suppkey").cast("string")
+
     fwd = s.filter(F.col("s_suppkey") % 3 == 0).select(
-        F.col("s_suppkey").cast("string").alias("ticker"),
+        key().alias("ticker"),
         F.lit("1998-06-15").cast("date").alias("execution_date"),
         F.lit(1.0).cast("double").alias("split_from"),
         F.lit(2.0).cast("double").alias("split_to"),
     )
     rev = s.filter(F.col("s_suppkey") % 5 == 0).select(
-        F.col("s_suppkey").cast("string").alias("ticker"),
+        key().alias("ticker"),
         F.lit("1999-09-01").cast("date").alias("execution_date"),
         F.lit(5.0).cast("double").alias("split_from"),
         F.lit(1.0).cast("double").alias("split_to"),
@@ -208,16 +229,19 @@ res AS (
     return ADJUSTED_CTE + resample + _IND_TAIL.format(src="res")
 
 
-def ticker_universe(spark: SparkSession, sf_dir: str, ticker_type: str) -> DataFrame:
+def ticker_universe(
+    spark: SparkSession, sf_dir: str, ticker_type: str, *, long_ticker: bool = False
+) -> DataFrame:
     """Derived ticker metadata universe: suppkey % 10 == 0 -> ETF, else CS
     (the same ~10% ETF share the e2e corpus uses). The segmented faces of
     the published gold surface (reference: metadata.json databases.hvcs —
     ``*_stocks`` / ``*_etfs``) are this one-column dimension broadcast
     semi-joined against the type-agnostic analytic."""
     s = load_table(spark, sf_dir, "supplier")
+    key = F.col("s_suppkey") if long_ticker else F.col("s_suppkey").cast("string")
     return (
         s.select(
-            F.col("s_suppkey").cast("string").alias("ticker"),
+            key.alias("ticker"),
             F.when(F.col("s_suppkey") % 10 == 0, "ETF")
             .otherwise("CS")
             .alias("type"),

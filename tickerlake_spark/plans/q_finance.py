@@ -38,9 +38,24 @@ STAIRSTEP_MIN_STEPS = 2
 
 _CALCULATED_AT = dt.datetime(2026, 1, 1, 0, 0, 0)
 
+# Optimization r11 (guide §2.3, shuffle narrower types): the whole finance
+# chain groups / joins / windows on ticker, and ticker := l_suppkey is an
+# injective bigint→string cast — so the chain runs on the raw 8-byte long
+# (primitive hash + compare, fixed-width shuffle rows) and each query casts
+# back to string ONLY in its final projection, after every exchange and sort.
+# Group membership, join matches and window frames are identical either way,
+# so declared output is byte-identical (oracle-checked).
+def _ticker_str() -> F.Column:
+    return F.col("ticker").cast("string").alias("ticker")
 
-def _adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return apply_splits(stock_bars(spark, sf_dir), stock_splits(spark, sf_dir))
+
+def _adjusted(
+    spark: SparkSession, sf_dir: str, *, long_ticker: bool = False
+) -> DataFrame:
+    return apply_splits(
+        stock_bars(spark, sf_dir, long_ticker=long_ticker),
+        stock_splits(spark, sf_dir, long_ticker=long_ticker),
+    )
 
 
 @register(
@@ -54,7 +69,10 @@ SELECT ticker, date, open, high, low, close, volume, transactions FROM bars
 """,
 )
 def q30_stock_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return stock_bars(spark, sf_dir)
+    bars = stock_bars(spark, sf_dir, long_ticker=True)
+    return bars.select(
+        _ticker_str(), "date", "open", "high", "low", "close", "volume", "transactions"
+    )
 
 
 @register(
@@ -73,9 +91,9 @@ FROM adjusted
 """,
 )
 def q31_split_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
-    adj = _adjusted(spark, sf_dir)
+    adj = _adjusted(spark, sf_dir, long_ticker=True)
     return adj.select(
-        "ticker",
+        _ticker_str(),
         "date",
         stable_round(F.col("open"), 6).alias("open"),
         stable_round(F.col("high"), 6).alias("high"),
@@ -104,9 +122,9 @@ GROUP BY 1, 2
 """,
 )
 def q32_resample_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wk = resample_ohlcv(_adjusted(spark, sf_dir), "week")
+    wk = resample_ohlcv(_adjusted(spark, sf_dir, long_ticker=True), "week")
     return wk.select(
-        "ticker",
+        _ticker_str(),
         "date",
         stable_round(F.col("open"), 6).alias("open"),
         stable_round(F.col("high"), 6).alias("high"),
@@ -134,9 +152,9 @@ GROUP BY 1, 2
 """,
 )
 def q33_resample_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mo = resample_ohlcv(_adjusted(spark, sf_dir), "month")
+    mo = resample_ohlcv(_adjusted(spark, sf_dir, long_ticker=True), "month")
     return mo.select(
-        "ticker",
+        _ticker_str(),
         "date",
         stable_round(F.col("open"), 6).alias("open"),
         stable_round(F.col("high"), 6).alias("high"),
@@ -169,9 +187,9 @@ FROM ind
 def q34_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assume_non_null: bars here derive from lineitem price/qty (never null),
     # so the shared-ordinal window mask is provably equivalent and faster
-    ind = compute_indicators(_adjusted(spark, sf_dir), assume_non_null=True)
+    ind = compute_indicators(_adjusted(spark, sf_dir, long_ticker=True), assume_non_null=True)
     return ind.select(
-        "ticker",
+        _ticker_str(),
         "date",
         stable_round(F.col("sma_20"), 6).alias("sma_20"),
         stable_round(F.col("sma_50"), 6).alias("sma_50"),
@@ -212,9 +230,9 @@ def q35_vwap_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6-decimal grain sits inside the cross-engine noise and hash-flips on
     # boundary values. Cents (2 decimals) swamp the noise by 8 orders of
     # magnitude — boundary-proof for the driver's exact repr hash.
-    sig = vwap_signals(_adjusted(spark, sf_dir), calculated_at=_CALCULATED_AT)
+    sig = vwap_signals(_adjusted(spark, sf_dir, long_ticker=True), calculated_at=_CALCULATED_AT)
     return sig.select(
-        "ticker",
+        _ticker_str(),
         "date",
         stable_round(F.col("close"), 6).alias("close"),
         stable_round(F.col("ytd_vwap"), 2).alias("ytd_vwap"),
@@ -242,12 +260,12 @@ WHERE volume_ma_20 IS NOT NULL
 """,
 )
 def q36_hvc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    adj = _adjusted(spark, sf_dir)
+    adj = _adjusted(spark, sf_dir, long_ticker=True)
     ind = compute_indicators(adj, assume_non_null=True)
     ev = hvc_events(ind, adj, threshold=HVC_THRESHOLD)
     return ev.select(
         "date",
-        "ticker",
+        _ticker_str(),
         stable_round(F.col("volume_avg_ratio"), 6).alias("volume_avg_ratio"),
         "volume",
         "volume_avg",
@@ -258,13 +276,13 @@ def _hvc_resampled(spark: SparkSession, sf_dir: str, unit: str, threshold: float
     """HVC detection over a {unit}-resampled timeframe: the reference
     declares weekly/monthly HVC faces alongside daily
     (metadata.json:69-188); same operators, coarser bars."""
-    adj = _adjusted(spark, sf_dir)
+    adj = _adjusted(spark, sf_dir, long_ticker=True)
     res = resample_ohlcv(adj, unit)
     ind = compute_indicators(res, assume_non_null=True)
     ev = hvc_events(ind, res, threshold=threshold)
     return ev.select(
         "date",
-        "ticker",
+        _ticker_str(),
         stable_round(F.col("volume_avg_ratio"), 6).alias("volume_avg_ratio"),
         "volume",
         "volume_avg",
@@ -367,7 +385,7 @@ FROM patterns
 """,
 )
 def q37_stairstep_up(spark: SparkSession, sf_dir: str) -> DataFrame:
-    adj = _adjusted(spark, sf_dir)
+    adj = _adjusted(spark, sf_dir, long_ticker=True)
     ind = compute_indicators(adj, assume_non_null=True)
     ev = hvc_events(ind, adj, threshold=HVC_THRESHOLD)
     pat = stairstep_patterns(
@@ -375,7 +393,7 @@ def q37_stairstep_up(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_steps=STAIRSTEP_MIN_STEPS, direction="up",
     )
     return pat.select(
-        "ticker",
+        _ticker_str(),
         "start_date",
         "end_date",
         "hvc_count",
@@ -403,7 +421,7 @@ FROM patterns
 """,
 )
 def q37b_stairstep_down(spark: SparkSession, sf_dir: str) -> DataFrame:
-    adj = _adjusted(spark, sf_dir)
+    adj = _adjusted(spark, sf_dir, long_ticker=True)
     ind = compute_indicators(adj, assume_non_null=True)
     ev = hvc_events(ind, adj, threshold=HVC_THRESHOLD)
     pat = stairstep_patterns(
@@ -411,7 +429,7 @@ def q37b_stairstep_down(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_steps=STAIRSTEP_MIN_STEPS, direction="down",
     )
     return pat.select(
-        "ticker",
+        _ticker_str(),
         "start_date",
         "end_date",
         "hvc_count",
@@ -440,7 +458,7 @@ FROM ranked_p WHERE rn = 1
 """,
 )
 def q38_best_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
-    adj = _adjusted(spark, sf_dir)
+    adj = _adjusted(spark, sf_dir, long_ticker=True)
     ind = compute_indicators(adj, assume_non_null=True)
     ev = hvc_events(ind, adj, threshold=HVC_THRESHOLD)
     pat = stairstep_patterns(
@@ -448,7 +466,7 @@ def q38_best_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_steps=STAIRSTEP_MIN_STEPS, direction="up",
     )
     return best_patterns(pat).select(
-        "ticker",
+        _ticker_str(),
         "start_date",
         "end_date",
         "hvc_count",
@@ -483,7 +501,7 @@ def _hvc_events_segmented(
 ) -> DataFrame:
     from tickerlake_spark.plans.finance import ticker_universe
 
-    adj = _adjusted(spark, sf_dir)
+    adj = _adjusted(spark, sf_dir, long_ticker=True)
     ind = compute_indicators(adj, assume_non_null=True)
     ev = hvc_events(ind, adj, threshold=HVC_THRESHOLD)
     seg = ev.join(
@@ -493,7 +511,7 @@ def _hvc_events_segmented(
     )
     return seg.select(
         "date",
-        "ticker",
+        _ticker_str(),
         stable_round(F.col("volume_avg_ratio"), 6).alias("volume_avg_ratio"),
         "volume",
         "volume_avg",
@@ -553,7 +571,7 @@ WHERE rn = 1 AND ticker IN (SELECT ticker FROM meta WHERE type = 'CS')
 def q38s_best_pattern_stocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tickerlake_spark.plans.finance import ticker_universe
 
-    adj = _adjusted(spark, sf_dir)
+    adj = _adjusted(spark, sf_dir, long_ticker=True)
     ind = compute_indicators(adj, assume_non_null=True)
     ev = hvc_events(ind, adj, threshold=HVC_THRESHOLD)
     pat = stairstep_patterns(
@@ -564,7 +582,7 @@ def q38s_best_pattern_stocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(ticker_universe(spark, sf_dir, "CS")), "ticker", "left_semi"
     )
     return best.select(
-        "ticker",
+        _ticker_str(),
         "start_date",
         "end_date",
         "hvc_count",
