@@ -95,10 +95,19 @@ def rolling_mean_strict(
     first n-1 rows per group are null (reference: silver/indicators.py:10-25).
     Spark's ``avg over rowsBetween`` emits partial averages, so we mask on the
     window row count.
+
+    The mean is ``sum/n``, not ``avg`` (optimization r11, guide §2.3): Spark
+    recomputes a sliding frame's aggregation buffer from scratch for every
+    output row (SlidingWindowFunctionFrame has no retract path), so buffer
+    width is the inner-loop cost — Average maintains (sum, count) where Sum
+    maintains just the sum. Under the count==n mask the two are bitwise
+    identical: both accumulate the same doubles left-to-right and divide the
+    identical sum by exactly n (Average divides by count cast to double,
+    which the mask pins to n).
     """
     c = F.col(col) if isinstance(col, str) else col
     w = rolling_window(partition_cols, order_cols, n)
-    return F.when(F.count(c).over(w) == n, F.avg(c).over(w))
+    return F.when(F.count(c).over(w) == n, F.sum(c).over(w) / n)
 
 
 def true_range(

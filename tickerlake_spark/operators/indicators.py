@@ -57,8 +57,13 @@ def compute_indicators(daily: DataFrame, assume_non_null: bool = False) -> DataF
     tr = true_range(F.col("high"), F.col("low"), prev_close)
 
     def mean_full(col: str, n: int):
+        # sum/n, not avg: sliding frames recompute the buffer per output row,
+        # and Sum's buffer is half of Average's (sum, count) — bitwise
+        # identical under the full-window mask (see rolling_mean_strict).
         if assume_non_null:
-            return F.when(rn >= n, F.avg(col).over(rolling_window(part, order, n)))
+            return F.when(
+                rn >= n, F.sum(col).over(rolling_window(part, order, n)) / n
+            )
         return rolling_mean_strict(col, n, part, order)
 
     vol_ma = F.floor(mean_full("volume", 20)).cast("long")
