@@ -1,0 +1,135 @@
+"""Focused equivalence tests for the round-11 operator-internal optimizations.
+
+Two changes rewired operator internals without (by construction) changing any
+result; these tests pin the construction:
+
+1. ``rolling_mean_strict`` / ``compute_indicators`` compute the masked
+   trailing mean as ``sum(col) over frame / n`` instead of
+   ``avg(col) over frame`` (half the aggregation-buffer width per frame row).
+   Under the count==n mask the two must be BITWISE identical — same
+   left-to-right accumulation, division by the same n — so the test compares
+   raw IEEE-754 bit patterns, not approx.
+
+2. The finance chain runs on the raw bigint ``l_suppkey`` ticker
+   (``long_ticker=True``) and casts back to string only in the final
+   projection. The cast is injective, so the whole bars → splits → indicators
+   chain must produce row-identical output vs the string-keyed chain.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tickerlake_spark.functions.core import rolling_mean_strict, rolling_window
+from tickerlake_spark.operators.indicators import compute_indicators
+from tickerlake_spark.operators.splits import apply_splits
+from tickerlake_spark.plans.finance import stock_bars, stock_splits
+
+
+def _bits(x):
+    """IEEE-754 bit pattern (None stays None) — stricter than float ==."""
+    return None if x is None else struct.pack("<d", x)
+
+
+class TestSumOverNBitwiseEqualsAvg:
+    def test_rolling_mean_strict_matches_avg_bitwise(self, spark):
+        # Float-hostile values: mixed magnitudes make the mean sensitive to
+        # any change in accumulation order or intermediate rounding, so a
+        # bitwise match is meaningful evidence the two formulations share
+        # the exact same arithmetic.
+        vals = [
+            1e15, 3.0, -1e15, 0.1, 7e-8, 2.5, -0.1, 1e12, -1e12, 0.3,
+            123456.789, -7e-9, 9.99e14, 1.0 / 3.0, 2.0 / 7.0, -1e15, 1e15,
+            0.7, 11.11, -3.3,
+        ]
+        rows = [("T", i, v) for i, v in enumerate(vals)] + [
+            ("U", i, v * 1.000000001 - 0.25) for i, v in enumerate(vals[:9])
+        ]
+        df = spark.createDataFrame(rows, "ticker string, seq int, x double")
+
+        for n in (3, 7):
+            w = rolling_window(["ticker"], ["seq"], n)
+            ref = F.when(F.count("x").over(w) == n, F.avg("x").over(w))
+            got = df.select(
+                "ticker",
+                "seq",
+                rolling_mean_strict("x", n, ["ticker"], ["seq"]).alias("opt"),
+                ref.alias("ref"),
+            ).collect()
+            assert any(r.ref is not None for r in got)
+            # first n-1 rows per ticker must stay null (the strict mask)
+            assert all(r.opt is None for r in got if r.seq < n - 1)
+            for r in got:
+                assert _bits(r.opt) == _bits(r.ref), (n, r)
+
+    def test_indicator_ordinal_fast_path_matches_avg_bitwise(self, spark):
+        # The assume_non_null fast path masks on a shared row_number instead
+        # of per-frame counts; its sum/n must also match avg bitwise.
+        vals = [100.0 + ((i * 37) % 19) * 1.37 - (i % 5) * 1e-7 for i in range(230)]
+        rows = [
+            ("T", f"2023-{(i // 28) % 12 + 1:02d}-{i % 28 + 1:02d}", v)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, "ticker string, ds string, close double").select(
+            "ticker",
+            F.col("ds").cast("date").alias("date"),
+            "close",
+            F.col("close").alias("high"),
+            F.col("close").alias("low"),
+            F.lit(1000).cast("long").alias("volume"),
+        )
+        out = compute_indicators(df, assume_non_null=True)
+        w1 = Window.partitionBy("ticker").orderBy("date")
+        for col, n in (("sma_20", 20), ("sma_50", 50), ("sma_200", 200)):
+            ref = F.when(
+                F.row_number().over(w1) >= n,
+                F.avg("close").over(rolling_window(["ticker"], ["date"], n)),
+            )
+            got = out.join(df.select("ticker", "date", "close"), ["ticker", "date"]).select(
+                F.col(col).alias("opt"), ref.alias("ref")
+            ).collect()
+            assert sum(r.ref is not None for r in got) == len(vals) - n + 1
+            for r in got:
+                assert _bits(r.opt) == _bits(r.ref), (col, r)
+
+
+class TestLongTickerChainParity:
+    def test_bigint_chain_row_identical_to_string_chain(self, spark, sf_dir):
+        # Full q34-shaped chain (bars -> split adjust -> indicators) keyed on
+        # the raw bigint vs the string ticker: rows must be identical once
+        # the bigint side applies its final-projection cast.
+        def chain(long_ticker):
+            adj = apply_splits(
+                stock_bars(spark, sf_dir, long_ticker=long_ticker),
+                stock_splits(spark, sf_dir, long_ticker=long_ticker),
+            )
+            ind = compute_indicators(adj, assume_non_null=True)
+            return ind.withColumn("ticker", F.col("ticker").cast("string"))
+
+        a = chain(True).collect()
+        b = chain(False).collect()
+        assert len(a) == len(b) > 0
+        key = lambda r: (r.ticker, r.date)
+        a.sort(key=key)
+        b.sort(key=key)
+        for ra, rb in zip(a, b):
+            da, db = ra.asDict(), rb.asDict()
+            assert set(da) == set(db)
+            for k in da:
+                va, vb = da[k], db[k]
+                if isinstance(va, float) or isinstance(vb, float):
+                    assert _bits(va) == _bits(vb), (k, ra, rb)
+                else:
+                    assert va == vb, (k, ra, rb)
+
+    def test_bigint_splits_match_string_splits(self, spark, sf_dir):
+        a = sorted(
+            stock_splits(spark, sf_dir, long_ticker=True)
+            .withColumn("ticker", F.col("ticker").cast("string"))
+            .collect()
+        )
+        b = sorted(stock_splits(spark, sf_dir, long_ticker=False).collect())
+        assert a == b and len(a) > 0
