@@ -14,6 +14,13 @@ result; these tests pin the construction:
    (``long_ticker=True``) and casts back to string only in the final
    projection. The cast is injective, so the whole bars → splits → indicators
    chain must produce row-identical output vs the string-keyed chain.
+
+3. On the ``assume_non_null`` fast path with an integral volume column, the
+   volume MA-20 is computed as a cumulative-sum difference
+   (``cumsum - lag(cumsum, 20)``) instead of a 20-row sliding frame. Integer
+   arithmetic has no reassociation error, so the trailing sum — and hence the
+   floor-divided MA and the ratio built on it — must be EXACTLY equal to the
+   sliding-frame formulation.
 """
 
 from __future__ import annotations
@@ -133,3 +140,79 @@ class TestLongTickerChainParity:
         )
         b = sorted(stock_splits(spark, sf_dir, long_ticker=False).collect())
         assert a == b and len(a) > 0
+
+
+class TestCumsumVolumeMA:
+    def _bars(self, spark, volumes, vol_type="long"):
+        rows = [
+            (t, f"2023-{(i // 28) % 12 + 1:02d}-{i % 28 + 1:02d}", 100.0 + i, float(v))
+            for t, vols in volumes.items()
+            for i, v in enumerate(vols)
+        ]
+        df = spark.createDataFrame(
+            rows, "ticker string, ds string, close double, volume double"
+        )
+        return df.select(
+            "ticker",
+            F.col("ds").cast("date").alias("date"),
+            F.col("close").alias("high"),
+            F.col("close").alias("low"),
+            "close",
+            F.col("volume").cast(vol_type).alias("volume"),
+        )
+
+    def _sliding_ref(self, df):
+        # the pre-r11 formulation: floor(sliding-20-frame sum / 20)
+        w1 = Window.partitionBy("ticker").orderBy("date")
+        rn = F.row_number().over(w1)
+        ma = F.floor(
+            F.when(
+                rn >= 20,
+                F.sum("volume").over(rolling_window(["ticker"], ["date"], 20)) / 20,
+            )
+        ).cast("long")
+        return df.select(
+            "ticker",
+            "date",
+            ma.alias("ref_ma"),
+            F.when(ma.isNotNull(), F.col("volume") / ma).alias("ref_ratio"),
+        )
+
+    def test_cumsum_volma_exactly_matches_sliding_frame(self, spark):
+        # Large, irregular volumes: any deviation in the trailing-sum value
+        # (association, overflow handling, off-by-one frame) flips the
+        # truncating floor or the double ratio.
+        volumes = {
+            "T": [(i * 7919 + 13) % 99991 * 4_000_003 + (i % 3) for i in range(60)],
+            "U": [10**14 + i * 999_983 for i in range(25)],  # cumsum ~2.5e15
+            "S": [5, 7, 11],  # shorter than the window: MA stays null
+        }
+        df = self._bars(spark, volumes)
+        assert dict(df.dtypes)["volume"] == "bigint"
+        out = compute_indicators(df, assume_non_null=True).join(
+            self._sliding_ref(df), ["ticker", "date"]
+        )
+        rows = out.select("ticker", "date", "volume_ma_20", "ref_ma",
+                          "volume_ratio", "ref_ratio").collect()
+        assert len(rows) == sum(len(v) for v in volumes.values())
+        assert sum(r.ref_ma is not None for r in rows) == (60 - 19) + (25 - 19)
+        for r in rows:
+            assert r.volume_ma_20 == r.ref_ma, r
+            assert _bits(r.volume_ratio) == _bits(r.ref_ratio), r
+
+    def test_double_volume_keeps_sliding_path_and_matches(self, spark):
+        # Non-integral volume must NOT take the cumsum identity (float
+        # reassociation) — the guard falls back to the sliding frame, whose
+        # output still matches the reference formulation bitwise.
+        volumes = {"T": [1e15 + ((i * 37) % 19) * 0.1 + i for i in range(40)]}
+        df = self._bars(spark, volumes, vol_type="double")
+        assert dict(df.dtypes)["volume"] == "double"
+        plan = compute_indicators(df, assume_non_null=True)
+        assert "__cumvol" not in plan.schema.simpleString()
+        rows = plan.join(self._sliding_ref(df), ["ticker", "date"]).select(
+            "volume_ma_20", "ref_ma", "volume_ratio", "ref_ratio"
+        ).collect()
+        assert sum(r.ref_ma is not None for r in rows) == 40 - 19
+        for r in rows:
+            assert r.volume_ma_20 == r.ref_ma, r
+            assert _bits(r.volume_ratio) == _bits(r.ref_ratio), r

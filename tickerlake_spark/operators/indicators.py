@@ -66,9 +66,35 @@ def compute_indicators(daily: DataFrame, assume_non_null: bool = False) -> DataF
             )
         return rolling_mean_strict(col, n, part, order)
 
-    vol_ma = F.floor(mean_full("volume", 20)).cast("long")
+    df = daily.withColumn("__tr", tr)
+    volume_is_integral = dict(daily.dtypes).get("volume") in (
+        "bigint", "int", "smallint", "tinyint"
+    )
+    if assume_non_null and volume_is_integral:
+        # Volume is integral, so the trailing-20 sum equals the
+        # cumulative-sum difference EXACTLY (no float reassociation — the
+        # identity that is UNSAFE for the double SMAs). The cumsum frame is
+        # incremental O(1) per row where the sliding frame recomputes its
+        # buffer from scratch (O(20) adds per output row); lag is O(1). The
+        # cumsum shares the lag/true-range WindowExec pass, but
+        # lag(__cumvol, 20) depends on it and needs a pass of its own, so
+        # the plan gains one Window node (2 -> 3) — all of whose frames are
+        # O(1) per row over the already-sorted rows (no new Sort/Exchange);
+        # net −19% on the q34 window stage (plans/r11/q34_indicators_after
+        # .txt). floor(x/20) on the identical long is the identical double
+        # division and floor.
+        df = df.withColumn(
+            "__cumvol",
+            F.sum("volume").over(w1.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        vol_sum_20 = F.col("__cumvol") - F.coalesce(
+            F.lag("__cumvol", 20).over(w1), F.lit(0).cast("long")
+        )
+        vol_ma = F.when(rn >= 20, F.floor(vol_sum_20 / 20)).cast("long")
+    else:
+        vol_ma = F.floor(mean_full("volume", 20)).cast("long")
 
-    df = daily.withColumn("__tr", tr).withColumn("volume_ma_20", vol_ma)
+    df = df.withColumn("volume_ma_20", vol_ma)
     return df.select(
         "ticker",
         "date",
