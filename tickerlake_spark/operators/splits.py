@@ -62,12 +62,21 @@ def apply_splits(stocks: DataFrame, splits: DataFrame) -> DataFrame:
         .agg(F.sort_array(F.collect_list("__s")).alias("__splits"))
     )
     joined = stocks.join(per_ticker, on="ticker", how="left")
+    # ONE conditional aggregate, not filter-then-aggregate (optimization r11,
+    # guide §1.2 "per-task work"): the HOF pair is CodegenFallback
+    # (interpreted per row), and filter() allocates an intermediate array per
+    # evaluation — doubly costly because filter pushdown duplicates the fold
+    # into downstream Filter conditions (q35's plan evaluates it 4x per row).
+    # The fused walk multiplies the SAME kept elements in the SAME sorted
+    # order (skipped elements return the accumulator unchanged), so the
+    # product is bitwise-identical; measured -30% on the adjust pass, -32% on
+    # q35 (tools/experiments/exp_fold_fused.py, full-row value_diffs=0).
     factor = F.when(
         F.col("__splits").isNotNull(),
         F.aggregate(
-            F.filter("__splits", lambda s: F.col("date") < s["d"]),
+            "__splits",
             F.lit(1.0),
-            lambda acc, s: acc * s["r"],
+            lambda acc, s: F.when(F.col("date") < s["d"], acc * s["r"]).otherwise(acc),
         ),
     ).otherwise(F.lit(1.0))
     adj = joined.withColumn("__total", factor).select(
