@@ -21,6 +21,18 @@ result; these tests pin the construction:
    arithmetic has no reassociation error, so the trailing sum — and hence the
    floor-divided MA and the ratio built on it — must be EXACTLY equal to the
    sliding-frame formulation.
+
+4. ``apply_splits`` computes the split factor with ONE conditional
+   ``aggregate`` HOF instead of ``aggregate(filter(...))``. The fused walk
+   multiplies the same kept elements in the same sorted order (skipped
+   elements return the accumulator unchanged), so every adjusted value must
+   be BITWISE identical to the two-HOF formulation.
+
+5. ``compute_indicators`` materializes its O(1) running frames (lag, ordinal,
+   cumsum) once in a first Window pass and feeds the sliding frames from the
+   columns — two WindowExec passes total on the fast path (was three), with
+   one ``row_number`` instance instead of five. Same expressions over the
+   same spec => identical values.
 """
 
 from __future__ import annotations
@@ -200,6 +212,16 @@ class TestCumsumVolumeMA:
             assert r.volume_ma_20 == r.ref_ma, r
             assert _bits(r.volume_ratio) == _bits(r.ref_ratio), r
 
+    def test_fast_path_plans_exactly_two_window_passes(self, spark):
+        # The fused structure: one pass for the O(1) running frames
+        # (lag/ordinal/cumsum), one for the sliding sums + cumvol lag —
+        # and the shared ordinal is evaluated once, not once per SMA mask.
+        volumes = {"T": [1000 + i for i in range(30)]}
+        df = self._bars(spark, volumes)
+        plan = compute_indicators(df, assume_non_null=True)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Window ") == 2, plan
+        assert plan.count("row_number()") == 1, plan
+
     def test_double_volume_keeps_sliding_path_and_matches(self, spark):
         # Non-integral volume must NOT take the cumsum identity (float
         # reassociation) — the guard falls back to the sliding frame, whose
@@ -216,3 +238,115 @@ class TestCumsumVolumeMA:
         for r in rows:
             assert r.volume_ma_20 == r.ref_ma, r
             assert _bits(r.volume_ratio) == _bits(r.ref_ratio), r
+
+
+def _apply_splits_two_hof(stocks, splits):
+    """The pre-r11 ``apply_splits`` formulation: broadcast per-ticker sorted
+    split array, factor = aggregate(filter(arr, date < d), 1.0, acc*r) — the
+    two-HOF reference the fused conditional aggregate must match bitwise."""
+    per_ticker = F.broadcast(
+        splits.select(
+            "ticker",
+            F.struct(
+                F.col("execution_date").alias("d"),
+                (F.col("split_from") / F.col("split_to")).cast("double").alias("r"),
+            ).alias("__s"),
+        )
+        .groupBy("ticker")
+        .agg(F.sort_array(F.collect_list("__s")).alias("__splits"))
+    )
+    joined = stocks.join(per_ticker, on="ticker", how="left")
+    factor = F.when(
+        F.col("__splits").isNotNull(),
+        F.aggregate(
+            F.filter("__splits", lambda s: F.col("date") < s["d"]),
+            F.lit(1.0),
+            lambda acc, s: acc * s["r"],
+        ),
+    ).otherwise(F.lit(1.0))
+    return joined.withColumn("__total", factor).select(
+        "ticker",
+        "date",
+        (F.col("open") * F.col("__total")).alias("open"),
+        (F.col("high") * F.col("__total")).alias("high"),
+        (F.col("low") * F.col("__total")).alias("low"),
+        (F.col("close") * F.col("__total")).alias("close"),
+        F.floor(F.col("volume") / F.col("__total")).cast("long").alias("volume"),
+        F.floor(F.col("transactions") / F.col("__total")).cast("long").alias("transactions"),
+    )
+
+
+class TestFusedSplitFold:
+    def test_fused_fold_bitwise_matches_two_hof_fold(self, spark):
+        # Hostile fixture: non-representable ratios (1/3, 7/9), stacked
+        # splits whose product depends on multiplication ORDER, bars exactly
+        # ON an execution date (strict <), tickers with no splits (null
+        # array branch), and a reverse split (ratio > 1).
+        splits_rows = [
+            ("A", "2023-03-15", 1, 3),   # r = 1/3 (inexact)
+            ("A", "2023-07-01", 7, 9),   # r = 7/9 (inexact) — order matters
+            ("A", "2023-11-20", 10, 1),  # reverse split, r = 10.0
+            ("B", "2023-06-30", 2, 7),   # single inexact split
+        ]
+        splits = spark.createDataFrame(
+            [(t, d, f, to) for t, d, f, to in splits_rows],
+            "ticker string, ds string, split_from long, split_to long",
+        ).select(
+            "ticker",
+            F.col("ds").cast("date").alias("execution_date"),
+            "split_from",
+            "split_to",
+        )
+        bars = spark.createDataFrame(
+            [
+                (t, f"2023-{m:02d}-{dd:02d}",
+                 100.0 + m * 1.37 + dd / 7.0, 101.0 + m, 99.0 + m,
+                 100.5 + m, 10_000 + m * 997 + dd, 100 + dd)
+                for t in ("A", "B", "C")          # C has no splits
+                for m in range(1, 13)
+                for dd in (1, 15, 30) if not (m == 2 and dd == 30)
+            ],
+            "ticker string, ds string, open double, high double, low double,"
+            " close double, volume long, transactions long",
+        ).select("ticker", F.col("ds").cast("date").alias("date"),
+                 "open", "high", "low", "close", "volume", "transactions")
+
+        got = apply_splits(bars, splits).collect()
+        ref = _apply_splits_two_hof(bars, splits).collect()
+        key = lambda r: (r.ticker, r.date)
+        got.sort(key=key)
+        ref.sort(key=key)
+        assert len(got) == len(ref) > 0
+        # the fixture must actually exercise stacked adjustment: A's January
+        # bars sit before all three of A's splits
+        jan_a = [r for r in got if r.ticker == "A" and r.date.month == 1]
+        assert jan_a and all(r.close != 101.5 for r in jan_a)  # factor != 1
+        for rg, rr in zip(got, ref):
+            dg, dr = rg.asDict(), rr.asDict()
+            for k in dg:
+                vg, vr = dg[k], dr[k]
+                if isinstance(vg, float) or isinstance(vr, float):
+                    assert _bits(vg) == _bits(vr), (k, rg, rr)
+                else:
+                    assert vg == vr, (k, rg, rr)
+
+    def test_bar_on_execution_date_not_adjusted(self, spark):
+        # Pins the strict < in the fused lambda: a bar ON the execution date
+        # takes factor 1.0 from that split.
+        splits = spark.createDataFrame(
+            [("A", "2023-06-15", 1, 2)],
+            "ticker string, ds string, split_from long, split_to long",
+        ).select("ticker", F.col("ds").cast("date").alias("execution_date"),
+                 "split_from", "split_to")
+        bars = spark.createDataFrame(
+            [("A", "2023-06-14", 10.0, 10.0, 10.0, 10.0, 100, 10),
+             ("A", "2023-06-15", 10.0, 10.0, 10.0, 10.0, 100, 10)],
+            "ticker string, ds string, open double, high double, low double,"
+            " close double, volume long, transactions long",
+        ).select("ticker", F.col("ds").cast("date").alias("date"),
+                 "open", "high", "low", "close", "volume", "transactions")
+        rows = {r.date.isoformat(): r for r in apply_splits(bars, splits).collect()}
+        assert rows["2023-06-14"].close == 5.0   # adjusted by 1/2
+        assert rows["2023-06-14"].volume == 200
+        assert rows["2023-06-15"].close == 10.0  # NOT adjusted
+        assert rows["2023-06-15"].volume == 100

@@ -52,9 +52,41 @@ def compute_indicators(daily: DataFrame, assume_non_null: bool = False) -> DataF
     part, order = ["ticker"], ["date"]
     w1 = Window.partitionBy(*part).orderBy(*order)
 
-    rn = F.row_number().over(w1)
-    prev_close = F.lag("close", 1).over(w1)
-    tr = true_range(F.col("high"), F.col("low"), prev_close)
+    volume_is_integral = dict(daily.dtypes).get("volume") in (
+        "bigint", "int", "smallint", "tinyint"
+    )
+
+    # Pass 1 (optimization r11, guide §2.4 "window functions sharing one
+    # pass"): every O(1) running frame at once — the lag, the shared ordinal
+    # mask, and (integral volume) the volume cumsum — ONE WindowExec instead
+    # of re-deriving each where referenced. Referencing the window EXPRESSION
+    # per consumer made ExtractWindowExpressions emit one row_number instance
+    # per SMA mask and a second lag(close); materializing them as columns
+    # evaluates each exactly once. Same expressions over the same spec =>
+    # identical values (full-row value_diffs=0 at sf0.1,
+    # tools/experiments/exp_window_dedup.py; measured -18% min / -26% median
+    # on the indicators pass).
+    pass1 = [F.lag("close", 1).over(w1).alias("__prev_close")]
+    if assume_non_null:
+        pass1.append(F.row_number().over(w1).alias("__rn"))
+        if volume_is_integral:
+            # Volume is integral, so the trailing-20 sum equals the
+            # cumulative-sum difference EXACTLY (no float reassociation —
+            # the identity that is UNSAFE for the double SMAs). The cumsum
+            # frame is incremental O(1) per row where the sliding frame
+            # recomputes its buffer from scratch (O(20) adds per output
+            # row); floor(x/20) on the identical long is the identical
+            # double division and floor.
+            pass1.append(
+                F.sum("volume")
+                .over(w1.rowsBetween(Window.unboundedPreceding, 0))
+                .alias("__cumvol")
+            )
+    df = daily.select("*", *pass1).withColumn(
+        "__tr", true_range(F.col("high"), F.col("low"), F.col("__prev_close"))
+    )
+
+    rn = F.col("__rn")
 
     def mean_full(col: str, n: int):
         # sum/n, not avg: sliding frames recompute the buffer per output row,
@@ -66,27 +98,7 @@ def compute_indicators(daily: DataFrame, assume_non_null: bool = False) -> DataF
             )
         return rolling_mean_strict(col, n, part, order)
 
-    df = daily.withColumn("__tr", tr)
-    volume_is_integral = dict(daily.dtypes).get("volume") in (
-        "bigint", "int", "smallint", "tinyint"
-    )
     if assume_non_null and volume_is_integral:
-        # Volume is integral, so the trailing-20 sum equals the
-        # cumulative-sum difference EXACTLY (no float reassociation — the
-        # identity that is UNSAFE for the double SMAs). The cumsum frame is
-        # incremental O(1) per row where the sliding frame recomputes its
-        # buffer from scratch (O(20) adds per output row); lag is O(1). The
-        # cumsum shares the lag/true-range WindowExec pass, but
-        # lag(__cumvol, 20) depends on it and needs a pass of its own, so
-        # the plan gains one Window node (2 -> 3) — all of whose frames are
-        # O(1) per row over the already-sorted rows (no new Sort/Exchange);
-        # net −19% on the q34 window stage (plans/r11/q34_indicators_after
-        # .txt). floor(x/20) on the identical long is the identical double
-        # division and floor.
-        df = df.withColumn(
-            "__cumvol",
-            F.sum("volume").over(w1.rowsBetween(Window.unboundedPreceding, 0)),
-        )
         vol_sum_20 = F.col("__cumvol") - F.coalesce(
             F.lag("__cumvol", 20).over(w1), F.lit(0).cast("long")
         )
@@ -94,14 +106,25 @@ def compute_indicators(daily: DataFrame, assume_non_null: bool = False) -> DataF
     else:
         vol_ma = F.floor(mean_full("volume", 20)).cast("long")
 
-    df = df.withColumn("volume_ma_20", vol_ma)
-    return df.select(
+    # Pass 2: the four sliding sums and the cumvol lag share one
+    # (partition, order) spec => one WindowExec (2 passes total, was 3).
+    df = df.select(
         "ticker",
         "date",
+        "volume",
         mean_full("close", 20).alias("sma_20"),
         mean_full("close", 50).alias("sma_50"),
         mean_full("close", 200).alias("sma_200"),
         mean_full("__tr", 14).alias("atr_14"),
+        vol_ma.alias("volume_ma_20"),
+    )
+    return df.select(
+        "ticker",
+        "date",
+        "sma_20",
+        "sma_50",
+        "sma_200",
+        "atr_14",
         "volume_ma_20",
         F.when(
             F.col("volume_ma_20").isNotNull(),
