@@ -350,3 +350,44 @@ class TestFusedSplitFold:
         assert rows["2023-06-14"].volume == 200
         assert rows["2023-06-15"].close == 10.0  # NOT adjusted
         assert rows["2023-06-15"].volume == 100
+
+
+class TestBruteForceTopkQueryDF:
+    def test_df_query_bitwise_matches_list_query(self, spark, sf_dir):
+        # r11: q45 passes the corpus-resident query as a 1-row DataFrame
+        # (broadcast join, one Spark job) instead of a driver .first()
+        # collect + literal-vector replan. The cosine fold is the same
+        # zip_with/aggregate over the same doubles, so every score must be
+        # IEEE-754 bitwise identical and the ranking unchanged.
+        from tickerlake_spark.operators.similarity import brute_force_topk
+        from tickerlake_spark.plans.catalog import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        qvec = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        ]
+        q_df = e.filter(F.col("vec_id") == 0).select("embedding")
+        a = brute_force_topk(e, qvec, k=50).collect()
+        b = brute_force_topk(e, q_df, k=50).collect()
+        assert len(a) == len(b) == 50
+        for ra, rb in zip(a, b):
+            assert ra.id == rb.id
+            assert _bits(ra.cosine) == _bits(rb.cosine)
+
+    def test_df_query_is_single_broadcast_join_plan(self, spark, sf_dir):
+        # Plan gate: the DataFrame-query form folds the query row in as a
+        # broadcast (no separate collect job is even possible — the plan is
+        # one tree with a BroadcastExchange over the 1-row side).
+        from tickerlake_spark.operators.similarity import brute_force_topk
+        from tickerlake_spark.plans.catalog import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        q_df = e.filter(F.col("vec_id") == 0).select("embedding")
+        plan = (
+            brute_force_topk(e, q_df, k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan

@@ -91,17 +91,39 @@ def hyperplane_bucket(
 
 def brute_force_topk(
     df: DataFrame,
-    query_vec: list[float],
+    query_vec: list[float] | DataFrame,
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact cosine top-k: (id, cosine), ties broken by id ascending."""
-    q = F.lit(query_vec).cast("array<double>")
-    scored = df.select(
-        F.col(id_col).alias("id"),
-        cosine_similarity(as_double_array(vec_col), q).alias("cosine"),
-    )
+    """Exact cosine top-k: (id, cosine), ties broken by id ascending.
+
+    ``query_vec`` is either a Python vector (external query — serving path)
+    or a ONE-ROW DataFrame whose single column is the query vector
+    (corpus-resident query). The DataFrame form keeps the whole computation
+    one Spark job — a 1-row broadcast joined to the scan — instead of a
+    driver ``collect`` job followed by a literal-vector plan (optimization
+    r11, guide §5 "the driver should do almost no data work": the collect
+    round-trip plus the second job's plan+schedule overhead measured ~0.3s
+    of the bench query's ~0.7s; ``exp_q45_qvec_join.py``). The cosine fold
+    is the same ``zip_with``/``aggregate`` over the same doubles either way,
+    so scores are bitwise-identical (rows_identical gate in the experiment
+    and ``tests/test_r11_optimizations.py``)."""
+    if isinstance(query_vec, DataFrame):
+        qcol = query_vec.columns[0]
+        q_df = query_vec.select(as_double_array(qcol).alias("__qv"))
+        scored = df.crossJoin(F.broadcast(q_df)).select(
+            F.col(id_col).alias("id"),
+            cosine_similarity(as_double_array(vec_col), F.col("__qv")).alias(
+                "cosine"
+            ),
+        )
+    else:
+        q = F.lit(query_vec).cast("array<double>")
+        scored = df.select(
+            F.col(id_col).alias("id"),
+            cosine_similarity(as_double_array(vec_col), q).alias("cosine"),
+        )
     return scored.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(k)
 
 

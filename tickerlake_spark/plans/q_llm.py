@@ -452,11 +452,11 @@ def q45_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tickerlake_spark.operators.similarity import brute_force_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    qvec = [
-        float(x)
-        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    ]
-    scored = brute_force_topk(e, qvec, k=10_000_000)  # score all, round, re-rank
+    # corpus-resident query: 1-row broadcast, ONE Spark job — no driver
+    # .first() collect + literal-replan (optimization r11; scores bitwise
+    # identical, see brute_force_topk)
+    q_df = e.filter(F.col("vec_id") == 0).select("embedding")
+    scored = brute_force_topk(e, q_df, k=10_000_000)  # score all, round, re-rank
     return (
         scored.select("id", stable_round(F.col("cosine"), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("id").asc())
