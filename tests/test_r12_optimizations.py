@@ -1,0 +1,93 @@
+"""Focused equivalence tests for the round-12 operator-internal optimizations.
+
+1. ``apply_splits(factor_once=True)`` wraps the split-factor fold in a
+   non-deterministic identity (``WHEN monotonically_increasing_id() >= 0``,
+   true for every row) so filter pushdown cannot re-inline the interpreted
+   fold into consumer predicates (guide §4.4). The WHEN branch is taken for
+   every row, so every adjusted value must be BITWISE identical to the
+   default path — and a consumer filter on the adjusted columns must leave
+   exactly ONE ``aggregate(__splits`` instance in the physical plan.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import functions as F
+
+from tickerlake_spark.operators.splits import apply_splits
+
+
+def _bits(x):
+    return None if x is None else struct.pack("<d", x)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestFactorOnceBarrier:
+    def _frames(self, spark):
+        bars = spark.createDataFrame(
+            [
+                # A: stacked splits (two execution dates), incl. a bar whose
+                # adjusted volume floors to 0 (volume < total factor) so the
+                # consumer filter is exercised on both branches
+                ("A", "1998-01-02", 10.0, 11.0, 9.0, 10.5, 3, 2),
+                ("A", "1998-07-01", 20.0, 21.0, 19.0, 20.5, 1000, 9),
+                ("A", "1999-09-02", 30.0, 31.0, 29.0, 30.5, 500, 4),
+                # B: no splits row at all (NULL __splits branch)
+                ("B", "1998-01-02", 5.0, 6.0, 4.0, 5.5, 77, 3),
+            ],
+            "ticker string, date string, open double, high double, "
+            "low double, close double, volume long, transactions long",
+        ).withColumn("date", F.col("date").cast("date"))
+        splits = spark.createDataFrame(
+            [
+                ("A", "1998-06-15", 1.0, 2.0),
+                ("A", "1999-09-01", 5.0, 1.0),
+            ],
+            "ticker string, execution_date string, split_from double, "
+            "split_to double",
+        ).withColumn("execution_date", F.col("execution_date").cast("date"))
+        return bars, splits
+
+    @staticmethod
+    def _consumer_filter(adj):
+        # the q35/vwap base filter shape — references ADJUSTED columns, which
+        # is exactly what pushdown re-inlines the fold into
+        return adj.filter(
+            F.col("close").isNotNull()
+            & F.col("volume").isNotNull()
+            & (F.col("volume") > 0)
+        )
+
+    def test_values_bitwise_identical(self, spark):
+        bars, splits = self._frames(spark)
+        base = self._consumer_filter(apply_splits(bars, splits))
+        once = self._consumer_filter(apply_splits(bars, splits, factor_once=True))
+        key = lambda r: (r["ticker"], r["date"])  # noqa: E731
+        a = sorted(base.collect(), key=key)
+        b = sorted(once.collect(), key=key)
+        assert len(a) == len(b) > 0
+        for ra, rb in zip(a, b):
+            for c in ("open", "high", "low", "close"):
+                assert _bits(ra[c]) == _bits(rb[c]), (ra, rb, c)
+            for c in ("ticker", "date", "volume", "transactions"):
+                assert ra[c] == rb[c], (ra, rb, c)
+
+    def test_consumer_filter_leaves_single_fold_instance(self, spark):
+        bars, splits = self._frames(spark)
+        once = self._consumer_filter(apply_splits(bars, splits, factor_once=True))
+        assert _plan(once).count("aggregate(__splits") == 1
+
+    def test_default_path_unchanged_plan_has_no_barrier(self, spark):
+        # q31/q34 keep the default: no WHEN-mid wrapper in their plans
+        bars, splits = self._frames(spark)
+        base = apply_splits(bars, splits)
+        assert "monotonically_increasing_id" not in _plan(base)
+        # ...and the default still duplicates the fold under a consumer
+        # filter (the documented reason the barrier exists); if a future
+        # Spark stops duplicating, the barrier can be retired
+        filtered = self._consumer_filter(base)
+        assert _plan(filtered).count("aggregate(__splits") > 1

@@ -27,7 +27,9 @@ __all__ = ["apply_splits"]
 _OHLCV = ("open", "high", "low", "close", "volume", "transactions")
 
 
-def apply_splits(stocks: DataFrame, splits: DataFrame) -> DataFrame:
+def apply_splits(
+    stocks: DataFrame, splits: DataFrame, *, factor_once: bool = False
+) -> DataFrame:
     """Adjust historical prices for later splits.
 
     For each (ticker, date) bar, every split with ``execution_date > date``
@@ -79,6 +81,25 @@ def apply_splits(stocks: DataFrame, splits: DataFrame) -> DataFrame:
             lambda acc, s: F.when(F.col("date") < s["d"], acc * s["r"]).otherwise(acc),
         ),
     ).otherwise(F.lit(1.0))
+    if factor_once:
+        # Evaluate the fold ONCE per row no matter what sits above
+        # (optimization r12, guide §4.4: stop the optimizer duplicating an
+        # expensive expression). PushDownPredicates substitutes aliases into
+        # filters it pushes through a Project — a consumer filter on the
+        # adjusted close/volume (q35's vwap base filter) re-inlines the whole
+        # interpreted fold into each pushed conjunct, 4 evaluations per row.
+        # Wrapping the factor in a non-deterministic identity —
+        # `WHEN monotonically_increasing_id() >= 0 THEN factor` is true for
+        # every row (partition id and per-partition counter are both
+        # non-negative), so the value is untouched — marks the projection
+        # non-deterministic, which pushdown refuses to cross; the filter
+        # then reads the materialized __total attribute. (A rand()-based
+        # guard does NOT survive: Spark 4 simplifies always-true rand
+        # comparisons away before pushdown runs.) Opt-in because the barrier
+        # also blocks pushdown of UNRELATED predicates (e.g. date pruning on
+        # incremental paths) — only consumers that filter on adjusted
+        # columns should set it.
+        factor = F.when(F.monotonically_increasing_id() >= 0, factor)
     adj = joined.withColumn("__total", factor).select(
         "ticker",
         "date",

@@ -50,11 +50,16 @@ def _ticker_str() -> F.Column:
 
 
 def _adjusted(
-    spark: SparkSession, sf_dir: str, *, long_ticker: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    long_ticker: bool = False,
+    factor_once: bool = False,
 ) -> DataFrame:
     return apply_splits(
         stock_bars(spark, sf_dir, long_ticker=long_ticker),
         stock_splits(spark, sf_dir, long_ticker=long_ticker),
+        factor_once=factor_once,
     )
 
 
@@ -230,7 +235,15 @@ def q35_vwap_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6-decimal grain sits inside the cross-engine noise and hash-flips on
     # boundary values. Cents (2 decimals) swamp the noise by 8 orders of
     # magnitude — boundary-proof for the driver's exact repr hash.
-    sig = vwap_signals(_adjusted(spark, sf_dir, long_ticker=True), calculated_at=_CALCULATED_AT)
+    # factor_once: vwap's base filter references the adjusted close/volume,
+    # and filter pushdown re-inlines the (interpreted, CodegenFallback) split
+    # fold into each pushed conjunct — 4 evaluations per row, plan-verified
+    # in plans/r11/q35_vwap_signals_after.txt. The barrier pins it to ONE
+    # (optimization r12, guide §4.4); values are bit-identical.
+    sig = vwap_signals(
+        _adjusted(spark, sf_dir, long_ticker=True, factor_once=True),
+        calculated_at=_CALCULATED_AT,
+    )
     return sig.select(
         _ticker_str(),
         "date",
