@@ -55,11 +55,16 @@ def _near_dup_survivors(
     text_col: str,
     id_col: str,
     jaccard_threshold: float,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """Drop every doc whose near-dup component canonical (min id) is not
-    itself — q79's keep rule, over q41 pairs + q78 components."""
+    itself — q79's keep rule, over q41 pairs + q78 components.
+
+    ``cache_out`` forwards to ``minhash_lsh_pairs`` so the caller can
+    unpersist the signature cache once the survivors are materialized."""
     pairs = minhash_lsh_pairs(
-        docs, text_col, id_col, jaccard_threshold=jaccard_threshold
+        docs, text_col, id_col, jaccard_threshold=jaccard_threshold,
+        cache_out=cache_out,
     )
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -106,7 +111,10 @@ def run_curation(
     s1 = read_table(spark, os.path.join(data_root, "exact_dedup"))
     stats["exact_dedup"] = s1.count()
 
-    s2 = _near_dup_survivors(s1, text_col, id_col, jaccard_threshold)
+    dedup_caches: list = []
+    s2 = _near_dup_survivors(
+        s1, text_col, id_col, jaccard_threshold, cache_out=dedup_caches
+    )
     if embeddings is not None:
         from tickerlake_spark.operators.clustering import (
             kmeans_fit,
@@ -129,6 +137,10 @@ def run_curation(
         )
         s2 = s2.join(sem_dead, id_col, "left_anti")
     write_table(s2, os.path.join(data_root, "near_dedup"))
+    # the near-dedup output is on disk: release the signature cache now
+    # instead of pinning it for the rest of the (long) curation session
+    for cached in dedup_caches:
+        cached.unpersist()
     s2 = read_table(spark, os.path.join(data_root, "near_dedup"))
     stats["near_dedup"] = s2.count()
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "epoch_ms_to_date",
+    "nondet_identity",
     "stable_round",
     "floor_div_long",
     "product",
@@ -25,6 +26,30 @@ __all__ = [
     "rolling_window",
     "true_range",
 ]
+
+
+def nondet_identity(col: Column) -> Column:
+    """Value-preserving wrapper that marks an expression non-deterministic —
+    the guide-§4.4 "stop the optimizer duplicating an expensive expression"
+    technique for built-in expressions (UDFs have ``asNondeterministic``;
+    Columns have no public equivalent).
+
+    ``WHEN monotonically_increasing_id() >= 0 THEN col`` is true for every
+    row (both halves of the id are non-negative), so the value is untouched
+    — but the optimizer may not push filters through, collapse, or
+    duplicate a projection containing it. Used where filter pushdown would
+    otherwise substitute an expensive alias (an interpreted HOF pipeline)
+    into each pushed conjunct, re-evaluating it per reference. A rand()-
+    based guard does NOT work: Spark 4 simplifies always-true rand
+    comparisons away before pushdown runs.
+
+    Cost: one long counter read + compare per row. The wrapped column's
+    type is unchanged; its nullability becomes True (WHEN without ELSE),
+    which callers must tolerate. Apply ONLY where the duplication is the
+    measured problem — the wrapper also blocks pushdown of unrelated
+    predicates through the same projection.
+    """
+    return F.when(F.monotonically_increasing_id() >= 0, col)
 
 
 def stable_round(col: Column, n: int) -> Column:

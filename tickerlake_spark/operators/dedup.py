@@ -101,7 +101,7 @@ def _barrier(df: DataFrame, *cols: str) -> DataFrame:
 
 
 def _with_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    from tickerlake_spark.functions.text import h60, tokens, word_shingles
+    from tickerlake_spark.functions.text import tokens, word_shingles
 
     # staged behind exchanges so tokens and shingles become bound attributes:
     # inline, the tokenizer/shingler would be re-evaluated per reference
@@ -112,18 +112,27 @@ def _with_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     # shingler (no CSE through lambda bodies; inline was measured 6x slower).
     # Two exchanges total: the spread (parallelism for byte-small corpora)
     # doubles as the token binder, the doc_id barrier as the shingle binder.
+    from tickerlake_spark.functions.core import nondet_identity
+
     tok = _barrier(
         df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
     )
+    # nondet_identity (optimization r12, guide §4.4): the size filter below
+    # references __shingles, and the exchanges are NOT pushdown barriers —
+    # PushDownPredicates substituted the whole tokenizer+shingler pipeline
+    # into the filter condition below BOTH repartitions, where the transform
+    # lambda references the raw split() inline (not a bound attribute), so
+    # the regex tokenizer re-ran per shingle per row. Measured: the shingle
+    # stage cost 3.77s at sf0.1 with the re-inlined filter, 0.60s with the
+    # barrier (tools/experiments/exp_q41_bandkey.py / OPTIMIZATION_r12.md).
     sh = _barrier(
-        tok.select("doc_id", word_shingles(F.col("__toks"), n).alias("__shingles")),
+        tok.select(
+            "doc_id",
+            nondet_identity(word_shingles(F.col("__toks"), n)).alias("__shingles"),
+        ),
         "doc_id",
     )
-    return sh.select(
-        "doc_id",
-        "__shingles",
-        F.transform("__shingles", h60).alias("__hashes"),
-    ).filter(F.size("__shingles") > 0)
+    return sh.select("doc_id", "__shingles").filter(F.size("__shingles") > 0)
 
 
 def signature_table(
@@ -146,12 +155,20 @@ def signature_table(
         pairs = minhash_lsh_pairs(
             signatures=read_table(spark, path))      # every round after
     """
-    from tickerlake_spark.functions.text import minhash_signature
+    from tickerlake_spark.functions.text import h60, minhash_signature
 
+    # An explode + 32-codegen'd-min-aggregates reformulation of the MinHash
+    # was measured SLOWER here (0.98s vs 0.67s at sf0.1 with the shingle
+    # barrier in place): the agg side and the shingle side each recompute
+    # the pipeline (no exchange reuse across the join), and the md5-in-HOF
+    # cost it targeted turned out to be small once the re-inlined size
+    # filter (see _with_shingles) was fixed. Kept as the single-pass fold.
     return _with_shingles(df, text_col, id_col, shingle_n).select(
         "doc_id",
         F.col("__shingles").alias("shingles"),
-        minhash_signature(F.col("__hashes"), num_hashes).alias("signature"),
+        minhash_signature(
+            F.transform("__shingles", h60), num_hashes
+        ).alias("signature"),
     )
 
 
@@ -161,10 +178,16 @@ def band_keys(
     """LSH band keys from a signature table: (doc_id, band, key).
 
     Each doc's ``num_hashes``-element MinHash signature is cut into
-    ``bands`` slices; each slice joined to a string key. Docs sharing ANY
-    (band, key) are near-dup candidates. One slice per band, joined to a
-    string — identical value to concat_ws over per-row element_at, with a
-    rows-times smaller expression tree.
+    ``bands`` slices; the slice itself (``array<long>``) is the key. Docs
+    sharing ANY (band, key) are near-dup candidates.
+
+    The key used to be the dash-joined DECIMAL STRING of the slice
+    (optimization r12, guide §2.3 shuffle narrower types): both encodings
+    are injective, so array equality holds exactly where the string
+    equality held and the candidate pair set is identical — but the array
+    form skips 4 long→string renders + a join per banded row, and every
+    downstream hash/compare works on 4 fixed-width longs instead of a
+    ~40-byte UTF8 string. Arrays are valid Spark equi-join/hash keys.
     """
     rows = num_hashes // bands
     return signatures.select(
@@ -174,13 +197,7 @@ def band_keys(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("signature"), b * rows + 1, rows),
-                            lambda x: x.cast("string"),
-                        ),
-                        "-",
-                    ).alias("key"),
+                    F.slice(F.col("signature"), b * rows + 1, rows).alias("key"),
                 ),
             )
         ).alias("__bk"),
@@ -264,6 +281,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.6,
     signatures: DataFrame | None = None,
     band_salt: int = 0,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs: (id_a, id_b, jaccard).
 
@@ -292,6 +310,13 @@ def minhash_lsh_pairs(
     per-side shingle fetch for the verify (2 refs) — and without
     materialization the shingle+hash+signature pipeline executes 4x
     (measured: 4 parquet scans, 0 reused exchanges).
+
+    Pass ``cache_out`` (a caller-owned list) to receive the internally
+    persisted DataFrame(s): long-lived sessions should unpersist them once
+    the result has been materialized, otherwise the cached signature table
+    lives until LRU eviction / session end (optimization r12 — the
+    measurement-hygiene debt VERDICT r11 flagged; ``curation_pipeline``
+    releases it after the near-dedup stage's write).
     """
     from pyspark import StorageLevel
 
@@ -316,6 +341,8 @@ def minhash_lsh_pairs(
             # of the cached relation, so no extra exchange is needed here.
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if cache_out is not None:
+            cache_out.append(sig)
     # band join on ids ONLY — exploding each doc's shingle array through the
     # 8-band self-join would shuffle every array 8x; instead the (small)
     # candidate pair set joins back to the shingle table to fetch arrays

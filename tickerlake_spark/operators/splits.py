@@ -88,18 +88,16 @@ def apply_splits(
         # filters it pushes through a Project — a consumer filter on the
         # adjusted close/volume (q35's vwap base filter) re-inlines the whole
         # interpreted fold into each pushed conjunct, 4 evaluations per row.
-        # Wrapping the factor in a non-deterministic identity —
-        # `WHEN monotonically_increasing_id() >= 0 THEN factor` is true for
-        # every row (partition id and per-partition counter are both
-        # non-negative), so the value is untouched — marks the projection
+        # Wrapping the factor in a value-preserving non-deterministic
+        # identity (functions.core.nondet_identity) marks the projection
         # non-deterministic, which pushdown refuses to cross; the filter
-        # then reads the materialized __total attribute. (A rand()-based
-        # guard does NOT survive: Spark 4 simplifies always-true rand
-        # comparisons away before pushdown runs.) Opt-in because the barrier
-        # also blocks pushdown of UNRELATED predicates (e.g. date pruning on
-        # incremental paths) — only consumers that filter on adjusted
-        # columns should set it.
-        factor = F.when(F.monotonically_increasing_id() >= 0, factor)
+        # then reads the materialized __total attribute. Opt-in because the
+        # barrier also blocks pushdown of UNRELATED predicates (e.g. date
+        # pruning on incremental paths) — only consumers that filter on
+        # adjusted columns should set it.
+        from tickerlake_spark.functions.core import nondet_identity
+
+        factor = nondet_identity(factor)
     adj = joined.withColumn("__total", factor).select(
         "ticker",
         "date",
