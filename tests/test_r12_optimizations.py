@@ -20,6 +20,14 @@
    band key instead of its dash-joined decimal string. Both encodings are
    injective, so the candidate pair set — and therefore the dedup output —
    must be identical.
+
+4. ``compute_indicators(trailing_cumsum=True)`` computes the double
+   trailing sums as cumulative-sum differences — three O(1)/row Window
+   passes instead of the O(284)-adds-per-row sliding recompute. The
+   identity reassociates float addition (measured max abs drift 4.2e-9 at
+   sf0.1), so the RAW values are only approximately equal — but the
+   DECLARED 6-decimal output must round identically (stable_round's nudge
+   margin is 5e-9), and the integer volume columns must be exactly equal.
 """
 
 from __future__ import annotations
@@ -193,3 +201,80 @@ class TestShingleBarrier:
         assert cand_got == cand_ref
         assert {(a, b) for a, b, _ in got} <= cand_ref
         assert len(got) > 0
+
+
+class TestTrailingCumsumIndicators:
+    def _indicators(self, spark, **kw):
+        from tickerlake_spark.operators.indicators import compute_indicators
+        from tickerlake_spark.operators.splits import apply_splits
+        from tickerlake_spark.plans.finance import stock_bars, stock_splits
+
+        sf_dir = "/root/testdata/sf0.001"
+        adj = apply_splits(
+            stock_bars(spark, sf_dir, long_ticker=True),
+            stock_splits(spark, sf_dir, long_ticker=True),
+        )
+        return compute_indicators(adj, **kw)
+
+    def test_plans_exactly_three_window_passes(self, spark):
+        ind = self._indicators(spark, assume_non_null=True, trailing_cumsum=True)
+        plan = _plan(ind)
+        n_windows = sum(
+            1
+            for line in plan.splitlines()
+            if line.strip().lstrip("+-: ").startswith("Window ")
+        )
+        assert n_windows == 3, plan
+        # every frame must be O(1)/row: no sliding ROWS BETWEEN n PRECEDING
+        assert "PRECEDING AND CURRENT ROW" not in plan or (
+            "unboundedpreceding" in plan.lower()
+        )
+
+    def test_rounded_output_matches_sliding(self, spark):
+        from tickerlake_spark.functions.core import stable_round
+
+        cur = self._indicators(spark, assume_non_null=True)
+        new = self._indicators(spark, assume_non_null=True, trailing_cumsum=True)
+
+        def decl(df):
+            return df.select(
+                "ticker",
+                "date",
+                *[
+                    stable_round(F.col(c), 6).alias(c)
+                    for c in ("sma_20", "sma_50", "sma_200", "atr_14")
+                ],
+                "volume_ma_20",
+                stable_round(F.col("volume_ratio"), 6).alias("volume_ratio"),
+            )
+
+        a, b = decl(cur).alias("a"), decl(new).alias("b")
+        cols = ["sma_20", "sma_50", "sma_200", "atr_14", "volume_ma_20", "volume_ratio"]
+        mismatch = ~F.lit(True)
+        for c in cols:
+            mismatch = mismatch | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        diff = a.join(b, ["ticker", "date"], "full").filter(mismatch).count()
+        assert diff == 0
+        # integer volume columns must be EXACTLY equal (no rounding involved)
+        vm = (
+            cur.alias("a")
+            .join(new.alias("b"), ["ticker", "date"])
+            .filter(~F.col("a.volume_ma_20").eqNullSafe(F.col("b.volume_ma_20")))
+            .count()
+        )
+        assert vm == 0
+
+    def test_preconditions_enforced(self, spark):
+        import pytest
+
+        df = spark.createDataFrame(
+            [("T", "2020-01-02", 1.0, 1.0, 1.0, 1.0, 2.5)],
+            "ticker string, date string, open double, high double, low double,"
+            " close double, volume double",
+        ).withColumn("date", F.col("date").cast("date"))
+        from tickerlake_spark.operators.indicators import compute_indicators
+
+        with pytest.raises(ValueError):
+            compute_indicators(df, assume_non_null=True, trailing_cumsum=True)
+        with pytest.raises(ValueError):
+            compute_indicators(df, assume_non_null=False, trailing_cumsum=True)

@@ -41,13 +41,34 @@ from tickerlake_spark.functions.core import (
 __all__ = ["compute_indicators"]
 
 
-def compute_indicators(daily: DataFrame, assume_non_null: bool = False) -> DataFrame:
+def compute_indicators(
+    daily: DataFrame,
+    assume_non_null: bool = False,
+    trailing_cumsum: bool = False,
+) -> DataFrame:
     """ticker, date, sma_20, sma_50, sma_200, atr_14, volume_ma_20,
     volume_ratio — from daily bars (ticker, date, high, low, close, volume).
 
     ``assume_non_null=True`` switches the full-window mask from per-frame
     counts to one shared ordinal — faster, but ONLY correct when
     high/low/close/volume are non-null (see module docstring).
+
+    ``trailing_cumsum=True`` (optimization r12, guide §5 window inner loop)
+    computes the DOUBLE trailing sums (SMA 20/50/200, ATR-14) as
+    cumulative-sum differences — three O(1)-per-row Window passes instead
+    of the O(284)-adds-per-row sliding recompute (Spark's sliding frame has
+    no retract path; it rebuilds the aggregation buffer from scratch for
+    every output row). Float caveat, measured (tools/experiments/
+    exp_sma_cumsum.py): the identity reassociates double addition, so raw
+    values drift up to 2e-13 relative / 4.2e-9 absolute vs the sliding
+    fold at sf0.1 — inside the 5e-9 boundary margin ``stable_round``'s
+    nudge guarantees for grid-valued data, and ZERO rounded-output flips
+    vs both the sliding form and the DuckDB oracle at sf0.001/0.01/0.1.
+    Requires ``assume_non_null`` and an integral volume column. The e2e
+    pipeline deliberately does NOT use it: values become dependent on the
+    full partition PREFIX, which would break the incremental tail-append
+    invariant (appended rows bitwise-equal to a full recompute) that the
+    sliding form's window-local dependence provides.
     """
     part, order = ["ticker"], ["date"]
     w1 = Window.partitionBy(*part).orderBy(*order)
@@ -55,6 +76,11 @@ def compute_indicators(daily: DataFrame, assume_non_null: bool = False) -> DataF
     volume_is_integral = dict(daily.dtypes).get("volume") in (
         "bigint", "int", "smallint", "tinyint"
     )
+    if trailing_cumsum and not (assume_non_null and volume_is_integral):
+        raise ValueError(
+            "trailing_cumsum requires assume_non_null=True and an integral "
+            "volume column (the exactness/masking preconditions)"
+        )
 
     # Pass 1 (optimization r11, guide §2.4 "window functions sharing one
     # pass"): every O(1) running frame at once — the lag, the shared ordinal
@@ -67,6 +93,12 @@ def compute_indicators(daily: DataFrame, assume_non_null: bool = False) -> DataF
     # tools/experiments/exp_window_dedup.py; measured -18% min / -26% median
     # on the indicators pass).
     pass1 = [F.lag("close", 1).over(w1).alias("__prev_close")]
+    if trailing_cumsum:
+        pass1.append(
+            F.sum("close")
+            .over(w1.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("__cc")
+        )
     if assume_non_null:
         pass1.append(F.row_number().over(w1).alias("__rn"))
         if volume_is_integral:
@@ -87,6 +119,58 @@ def compute_indicators(daily: DataFrame, assume_non_null: bool = False) -> DataF
     )
 
     rn = F.col("__rn")
+
+    if trailing_cumsum:
+        # Pass 2: the true-range cumsum plus every prefix lag that depends
+        # only on pass-1 columns — ONE WindowExec (shared spec). Pass 3:
+        # the single lag that needs a pass-2 column. All frames O(1)/row.
+        run = w1.rowsBetween(Window.unboundedPreceding, 0)
+        df = df.select(
+            "*",
+            F.sum("__tr").over(run).alias("__ct"),
+            F.lag("__cc", 20).over(w1).alias("__cc20"),
+            F.lag("__cc", 50).over(w1).alias("__cc50"),
+            F.lag("__cc", 200).over(w1).alias("__cc200"),
+            F.lag("__cumvol", 20).over(w1).alias("__cv20"),
+        ).select("*", F.lag("__ct", 14).over(w1).alias("__ct14"))
+
+        def sma_c(n: int, lagcol: str):
+            return F.when(
+                rn >= n,
+                (F.col("__cc") - F.coalesce(F.col(lagcol), F.lit(0.0))) / n,
+            )
+
+        vol_sum_20 = F.col("__cumvol") - F.coalesce(
+            F.col("__cv20"), F.lit(0).cast("long")
+        )
+        out = df.select(
+            "ticker",
+            "date",
+            "volume",
+            sma_c(20, "__cc20").alias("sma_20"),
+            sma_c(50, "__cc50").alias("sma_50"),
+            sma_c(200, "__cc200").alias("sma_200"),
+            F.when(
+                rn >= 14,
+                (F.col("__ct") - F.coalesce(F.col("__ct14"), F.lit(0.0))) / 14,
+            ).alias("atr_14"),
+            F.when(rn >= 20, F.floor(vol_sum_20 / 20)).cast("long").alias(
+                "volume_ma_20"
+            ),
+        )
+        return out.select(
+            "ticker",
+            "date",
+            "sma_20",
+            "sma_50",
+            "sma_200",
+            "atr_14",
+            "volume_ma_20",
+            F.when(
+                F.col("volume_ma_20").isNotNull(),
+                F.col("volume") / F.col("volume_ma_20"),
+            ).alias("volume_ratio"),
+        )
 
     def mean_full(col: str, n: int):
         # sum/n, not avg: sliding frames recompute the buffer per output row,
