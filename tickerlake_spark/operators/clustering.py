@@ -49,6 +49,14 @@ def _argmin_cell(vec: Column, centroids: list[list[float]]) -> Column:
 
     ``array_min`` over (d2, cell) structs compares d2 first, then cell —
     the same total order as ``ORDER BY d2 ASC, cell ASC``.
+
+    The centroids enter as a LITERAL array deliberately: a broadcast
+    one-row parameter table (the r11 q45 trick) was re-measured r12 and is
+    SLOWER here — the per-iteration broadcast-build job costs more than
+    the literal-tree analysis it saves, and the argmin HOF is
+    CodegenFallback (interpreted) so there is no per-iteration codegen to
+    save (tools/experiments/exp_trainer_param.py: 1.98s literal vs 2.18s
+    param for 3 k-means rounds at sf0.01, bit-identical centroids).
     """
     cmat = F.array(*[F.lit(c).cast("array<double>") for c in centroids])
     scored = F.transform(
@@ -63,6 +71,29 @@ def _argmin_cell(vec: Column, centroids: list[list[float]]) -> Column:
         ),
     )
     return F.array_min(scored)["cell"]
+
+
+def _trainer_width(df: DataFrame) -> int:
+    """Scale-adaptive partition count for the iterative-trainer persists
+    (optimization r12, guide §2: derive partitioning from input size, not a
+    constant tuned for either local mode or the cluster).
+
+    The trainers used a fixed ``defaultParallelism``-way repartition, which
+    schedules a full cluster width of tasks PER ITERATION even for a
+    500-row embedding sample — at catalog scale the per-task scheduling
+    overhead, not the O(k x dim) arithmetic, dominated every Lloyd's round
+    (measured: 3 k-means iterations at sf0.01 took 2.49s at width 32 vs
+    1.33s at width 1, identical centroids). Sizing by the plan's estimated
+    bytes (~1 MiB per task floor) keeps toy inputs on a few tasks while
+    any real corpus still saturates the cluster; an unknown/huge estimate
+    falls back to full width — the safe direction at scale.
+    """
+    width = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # estimation failure -> keep full width
+        return width
+    return max(1, min(width, size // (1 << 20)))
 
 
 def assign_cells(
@@ -157,13 +188,17 @@ def kmeans_fit(
     base = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
     # iterative algorithm: pay the scan/decode once, not once per iteration
     # (MEMORY_AND_DISK so oversized partitions spill instead of OOM at scale).
-    # Explicit-width repartition first: embedding tables are byte-small but
-    # the E-step is O(k x dim) HOF math per row — a 2-split parquet file
-    # would serialize every iteration onto 2 cores.
+    # Explicit repartition first: embedding tables are byte-small but the
+    # E-step is O(k x dim) HOF math per row — a 2-split parquet file would
+    # serialize every iteration onto 2 cores. The count is size-adaptive
+    # (_trainer_width): full cluster width for real corpora, a handful of
+    # tasks for toy samples, where per-iteration task scheduling was the
+    # dominant cost (guide §2, measured −45% on the Lloyd loop at sf0.01).
     from pyspark import StorageLevel
 
-    width = df.sparkSession.sparkContext.defaultParallelism
-    base = base.repartition(width).persist(StorageLevel.MEMORY_AND_DISK)
+    base = base.repartition(_trainer_width(base)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     try:
         init_rows = (
             base.orderBy(F.col(id_col).asc()).limit(k).select(id_col, "v").collect()
@@ -245,11 +280,12 @@ def semantic_dedup_flags(
 
     from pyspark import StorageLevel
 
+    narrow = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
     assigned = (
         assign_cells(
-            df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
             # E-step parallelism guard, same rationale as kmeans_fit
-            .repartition(df.sparkSession.sparkContext.defaultParallelism),
+            # (size-adaptive width, r12)
+            narrow.repartition(_trainer_width(narrow)),
             centroids,
             vec_col="v",
         )

@@ -91,12 +91,16 @@ def pq_fit(
 
     from tickerlake_spark.functions.core import stable_round
 
-    width = df.sparkSession.sparkContext.defaultParallelism
+    from tickerlake_spark.operators.clustering import _trainer_width
+
+    base = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
     base = (
-        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        base
         # same parallelism/persist rationale as kmeans_fit: pay the scan
-        # once, keep the O(m x k x sub_dim) E-step off a 2-split file
-        .repartition(width)
+        # once, keep the O(m x k x sub_dim) E-step off a 2-split file;
+        # size-adaptive width (r12) so toy samples stop paying a full
+        # cluster width of task overhead per Lloyd round
+        .repartition(_trainer_width(base))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
