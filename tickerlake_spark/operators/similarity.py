@@ -108,13 +108,26 @@ def brute_force_topk(
     of the bench query's ~0.7s; ``exp_q45_qvec_join.py``). The cosine fold
     is the same ``zip_with``/``aggregate`` over the same doubles either way,
     so scores are bitwise-identical (rows_identical gate in the experiment
-    and ``tests/test_r11_optimizations.py``)."""
+    and ``tests/test_r11_optimizations.py``).
+
+    One-row contract (ADVICE r11): the DataFrame form takes ``limit(1)`` on
+    the query projection — a multi-row frame would otherwise cross-join
+    every query row to every corpus row and silently corrupt the top-k
+    with duplicate ids; the limit is free on the broadcast side and
+    preserves scores. An EMPTY query frame yields an empty result (the old
+    driver-``first()`` path raised instead) — callers that need the loud
+    failure should assert non-emptiness before calling."""
     if isinstance(query_vec, DataFrame):
         qcol = query_vec.columns[0]
-        q_df = query_vec.select(as_double_array(qcol).alias("__qv"))
+        # collision-free alias (ADVICE r11): a corpus column literally
+        # named "__qv" would make the post-join reference ambiguous
+        qv = "__qv"
+        while qv in df.columns:
+            qv += "_"
+        q_df = query_vec.select(as_double_array(qcol).alias(qv)).limit(1)
         scored = df.crossJoin(F.broadcast(q_df)).select(
             F.col(id_col).alias("id"),
-            cosine_similarity(as_double_array(vec_col), F.col("__qv")).alias(
+            cosine_similarity(as_double_array(vec_col), F.col(qv)).alias(
                 "cosine"
             ),
         )

@@ -573,6 +573,19 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
     new_tails["daily"] = advance_tail(ctx_daily, delta_daily)
     timer.mark("daily_indicators")
 
+    # Tail swaps overlap the grain chains (optimization r12, guide §2.6):
+    # the three replace_tail writes used to serialize AFTER the
+    # weekly+monthly pool (~4s of the append was pure tail phase), but each
+    # grain's swap depends only on its own chain — the daily swap can run
+    # concurrently with the resampled chains, and each resampled chain
+    # swaps its own tail as its last step. The crash contract is unchanged:
+    # silver_tail_as_of is still committed only after ALL swaps succeeded,
+    # so a crash mid-way leaves a mismatched as_of and the next run falls
+    # back + rebuilds (replace_tail docstring).
+    def _tail_swap(grain: str) -> None:
+        with timer.span("indicator_tails"):
+            replace_tail(spark, new_tails[grain], tail_paths[grain], fs=catalog.fs)
+
     def _resampled_chain(period: str, agg_table: str, ind_table: str,
                          horizon: int) -> None:
         # horizon = 2x CONTEXT_ROWS buckets in calendar days, the same
@@ -610,15 +623,24 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
             fs=catalog.fs,
         )
         new_tails[period] = advance_tail(ctx, delta_stored)
+        _tail_swap(period)
 
+    # daily_aggregates is final at this point (the resampled chains touch
+    # only weekly/monthly tables), so the next-watermark probe can run now
+    # instead of serializing after the pool
+    new_wm_iso = get_max_date(
+        spark, catalog.silver("daily_aggregates"), fs=catalog.fs
+    )
     # the weekly and monthly chains touch disjoint tables and read only
     # already-written daily state — run them concurrently (the merge
     # primitives use writer-level overwrite options; no shared session
-    # state), overlapping their fixed per-job overheads
+    # state), overlapping their fixed per-job overheads; the daily tail
+    # swap rides the same pool (see _tail_swap above)
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         futs = [
+            pool.submit(_tail_swap, "daily"),
             pool.submit(
                 _resampled_chain, "week", "weekly_aggregates",
                 "weekly_indicators", 2_800,
@@ -631,25 +653,12 @@ def run_silver(spark: SparkSession, catalog: Catalog, checkpoints: Checkpoints) 
         for f in futs:
             f.result()
     timer.mark("weekly+monthly")
-    # swap in the advanced tails (three independent small writes, also
-    # concurrent); the as_of checkpoint is set only after ALL tails are
-    # swapped, so a crash mid-way leaves a mismatched as_of and the next
-    # run falls back + rebuilds
-    new_wm_iso = get_max_date(
-        spark, catalog.silver("daily_aggregates"), fs=catalog.fs
-    )
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        futs = [
-            pool.submit(replace_tail, spark, nt, tail_paths[grain],
-                        fs=catalog.fs)
-            for grain, nt in new_tails.items()
-        ]
-        for f in futs:
-            f.result()
     for df in persisted_ctx:
         df.unpersist()
+    # the as_of checkpoint commits only after ALL tails are swapped; a
+    # crash mid-way leaves a mismatched as_of and the next run falls back
+    # + rebuilds (unchanged crash contract)
     checkpoints.set("silver_tail_as_of", new_wm_iso)
-    timer.mark("indicator_tails")
     checkpoints.set("silver_splits_fingerprint", _splits_fingerprint(spark, catalog))
     checkpoints.set(
         "silver_universe_fingerprint", _universe_fingerprint(spark, catalog)
