@@ -8,7 +8,10 @@ the structural invariants; the timings themselves are meaningless here.
 
 from __future__ import annotations
 
+import pytest
 
+
+@pytest.mark.slow
 def test_e2e_bench_tool_runs_and_reports(tmp_path):
     from tools.bench_e2e import run
 

@@ -186,6 +186,7 @@ class TestSilverGold:
         assert n2 == n1 + 2 * 2  # two new trading days x two tickers
 
 
+@pytest.mark.slow
 def test_cli_full_chain(tmp_path):
     """python -m tickerlake_spark bronze/silver/gold/validate/clean over the
     deterministic demo source — the console-script surface of the reference

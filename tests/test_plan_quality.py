@@ -91,6 +91,7 @@ def test_split_adjust_stage_cost_vs_bars_alone(spark, sf_dir):
     assert "BroadcastExchange" in adj_plan
 
 
+@pytest.mark.slow
 def test_no_python_eval_in_hot_paths(spark, sf_dir):
     """Every query except the deliberate Arrow/mapInPandas multimodal
     kernels must stay JVM-side: no BatchEvalPython (row-at-a-time UDF)

@@ -12,6 +12,8 @@ Examples are few and small — every example runs real Spark jobs.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 from collections import defaultdict
 
@@ -154,6 +156,7 @@ def day_batches(draw):
 
 @given(case=day_batches())
 @settings(max_examples=3, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@pytest.mark.slow
 def test_silver_maintenance_batches_equal_full_recompute(spark, tmp_path_factory, case):
     """ANY partition of the bar history into sequential micro-batches pushed
     through streaming/medallion.silver_maintenance_batch must leave daily +

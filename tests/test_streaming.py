@@ -331,6 +331,7 @@ def test_streaming_restart_from_checkpoint_no_duplicates(spark, event_drops, tmp
     assert got.select("event_id").distinct().count() == events.count()
 
 
+@pytest.mark.slow
 def test_bronze_to_silver_stream_matches_batch(spark, tmp_path):
     """The streaming medallion path (streaming/medallion.py) must leave every
     silver table equal to a batch recompute over the same bronze data, across
@@ -432,6 +433,7 @@ def test_bronze_to_silver_stream_matches_batch(spark, tmp_path):
         ), ind_table
 
 
+@pytest.mark.slow
 def test_bronze_to_gold_stream_matches_batch(spark, tmp_path):
     """The full streaming medallion (with_gold=True) must leave every GOLD
     table equal to a batch run_silver + run_gold over the same bronze data,
@@ -1176,6 +1178,7 @@ def test_silver_maintenance_single_emptiness_probe(spark, tmp_path):
     assert len(jobs) <= 3, f"extra emptiness probe reintroduced: {jobs}"
 
 
+@pytest.mark.slow
 def test_streaming_extract_append_replay_converges(spark, tmp_path):
     """ADVICE r7 low + r8 medium: the streaming closes-extract maintenance
     APPENDS strictly-forward batches (O(delta)) instead of rewriting every
@@ -1258,6 +1261,7 @@ def test_streaming_extract_append_replay_converges(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_extract_no_dup_after_batch_pipeline_advance(spark, tmp_path):
     """ADVICE r8 medium regression: a stream resuming on a lake the BATCH
     pipeline advanced (supported alternation), and a replay of a batch
